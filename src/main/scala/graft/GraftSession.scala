@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session defaults so Verify/Bench/tests agree.
+  *
+  * Scale notes: shuffle partitions track core count locally; on a real
+  * cluster this plus AQE coalescing sizes reducers to the data. The
+  * nanos-as-long legacy flag is required because the `events` table is
+  * written with ns-precision timestamps, which Spark's parquet reader
+  * otherwise rejects (`PARQUET_TYPE_ILLEGAL`); we read them as ns-epoch
+  * longs and convert explicitly where needed.
+  */
+object GraftSession {
+  def build(cores: Int, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "4096")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Analytics
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator family from SURVEY §2 (or a
+  * beyond-reference LLM-pipeline operator); entries with a matching key in
+  * [[oracleSql]] are hash-checked against DuckDB by the driver.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (Analytics.q1Pricing _),
+    "q3_top_orders" -> (Analytics.q3TopOrders _),
+    "q5_region_revenue" -> (Analytics.q5RegionRevenue _),
+    "q6_forecast" -> (Analytics.q6Forecast _),
+    "q10_returned" -> (Analytics.q10Returned _),
+    "q18_large_orders" -> (Analytics.q18LargeOrders _),
+    "semi_join_customers" -> (Analytics.semiJoinCustomers _),
+    "anti_join_customers" -> (Analytics.antiJoinCustomers _),
+    "setops_orderkeys" -> (Analytics.setOpsOrderkeys _),
+    "rollup_revenue" -> (Analytics.rollupRevenue _),
+    "distinct_counts" -> (Analytics.distinctCounts _),
+    "window_running_total" -> (Analytics.windowRunningTotal _),
+    "window_top_events" -> (Analytics.windowTopEvents _),
+    "events_tumbling_hour" -> (Analytics.eventsTumblingHour _),
+    "events_sessionize" -> (Analytics.eventsSessionize _),
+    "snapshot_scan" -> (Analytics.snapshotScan _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" -> Analytics.q1PricingSql,
+    "q3_top_orders" -> Analytics.q3TopOrdersSql,
+    "q5_region_revenue" -> Analytics.q5RegionRevenueSql,
+    "q6_forecast" -> Analytics.q6ForecastSql,
+    "q10_returned" -> Analytics.q10ReturnedSql,
+    "q18_large_orders" -> Analytics.q18LargeOrdersSql,
+    "semi_join_customers" -> Analytics.semiJoinCustomersSql,
+    "anti_join_customers" -> Analytics.antiJoinCustomersSql,
+    "setops_orderkeys" -> Analytics.setOpsOrderkeysSql,
+    "rollup_revenue" -> Analytics.rollupRevenueSql,
+    "distinct_counts" -> Analytics.distinctCountsSql,
+    "window_running_total" -> Analytics.windowRunningTotalSql,
+    "window_top_events" -> Analytics.windowTopEventsSql,
+    "events_tumbling_hour" -> Analytics.eventsTumblingHourSql,
+    "events_sessionize" -> Analytics.eventsSessionizeSql,
+    "snapshot_scan" -> Analytics.snapshotScanSql,
+  )
 }

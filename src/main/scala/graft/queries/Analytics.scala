@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational/analytic query surface (SURVEY §2.2–§2.7 plus the generic
+  * operator families the reference delegates to its warehouses).
+  *
+  * Oracle-parity rules (the driver hash-compares against DuckDB):
+  *  - Every multi-row float aggregation goes through DECIMAL(18,4) so the
+  *    sum is exact and order-independent, then the final value is cast to
+  *    DOUBLE (deterministic round-to-nearest in both engines). A raw
+  *    `sum(double)` differs between engines in the low bits because
+  *    addition order differs.
+  *  - Timestamp outputs are cast to DATE or formatted strings: Spark and
+  *    DuckDB disagree on timezone-awareness of raw timestamp columns.
+  *  - Aggregate/computed columns are aliased identically here and in the
+  *    oracle SQL (driver sorts columns by name before hashing).
+  */
+object Analytics {
+
+  /** Exact, order-independent sum of a double column: decimal-widen then
+    * final cast back to double. DECIMAL(18,4) recovers the true ≤4-decimal
+    * lattice value of 2-decimal×2-decimal products despite double noise. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  private def davg(c: Column, n: Column): Column = (sum(c.cast(DecimalType(18, 4))).cast(DoubleType) / n)
+
+  // --- Q1: pricing summary (scan → filter → hash agg, map-side partial) ---
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity"), count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- Q3: shipping priority (broadcast dim join → agg → top-k) ---
+  def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+    // customer is the small side at every SF → broadcast; orders⋈lineitem
+    // shuffles on the shared key only once.
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3TopOrdersSql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // --- Q5-style: multi-way join through the star schema ---
+  def q5RegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.load(spark, sfDir, "region")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    // dims (region,nation,supplier,customer) broadcast; the only big
+    // shuffle is lineitem⋈orders on orderkey.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q5RegionRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem, orders, supplier, customer, nation, region
+      |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND c_nationkey = s_nationkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // --- Q6: single-predicate-band filter + scalar aggregate ---
+  def q6Forecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1995-01-01").cast("timestamp_ntz") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q6ForecastSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // --- Q10-style: returned-items customer ranking (join + agg + top-k) ---
+  def q10Returned(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val li = Tables.load(spark, sfDir, "lineitem").filter(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedSql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem, orders, customer
+      |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // --- Q18-style: HAVING over a grouped subquery, then join back ---
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.load(spark, sfDir, "orders")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("qty_dec"))
+      .filter(col("qty_dec") > 300)
+      .select(col("l_orderkey"), col("qty_dec").cast(DoubleType).as("total_qty"))
+    // `big` is tiny after the HAVING filter → broadcast to orders.
+    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  val q18LargeOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, CAST(qty_dec AS DOUBLE) AS total_qty
+      |FROM orders JOIN (
+      |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300
+      |) ON o_orderkey = l_orderkey
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
+  // --- semi / anti joins (J1/J2's matched / not-matched legs, generalized) ---
+  def semiJoinCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val ord = Tables.load(spark, sfDir, "orders").filter(col("o_totalprice") > 200000)
+    cust.join(ord.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val semiJoinCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+      |ORDER BY c_custkey""".stripMargin
+
+  def antiJoinCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val ord = Tables.load(spark, sfDir, "orders")
+    cust.join(ord.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val antiJoinCustomersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- set ops on row data (SURVEY §2.7: reference has none; ours do) ---
+  def setOpsOrderkeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val shipped = li.filter(col("l_returnflag") === "R").select(col("l_orderkey").as("okey"))
+    val open = ord.filter(col("o_orderstatus") === "O").select(col("o_orderkey").as("okey"))
+    shipped.intersect(open).union(
+        li.filter(col("l_quantity") > 49).select(col("l_orderkey").as("okey"))
+          .except(ord.select(col("o_orderkey").as("okey"))))
+      .distinct()
+      .orderBy(col("okey"))
+  }
+
+  val setOpsOrderkeysSql: String =
+    """SELECT DISTINCT okey FROM (
+      |  SELECT l_orderkey AS okey FROM lineitem WHERE l_returnflag = 'R'
+      |  INTERSECT
+      |  SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'O'
+      |  UNION
+      |  (SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity > 49
+      |   EXCEPT
+      |   SELECT o_orderkey AS okey FROM orders)
+      |) ORDER BY okey""".stripMargin
+
+  // --- rollup (grouping-set family) ---
+  def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val rollupRevenueSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // --- exact distinct aggregation ---
+  def distinctCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    cust.groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val distinctCountsSql: String =
+    """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_customers
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // --- window: running total per customer (frame spec beyond the
+  //     reference's lone row_number; SURVEY §2.5) ---
+  def windowRunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.load(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast(DoubleType).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowRunningTotalSql: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --- window: top-3 events per user by recency (rank + filter) ---
+  def windowTopEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    // ts is the raw ns epoch (long) — identical to the oracle's epoch_ns.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  val windowTopEventsSql: String =
+    """SELECT user_id, event_id, event_type, rn FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+
+  // --- events: tumbling-hour aggregation (streaming M8 analog in batch) ---
+  // `events.ts` arrives as an ns-epoch long (see GraftSession); the hour
+  // bucket is derived via µs → timestamp → formatted string.
+  def eventsTumblingHour(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.groupBy(expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd HH')").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val eventsTumblingHourSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+      |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // --- events: sessionization via gap detection (lag + cumulative flag) ---
+  def eventsSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    // ts is the raw ns epoch (long): gap arithmetic is exact int64 in both
+    // engines (oracle uses epoch_ns).
+    val ev = Tables.load(spark, sfDir, "events")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > 1800L * 1000000000L, 1).otherwise(0))
+    withGap
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val eventsSessionizeSql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+      |FROM (
+      |  SELECT user_id, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+      |        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) > 1800000000000
+      |      THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // --- plain pushdown scan (S1 analog): projection+filter reach parquet ---
+  def snapshotScan(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val snapshotScanSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 100000 ORDER BY o_orderkey""".stripMargin
+}
