@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Analytics
+import graft.queries.{Analytics, CdcQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,9 @@ object SparkEntry {
     "events_tumbling_hour" -> (Analytics.eventsTumblingHour _),
     "events_sessionize" -> (Analytics.eventsSessionize _),
     "snapshot_scan" -> (Analytics.snapshotScan _),
+    "cdc_dedup_latest" -> (CdcQueries.dedupLatest _),
+    "cdc_merge_into" -> (CdcQueries.mergeInto _),
+    "cdc_merge_composite" -> (CdcQueries.mergeComposite _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -52,5 +55,8 @@ object SparkEntry {
     "events_tumbling_hour" -> Analytics.eventsTumblingHourSql,
     "events_sessionize" -> Analytics.eventsSessionizeSql,
     "snapshot_scan" -> Analytics.snapshotScanSql,
+    "cdc_dedup_latest" -> CdcQueries.dedupLatestSql,
+    "cdc_merge_into" -> CdcQueries.mergeIntoSql,
+    "cdc_merge_composite" -> CdcQueries.mergeCompositeSql,
   )
 }

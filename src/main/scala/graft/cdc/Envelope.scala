@@ -1,0 +1,83 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types.{TableCol, TidbTypeMapper}
+
+/** The TiCDC "csv" protocol change-event envelope (SURVEY §1.1(4)).
+  *
+  * A change row is `flag,table,schema,commit_ts` followed by the full row
+  * image; the four metadata columns take the names the reference uses when
+  * it materializes them as a staging table
+  * (`pkg/utils/incr_table.go:5-31` GenIncrementTableColumns), and
+  * positionally they are $1..$4 with data starting at $5
+  * (`pkg/snowsql/sql.go:117-124`).
+  */
+object Envelope {
+  val FlagCol = "tidb2dw_flag"
+  val TableCol_ = "tidb2dw_tablename"
+  val SchemaCol = "tidb2dw_schemaname"
+  val CommitTsCol = "tidb2dw_commit_ts"
+  val MetaCols: Seq[String] = Seq(FlagCol, TableCol_, SchemaCol, CommitTsCol)
+
+  val Insert = "I"
+  val Update = "U"
+  val Delete = "D"
+
+  /** CSV read options matching the reference's loaders: no header, `,`/`"`
+    * separator/quote, backslash escape, NULL = `\N`
+    * (`pkg/snowsql/sql.go:23,55`, `pkg/dumpling/dump.go:33-37`). */
+  val csvOptions: Map[String, String] = Map(
+    "header" -> "false",
+    "sep" -> ",",
+    "quote" -> "\"",
+    "escape" -> "\\",
+    "nullValue" -> "\\N",
+    "mode" -> "PERMISSIVE")
+
+  /** Envelope schema for a table: 4 metadata cols + typed data columns. */
+  def schemaFor(dataCols: Seq[TableCol]): StructType = StructType(
+    Seq(
+      StructField(FlagCol, StringType, nullable = false),
+      StructField(TableCol_, StringType, nullable = true),
+      StructField(SchemaCol, StringType, nullable = true),
+      StructField(CommitTsCol, LongType, nullable = false)
+    ) ++ dataCols.map(TidbTypeMapper.toStructField))
+
+  /** Read-time envelope schema: everything as string (CSV-faithful), cast
+    * applied per-column afterwards — the Databricks connector's
+    * cast-and-rename projection (P2, `pkg/databrickssql/sql.go:184-195`). */
+  def rawSchemaFor(nDataCols: Int): StructType = StructType(
+    (0 until 4 + nDataCols).map(i => StructField(s"_c$i", StringType, nullable = true)))
+
+  /** P2 cast-and-rename: positional `_c{i}` → typed, named columns. Binary
+    * columns decode from hex or base64 per dialect (P3,
+    * `cmd/core.go:67-73`, `pkg/snowsql/sql.go:119-121`). */
+  def project(raw: DataFrame, dataCols: Seq[TableCol], binaryDialect: String = "hex"): DataFrame = {
+    val meta = Seq(
+      col("_c0").as(FlagCol),
+      col("_c1").as(TableCol_),
+      col("_c2").as(SchemaCol),
+      col("_c3").cast(LongType).as(CommitTsCol))
+    val data = dataCols.zipWithIndex.map { case (c, i) =>
+      val src = col(s"_c${i + 4}")
+      val t = TidbTypeMapper.toSpark(c)
+      val v: Column = t match {
+        case BinaryType if binaryDialect == "base64" => unbase64(src)
+        case BinaryType => unhex(src)
+        case _ => src.cast(t)
+      }
+      v.as(c.name)
+    }
+    raw.select(meta ++ data: _*)
+  }
+
+  /** P4 table filter: keep only this session's {schema, table} events. */
+  def tableFilter(df: DataFrame, schema: String, table: String): DataFrame =
+    df.filter(col(SchemaCol) === schema && col(TableCol_) === table)
+
+  /** Drop the envelope, leaving the row image. */
+  def dataOnly(df: DataFrame): DataFrame = df.drop(MetaCols: _*)
+}

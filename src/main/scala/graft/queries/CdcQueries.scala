@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.cdc.Envelope
+import graft.merge.ChangeApply
+
+/** CDC operator family exercised as deterministic batch queries so the
+  * driver's DuckDB oracle can check them (SURVEY §2.3 J1/J2, §2.4 A1,
+  * §2.9 M6).
+  *
+  * The change log is synthesized from the `orders`/`lineitem` parquet so
+  * both engines see identical input:
+  *   I(all rows, ts=1) ∪ U(key%3=0, price+10, ts=2) ∪ D(key%5=0, ts=3).
+  * Keys are unique per (pk, ts) so latest-per-key is well-defined.
+  */
+object CdcQueries {
+
+  private def ordersChangeLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.load(spark, sfDir, "orders")
+    val base = ord.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    val inserts = base
+      .withColumn(Envelope.FlagCol, lit(Envelope.Insert))
+      .withColumn(Envelope.CommitTsCol, lit(1L))
+    val updates = base.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn(Envelope.FlagCol, lit(Envelope.Update))
+      .withColumn(Envelope.CommitTsCol, lit(2L))
+    val deletes = base.filter(col("o_orderkey") % 5 === 0)
+      .withColumn(Envelope.FlagCol, lit(Envelope.Delete))
+      .withColumn(Envelope.CommitTsCol, lit(3L))
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  private val ordersChangeLogSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+      |       'I' AS tidb2dw_flag, 1 AS tidb2dw_commit_ts FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, 'U', o_totalprice + 10.0, o_orderdate, o_orderpriority,
+      |       'U', 2 FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+      |       'D', 3 FROM orders WHERE o_orderkey % 5 = 0""".stripMargin
+
+  /** A1: latest row image per key across the whole change log. */
+  def dedupLatest(spark: SparkSession, sfDir: String): DataFrame =
+    ChangeApply.dedupLatestPerKey(ordersChangeLog(spark, sfDir), Seq("o_orderkey"))
+      .select(col("o_orderkey"), col(Envelope.FlagCol), col(Envelope.CommitTsCol),
+        col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+
+  val dedupLatestSql: String =
+    s"""WITH changes AS ($ordersChangeLogSql)
+      |SELECT o_orderkey, tidb2dw_flag, tidb2dw_commit_ts, o_totalprice, o_orderstatus
+      |FROM changes
+      |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY tidb2dw_commit_ts DESC) = 1
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** J1/J2 MERGE: target = even-keyed half of orders; batch = full change
+    * log. Odd keys arrive as inserts, %3 as updates, %5 as deletes. */
+  def mergeInto(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    val merged = ChangeApply.applyChanges(target, ordersChangeLog(spark, sfDir), Seq("o_orderkey"))
+    merged.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val mergeIntoSql: String =
+    s"""WITH changes AS ($ordersChangeLogSql),
+      |latest AS (
+      |  SELECT * FROM changes
+      |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY tidb2dw_commit_ts DESC) = 1
+      |),
+      |tgt AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+      |FROM (
+      |  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice, t.o_orderdate
+      |  FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = t.o_orderkey)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      |  FROM latest WHERE tidb2dw_flag <> 'D'
+      |) ORDER BY o_orderkey""".stripMargin
+
+  /** Composite-PK merge over lineitem (l_orderkey, l_linenumber) —
+    * the multi-column PARTITION BY / merge-ON case
+    * (cf. `pkg/snowsql/sql.go:126-133`). */
+  def mergeComposite(spark: SparkSession, sfDir: String): DataFrame = {
+    // the synthetic lineitem is NOT unique on (orderkey, linenumber);
+    // canonicalize so the change log has one image per (pk, commit_ts)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(max(col("l_quantity")).as("l_quantity"), max(col("l_returnflag")).as("l_returnflag"))
+    val target = li.filter(col("l_orderkey") % 2 === 0)
+    val inserts = li
+      .withColumn(Envelope.FlagCol, lit(Envelope.Insert))
+      .withColumn(Envelope.CommitTsCol, lit(1L))
+    val updates = li.filter((col("l_orderkey") + col("l_linenumber")) % 3 === 0)
+      .withColumn("l_quantity", col("l_quantity") + lit(100.0))
+      .withColumn(Envelope.FlagCol, lit(Envelope.Update))
+      .withColumn(Envelope.CommitTsCol, lit(2L))
+    val deletes = li.filter((col("l_orderkey") + col("l_linenumber")) % 7 === 0)
+      .withColumn(Envelope.FlagCol, lit(Envelope.Delete))
+      .withColumn(Envelope.CommitTsCol, lit(3L))
+    val batch = inserts.unionByName(updates).unionByName(deletes)
+    ChangeApply.applyChanges(target, batch, Seq("l_orderkey", "l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val mergeCompositeSql: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity,
+      |             max(l_returnflag) AS l_returnflag FROM lineitem GROUP BY 1, 2),
+      |changes AS (
+      |  SELECT *, 'I' AS tidb2dw_flag, 1 AS tidb2dw_commit_ts FROM li
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_quantity + 100.0, l_returnflag, 'U', 2
+      |  FROM li WHERE (l_orderkey + l_linenumber) % 3 = 0
+      |  UNION ALL
+      |  SELECT *, 'D', 3 FROM li WHERE (l_orderkey + l_linenumber) % 7 = 0
+      |),
+      |latest AS (
+      |  SELECT * FROM changes
+      |  QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY tidb2dw_commit_ts DESC) = 1
+      |),
+      |tgt AS (SELECT * FROM li WHERE l_orderkey % 2 = 0)
+      |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM (
+      |  SELECT t.* FROM tgt t WHERE NOT EXISTS (
+      |    SELECT 1 FROM latest l WHERE l.l_orderkey = t.l_orderkey AND l.l_linenumber = t.l_linenumber)
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM latest WHERE tidb2dw_flag <> 'D'
+      |) ORDER BY l_orderkey, l_linenumber""".stripMargin
+}
