@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.catalog.{SchemaEvolution, SchemaRegistry}
+import graft.cdc.{Envelope, PathCodec}
+import graft.merge.ChangeApply
+import graft.snapshot.TargetTable
+import graft.types.TableDefinition
+
+/** The streaming core (SURVEY §2.9 / `replicate/increment.go` rethought
+  * as Structured Streaming):
+  *
+  *  - `readStream` CSV file source over the TiCDC increment layout — the
+  *    source's processed-file log replaces the reference's per-file
+  *    `.checkpoint` markers (M2), `maxFilesPerTrigger` replaces the
+  *    poll-interval pacing (M1).
+  *  - `foreachBatch`: rows are grouped by tableVersion parsed from the
+  *    file path, versions processed ascending so DDL applies before that
+  *    version's DML (M5/O1); each group is envelope-projected, filtered
+  *    to this session's table (P4) and `commit_ts > startTso` (M6), then
+  *    window-deduped and MERGEd (A1 + J1/J2) into the target.
+  *  - restart: schema registry and target state live on storage; the
+  *    checkpoint dir replays unprocessed files; merge idempotence makes
+  *    re-delivery harmless (M7).
+  *
+  * Scale: file listing and CSV parsing are executor-parallel; the only
+  * driver-side work per batch is the distinct-file-path list (one row per
+  * file, thousands at most at a 64 MiB CDC file cap).
+  */
+final case class PipelineConfig(
+    incrementRoot: String,
+    schemaName: String,
+    tableName: String,
+    targetRoot: String,
+    checkpointDir: String,
+    seed: TableDefinition,
+    startTso: Long = 0L,
+    binaryDialect: String = "hex",
+    maxFilesPerTrigger: Int = 1000,
+    triggerMs: Long = 12000) // flushInterval/5 analog (cmd/core.go:284)
+
+final class IncrementalPipeline(spark: SparkSession, cfg: PipelineConfig) {
+
+  private val target = new TargetTable(spark, cfg.targetRoot)
+
+  private def registry(): SchemaRegistry =
+    SchemaRegistry.loadFromDir(cfg.incrementRoot, cfg.schemaName, cfg.tableName)
+      .map(r => r.get(cfg.seed.tableVersion).fold(r.register(cfg.seed))(_ => r))
+      .getOrElse(SchemaRegistry(cfg.seed))
+
+  /** Raw-envelope width: 4 metadata cols + widest registered schema. */
+  private def rawWidth(reg: SchemaRegistry): Int =
+    4 + reg.versions.map(v => reg(v).columns.size).max
+
+  def start(): StreamingQuery = {
+    val reg = registry()
+    val raw = spark.readStream
+      .options(Envelope.csvOptions)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger.toString)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "CDC*.csv")
+      .schema(Envelope.rawSchemaFor(rawWidth(reg) - 4))
+      .csv(s"${cfg.incrementRoot}/${cfg.schemaName}/${cfg.tableName}")
+      .select(col("*"), col("_metadata.file_path").as("_src_path"))
+    raw.writeStream
+      .queryName(s"graft-${cfg.schemaName}-${cfg.tableName}")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"${cfg.triggerMs} milliseconds"))
+      .foreachBatch((batch: DataFrame, batchId: Long) => processBatch(batch, batchId))
+      .start()
+  }
+
+  /** One micro-batch = the reference's one poll tick (`handleNewFiles`). */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val reg = registry()
+    // one row per FILE on the driver — small by construction (64 MiB cap
+    // per CDC file); rows themselves never leave the executors.
+    val files = batch.select("_src_path").distinct().collect().map(_.getString(0))
+    val byVersion: Seq[(Long, Seq[String])] = files
+      .flatMap(p => PathCodec.parse(p) match {
+        case PathCodec.DmlFile(k, _, path) if k.schema == cfg.schemaName && k.table == cfg.tableName =>
+          Some(k.tableVersion -> path)
+        case _ => None
+      })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq
+      .sortBy(_._1)
+
+    var curDef = currentDef(reg)
+    byVersion.foreach { case (version, paths) =>
+      val defAt = reg.effectiveAt(version)
+      var current = target.read()
+      if (defAt.tableVersion != curDef.tableVersion) {
+        // M5: apply pending DDL steps (oldest first) before this
+        // version's data.
+        val chain = curDef +: reg.ddlBetween(curDef.tableVersion, defAt.tableVersion)
+        current = SchemaEvolution.evolveChain(current, chain)
+      }
+      val rows = Envelope.project(
+        batch.filter(col("_src_path").isin(paths: _*)),
+        defAt.columns, cfg.binaryDialect)
+      val changes = Envelope
+        .tableFilter(rows, cfg.schemaName, cfg.tableName)
+        .filter(col(Envelope.CommitTsCol) > cfg.startTso)
+      val merged = ChangeApply.applyChanges(current, changes, defAt.pkColumns)
+      target.writeVersion(merged, s"b${batchId}_v$version")
+      target.writeMarker("schema_version", defAt.tableVersion.toString)
+      curDef = defAt
+    }
+  }
+
+  private def currentDef(reg: SchemaRegistry): TableDefinition =
+    target.readMarker("schema_version")
+      .map(_.toLong)
+      .flatMap(reg.get)
+      .getOrElse(cfg.seed)
+}

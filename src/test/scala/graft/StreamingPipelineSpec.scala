@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SchemaRegistry
+import graft.cdc.PathCodec
+import graft.snapshot.{SnapshotLoader, TargetTable}
+import graft.streaming.{IncrementalPipeline, PipelineConfig, ReplicationJob}
+import graft.types.{TableCol, TableDefinition, TableDefJson}
+
+/** End-to-end replication through the real streaming surface: snapshot
+  * load → TiCDC-layout CSV increments → merged target, including
+  * DDL-mid-stream (M5), checkpoint resume (M7), and the TSO handoff
+  * filter (M6). This is SURVEY §7.2's minimum slice, exercised on
+  * hand-written fixture files per FIXTURES.md §2. */
+class StreamingPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build(4, "streaming-spec")
+  import spark.implicits._
+
+  private val defV100 = TableDefinition(
+    schema = "tpch", table = "orders", tableVersion = 100L,
+    columns = Seq(
+      TableCol("1", "o_orderkey", "bigint", nullable = "false", isPk = "true"),
+      TableCol("2", "o_status", "varchar"),
+      TableCol("3", "o_price", "double")))
+
+  private val defV200 = defV100.copy(
+    tableVersion = 200L, query = "ALTER TABLE orders ADD COLUMN o_note varchar",
+    columns = defV100.columns :+ TableCol("4", "o_note", "varchar"))
+
+  private def writeFixtures(root: String): Unit = {
+    val inc = s"$root/increment"
+    Files.createDirectories(Paths.get(PathCodec.dmlPath(inc, PathCodec.DmlPathKey("tpch", "orders", 100L, 0L, "2024-01-01"), 1L)).getParent)
+    Files.writeString(
+      Paths.get(PathCodec.schemaPath(inc, "tpch", "orders", 100L)),
+      TableDefJson.write(defV100))
+    // envelope = flag, table, schema, commit_ts, then the row image;
+    // ts 5 ≤ startTso is pre-snapshot noise and must be filtered (M6)
+    Files.writeString(
+      Paths.get(PathCodec.dmlPath(inc, PathCodec.DmlPathKey("tpch", "orders", 100L, 0L, "2024-01-01"), 1L)),
+      """"I","orders","tpch","5",9,"STALE",0.0
+        |"I","orders","tpch","11",4,"O",40.5
+        |"U","orders","tpch","12",1,"F",11.0
+        |""".stripMargin)
+    Files.writeString(
+      Paths.get(PathCodec.dmlPath(inc, PathCodec.DmlPathKey("tpch", "orders", 100L, 0L, "2024-01-01"), 2L)),
+      """"D","orders","tpch","13",2,"O",20.0
+        |"U","orders","tpch","14",3,"F",31.0
+        |""".stripMargin)
+  }
+
+  private def writeDdlFixtures(root: String): Unit = {
+    val inc = s"$root/increment"
+    val key = PathCodec.DmlPathKey("tpch", "orders", 200L, 0L, "2024-01-02")
+    Files.createDirectories(Paths.get(PathCodec.dmlPath(inc, key, 1L)).getParent)
+    Files.writeString(
+      Paths.get(PathCodec.schemaPath(inc, "tpch", "orders", 200L)),
+      TableDefJson.write(defV200))
+    Files.writeString(
+      Paths.get(PathCodec.dmlPath(inc, key, 1L)),
+      """"I","orders","tpch","21",5,"O",40.0,"hello"
+        |"U","orders","tpch","22",1,"F",11.5,"note1"
+        |""".stripMargin)
+  }
+
+  private def snapshotDf = Seq(
+    (1L, "O", 10.0), (2L, "O", 20.0), (3L, "F", 30.0))
+    .toDF("o_orderkey", "o_status", "o_price")
+
+  test("snapshot → stream → merged target, with DDL mid-stream and resume") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    writeFixtures(root)
+    Files.createDirectories(Paths.get(s"$root/snapshot"))
+    val cfg = PipelineConfig(
+      incrementRoot = s"$root/increment",
+      schemaName = "tpch", tableName = "orders",
+      targetRoot = s"$root/target",
+      checkpointDir = s"$root/ckpt",
+      seed = defV100.copy(tableVersion = 0L), // snapshot-time schema
+      startTso = 10L)
+
+    // stage 1: snapshot load (S7/S11) + stream start (R1 Full mode)
+    val q = ReplicationJob.replicateTable(spark, snapshotDf, s"$root/snapshot", cfg).get
+    q.processAllAvailable()
+    q.stop()
+
+    val target = new TargetTable(spark, cfg.targetRoot)
+    val got1 = target.read().as[(Long, String, Double)].collect().toSet
+    // snapshot {1,2,3}; stream: key 9 stale-filtered, 4 inserted,
+    // 1 and 3 updated, 2 deleted
+    assert(got1 == Set((1L, "F", 11.0), (3L, "F", 31.0), (4L, "O", 40.5)))
+    assert(SnapshotLoader.isLoaded(s"$root/snapshot", cfg.seed))
+
+    // stage 2: DDL (add column) + more data arrive; resume from checkpoint
+    writeDdlFixtures(root)
+    val q2 = new IncrementalPipeline(spark, cfg).start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got2 = target.read()
+      .select("o_orderkey", "o_status", "o_price", "o_note")
+      .as[(Long, String, Double, Option[String])].collect().toSet
+    assert(got2 == Set(
+      (1L, "F", 11.5, Some("note1")), // updated at v200
+      (3L, "F", 31.0, None), // untouched, evolved with null note
+      (4L, "O", 40.5, None),
+      (5L, "O", 40.0, Some("hello")))) // inserted at v200
+    assert(target.readMarker("schema_version").contains("200"))
+
+    // stage 3: replay safety — rerunning snapshot load is a no-op (M7)
+    assert(!SnapshotLoader.load(spark, snapshotDf, target, s"$root/snapshot", cfg.seed))
+  }
+
+  test("registry loads schema files from the increment layout") {
+    val root = Files.createTempDirectory("graft-reg").toString
+    writeFixtures(root)
+    writeDdlFixtures(root)
+    val reg = SchemaRegistry.loadFromDir(s"$root/increment", "tpch", "orders").get
+    assert(reg.versions == Seq(100L, 200L))
+    assert(reg.effectiveAt(150L).tableVersion == 100L)
+    assert(reg.latest.columns.map(_.name).contains("o_note"))
+    assert(reg.ddlBetween(100L, 200L).map(_.tableVersion) == Seq(200L))
+  }
+}
