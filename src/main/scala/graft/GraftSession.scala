@@ -24,6 +24,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(spark)
     spark
   }
 }

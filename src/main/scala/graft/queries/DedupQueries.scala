@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Deduplication operator family for the LLM-pipeline surface: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash (BASELINE north star).
+  *
+  * Scale design: every variant is a pure DataFrame pipeline whose only
+  * shuffles are (a) the group-by on the dedup key — content hash,
+  * LSH band bucket, or simhash band — and (b) the candidate-pair join;
+  * the quadratic all-pairs comparison never happens. Hashes are
+  * md5-derived so the DuckDB oracle computes bit-identical values.
+  */
+object DedupQueries {
+
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  // --- exact dedup: hash-groupBy on normalized content ---
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id")) // content_hash is unique per kept doc
+  }
+
+  val dedupExactSql: String =
+    """SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash
+      |      FROM documents)
+      |GROUP BY content_hash ORDER BY keep_id""".stripMargin
+
+  // --- n-gram Jaccard over candidate pairs (adjacent-id blocking) ---
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("t"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("t").as("tb"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("t").as("ta"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("inter"),
+        size(col("ta")).as("na"), size(col("tb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH t AS (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS toks
+      |           FROM documents)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.toks, b.toks))::DOUBLE
+      |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+      |WHERE jaccard >= 0.5 ORDER BY doc_a""".stripMargin
+
+  // --- MinHash + LSH near-dup detection -------------------------------
+  // shingle → md5-derived 32-bit int → k permutation-hashes → min per
+  // doc → band buckets → candidate pairs sharing a band → exact Jaccard
+  // on shingle sets. The only shuffles: shingle groupBy and the band
+  // self-join (classic LSH scale path: cost ~ candidates, not pairs²).
+  private val MinhashK = 8
+  private val BandRows = 2 // 4 bands of 2 → catches jaccard ≳ 0.6
+  private val Prime = 2147483647L
+  // deterministic permutation params (odd multipliers)
+  private val HashParams: Seq[(Long, Long)] =
+    (1 to MinhashK).map(i => (2L * i * i * 1000003L + 1L, i * 7919L))
+
+  /** 3-word shingles as one exploded table: (doc_id, shingle_hash). */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .withColumn("nxt1", lead(col("tok"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .withColumn("nxt2", lead(col("tok"), 2).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("nxt2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("nxt1"), col("nxt2")).as("shingle"))
+      .distinct()
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h"))
+
+  /** MinHash signatures: one hash-agg, k mins computed map-side. */
+  private def signatures(sh: DataFrame): DataFrame = {
+    val mins = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % Prime).as(s"mh$i")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sh = shingleHashes(docs).cache()
+    val sig = signatures(sh)
+    // band key = the band's minhash values packed into one string
+    val bands = (0 until MinhashK / BandRows).map { bandIdx =>
+      val cols = (0 until BandRows).map(r => col(s"mh${bandIdx * BandRows + r}"))
+      sig.select(col("doc_id"), lit(bandIdx).as("band"), concat_ws("_", cols: _*).as("bkey"))
+    }.reduce(_ unionByName _)
+    val l = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val r = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    val candidates = l.join(r, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // verify candidates with exact shingle-set Jaccard
+    val sa = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    val verified = candidates
+      .join(sa.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(sa.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).as("inter"),
+        size(col("ha")).as("na"), size(col("hb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    verified.orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashLshSql: String = {
+    val minExprs = HashParams.zipWithIndex
+      .map { case ((a, b), i) => s"min((h * $a + $b) % $Prime) AS mh$i" }
+      .mkString(",\n      |    ")
+    val bandSelects = (0 until MinhashK / BandRows).map { bandIdx =>
+      val cols = (0 until BandRows).map(r => s"mh${bandIdx * BandRows + r}")
+      s"SELECT doc_id, $bandIdx AS band, concat_ws('_', ${cols.mkString(", ")}) AS bkey FROM sig"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH shingles AS (
+      |  SELECT DISTINCT doc_id, tok || ' ' || nxt1 || ' ' || nxt2 AS shingle FROM (
+      |    SELECT doc_id, tok,
+      |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt1,
+      |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt2
+      |    FROM (
+      |      SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+      |        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
+      |        LATERAL (SELECT unnest(t) AS tok, generate_subscripts(t, 1) AS pos) u))
+      |  WHERE nxt2 IS NOT NULL),
+      |sh AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM shingles),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $minExprs
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      |  FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+      |hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM sh GROUP BY doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |    len(list_intersect(a.hs, b.hs))::DOUBLE
+      |      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+      |  FROM cand JOIN hsets a ON cand.doc_a = a.doc_id JOIN hsets b ON cand.doc_b = b.doc_id)
+      |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --- SimHash near-dup: 32-bit simhash + banded hamming candidates ---
+  // (no SQL oracle: bit-vote loop isn't reasonably expressible in one
+  // portable SQL statement → driver rows-only check)
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val withTok = docs
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      .select(col("doc_id"), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+    // per bit: +1 if set else -1; simhash bit = sign of the vote sum
+    val votes = (0 until 32).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$bit")
+    }
+    val voted = withTok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 32).map { bit =>
+      when(col(s"v$bit") > 0, lit(1L) << bit).otherwise(0L)
+    }.reduce(_ + _)
+    val sigs = voted.select(col("doc_id"), sim.as("simhash"))
+    // candidates: equal 16-bit half (1 bit of hamming slack per half) —
+    // banded LSH over the signature
+    val halves = Seq(
+      sigs.select(col("doc_id"), lit(0).as("half"), col("simhash").bitwiseAND(65535).as("hk")),
+      sigs.select(col("doc_id"), lit(1).as("half"), shiftright(col("simhash"), 16).as("hk")))
+      .reduce(_ unionByName _)
+    val l = halves.select(col("half"), col("hk"), col("doc_id").as("doc_a"))
+    val r = halves.select(col("half"), col("hk"), col("doc_id").as("doc_b"))
+    val cand = l.join(r, Seq("half", "hk")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

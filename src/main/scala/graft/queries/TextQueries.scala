@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for the LLM-data-pipeline surface (BASELINE
+  * north star): token counting, quality scoring, language ID, document
+  * fingerprinting — all per-row expression pipelines (fully codegen'd,
+  * shuffle-free except final ordering), so they scale linearly with the
+  * corpus and never touch the driver.
+  *
+  * Cross-engine parity: tokens = split on space with empties filtered
+  * (Spark `split` drops trailing empties, DuckDB `string_split` keeps
+  * them — filtering makes both identical); ratios are per-row double
+  * arithmetic (deterministic); hashes are md5 (identical hex in both).
+  */
+object TextQueries {
+
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  // --- token counting: whitespace + BPE-ish regex sub-token count ---
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.select(
+        col("doc_id"),
+        size(toks(col("text"))).as("ws_tokens"),
+        size(array_distinct(toks(col("text")))).as("distinct_tokens"),
+        // BPE-ish: runs of letters, runs of digits, or single other glyphs
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("bpe_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), t -> t != '')) AS ws_tokens,
+      |  len(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS distinct_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+      |  length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- quality scoring: length/stopword/punctuation/diversity ratios ---
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val stopArr = array(stopEn.map(lit): _*)
+    val stopRatio = size(filter(t, x => array_contains(stopArr, x))).cast("double") / nTok
+    val distinctRatio = size(array_distinct(t)).cast("double") / nTok
+    val alnum = length(regexp_replace(col("text"), "[^a-z0-9]", "")).cast("double")
+    val alnumRatio = alnum / length(col("text")).cast("double")
+    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    docs.select(
+        col("doc_id"),
+        stopRatio.as("stop_ratio"),
+        distinctRatio.as("distinct_ratio"),
+        alnumRatio.as("alnum_ratio"),
+        avgTokLen.as("avg_token_len"),
+        // heuristic quality: stopword presence + lexical diversity,
+        // penalized for non-alphanumeric noise
+        (stopRatio * lit(2.0) + distinctRatio + alnumRatio - lit(1.0)).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String = {
+    val stop = stopEn.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, stop_ratio, distinct_ratio, alnum_ratio, avg_token_len,
+      |  stop_ratio * 2.0 + distinct_ratio + alnum_ratio - 1.0 AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks) AS stop_ratio,
+      |    len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio,
+      |    length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE / length(text) AS alnum_ratio,
+      |    length(replace(text, ' ', ''))::DOUBLE / len(toks) AS avg_token_len
+      |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- language ID: stopword-list voting (n-gram-free heuristic) ---
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t = toks(col("text"))
+    val scores = langStops.map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      lang -> size(filter(t, x => array_contains(arr, x)))
+    }
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    docs.select(
+        col("doc_id"),
+        en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
+        when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es")
+          .otherwise("fr").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangidSql: String = {
+    def score(words: Seq[String]) = {
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(list_filter(string_split(text, ' '), t -> t != ''), x -> list_contains($arr, x)))"
+    }
+    val Seq(en, de, es, fr) = langStops.map(p => score(p._2))
+    s"""SELECT doc_id, s_en, s_de, s_es, s_fr,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+      |FROM (SELECT doc_id, $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- document fingerprinting: normalized-content hash + source stats ---
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.select(col("doc_id"), col("source"),
+        substring(md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 16).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique_fp"))
+      .orderBy(col("source"))
+  }
+
+  val textFingerprintSql: String =
+    """SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique_fp
+      |FROM (SELECT source, substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+}
