@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, CdcQueries}
+import graft.queries.{Analytics, CdcQueries, DedupQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,14 @@ object SparkEntry {
     "cdc_dedup_latest" -> (CdcQueries.dedupLatest _),
     "cdc_merge_into" -> (CdcQueries.mergeInto _),
     "cdc_merge_composite" -> (CdcQueries.mergeComposite _),
+    "dedup_exact" -> (DedupQueries.dedupExact _),
+    "dedup_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
+    "dedup_minhash_lsh" -> (DedupQueries.minhashLsh _),
+    "dedup_simhash" -> (DedupQueries.simhash _),
+    "text_tokens" -> (TextQueries.textTokens _),
+    "text_quality" -> (TextQueries.textQuality _),
+    "text_langid" -> (TextQueries.textLangid _),
+    "text_fingerprint" -> (TextQueries.textFingerprint _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -58,5 +66,13 @@ object SparkEntry {
     "cdc_dedup_latest" -> CdcQueries.dedupLatestSql,
     "cdc_merge_into" -> CdcQueries.mergeIntoSql,
     "cdc_merge_composite" -> CdcQueries.mergeCompositeSql,
+    "dedup_exact" -> DedupQueries.dedupExactSql,
+    "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
+    "dedup_minhash_lsh" -> DedupQueries.minhashLshSql,
+    // dedup_simhash: bit-vote loop not portably SQL-expressible → rows-only check
+    "text_tokens" -> TextQueries.textTokensSql,
+    "text_quality" -> TextQueries.textQualitySql,
+    "text_langid" -> TextQueries.textLangidSql,
+    "text_fingerprint" -> TextQueries.textFingerprintSql,
   )
 }

@@ -174,7 +174,7 @@ object DedupQueries {
     }
     val voted = withTok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val sim = (0 until 32).map { bit =>
-      when(col(s"v$bit") > 0, lit(1L) << bit).otherwise(0L)
+      when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(0L)
     }.reduce(_ + _)
     val sigs = voted.select(col("doc_id"), sim.as("simhash"))
     // candidates: equal 16-bit half (1 bit of hamming slack per half) —
