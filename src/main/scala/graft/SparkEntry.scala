@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, CdcQueries, DedupQueries, TextQueries}
+import graft.queries.{Analytics, CdcQueries, DedupQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,8 @@ object SparkEntry {
     "text_quality" -> (TextQueries.textQuality _),
     "text_langid" -> (TextQueries.textLangid _),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
+    "vec_topk" -> (VectorQueries.vecTopk _),
+    "vec_ann_lsh" -> (VectorQueries.vecAnnLsh _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -74,5 +76,7 @@ object SparkEntry {
     "text_quality" -> TextQueries.textQualitySql,
     "text_langid" -> TextQueries.textLangidSql,
     "text_fingerprint" -> TextQueries.textFingerprintSql,
+    "vec_topk" -> VectorQueries.vecTopkSql,
+    "vec_ann_lsh" -> VectorQueries.vecAnnLshSql,
   )
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.{ScoredId, TopKAgg, VectorFunctions}
+
+/** Similarity search over the `embeddings` table (BASELINE north star:
+  * ANN for a training-data pipeline).
+  *
+  * Two paths, same contract as the dedup family:
+  *  - `vec_topk` — brute-force cosine top-k for a small probe set. The
+  *    probe set is broadcast, the corpus is scanned exactly once, and
+  *    the per-probe top-k is a partial-merge `Aggregator` (TopKAgg), so
+  *    the shuffle carries `partitions × probes × k` rows — at 100 TB the
+  *    cost is one embedding scan, never an N×P exchange.
+  *  - `vec_ann_lsh` — random-hyperplane (sign-bit) LSH: 24 sign bits per
+  *    vector, banded 4×6, candidates = pairs sharing a band bucket, then
+  *    exact-cosine verification. Cost scales with candidate count, not
+  *    pairs². Degenerate buckets (skew: near-identical or zero vectors)
+  *    are dropped via an oversized-bucket anti-join, bounding the
+  *    self-join at any scale.
+  *
+  * The hyperplanes are coordinate-difference planes (bit i = emb[i] >
+  * emb[i+32]) — deterministic, genuinely random w.r.t. the data, and
+  * expressible identically in the DuckDB oracle (no RNG in either
+  * engine). Similarities are computed by the codegen'd `cosine_sim`
+  * Catalyst expression (functions/VectorFunctions.scala) and rounded to
+  * 6 decimals in the OUTPUT only (ranking/thresholding uses the exact
+  * double), which makes the cross-engine hash compare robust to last-ulp
+  * float noise.
+  */
+object VectorQueries {
+
+  private val TopK = 5
+  private val ProbeStride = 100 // vec_id % 100 == 0 → 5 probes at sf0.01
+  private val Bits = 24
+  private val BandBits = 6
+  private val NumBands = Bits / BandBits // 4
+  private val BucketCap = 200 // skew guard: drop degenerate LSH buckets
+  private val SimThreshold = 0.35
+
+  private def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
+  // --- brute-force top-k neighbors for a probe set ---------------------
+  def vecTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val topk = udaf(new TopKAgg(TopK))
+    val scored = vecs.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"),
+        cosine(col("probe_emb"), col("embedding")).as("sim"),
+        col("vec_id").as("id"))
+    scored.groupBy(col("probe_id"))
+      .agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("probe_id"), (col("pos") + 1).as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.sim"), 6).as("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val vecTopkSql: String =
+    s"""WITH probes AS (
+      |  SELECT vec_id AS probe_id, embedding AS probe_emb
+      |  FROM embeddings WHERE vec_id % $ProbeStride = 0),
+      |scored AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    list_cosine_similarity(CAST(p.probe_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+      |  FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id),
+      |ranked AS (
+      |  SELECT probe_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+
+  // --- bucketed ANN via sign-bit (random-hyperplane) LSH ---------------
+  def vecAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val sig = (0 until Bits).map { i =>
+      (element_at(col("embedding"), i + 1) > element_at(col("embedding"), i + 33))
+        .cast(LongType) * lit(1L << i)
+    }.reduce(_ + _)
+    val sigs = vecs.select(col("vec_id"), sig.as("sig"))
+    val bands = (0 until NumBands).map { b =>
+      sigs.select(col("vec_id"), lit(b).as("band"),
+        shiftright(col("sig"), b * BandBits).bitwiseAND(lit((1 << BandBits) - 1)).as("bkey"))
+    }.reduce(_ unionByName _)
+    // Skew guard: the oversized-bucket list is ≤ bands × 2^BandBits rows
+    // → always broadcastable; the anti-join costs nothing when no bucket
+    // is degenerate.
+    val oversized = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > BucketCap)
+      .select(col("band"), col("bkey"))
+    val capped = bands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+    val l = capped.select(col("band"), col("bkey"), col("vec_id").as("id_a"))
+    val r = capped.select(col("band"), col("bkey"), col("vec_id").as("id_b"))
+    val cand = l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val emb = vecs.select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= SimThreshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val vecAnnLshSql: String = {
+    val bits = (0 until Bits).map { i =>
+      s"(CASE WHEN list_extract(embedding,${i + 1}) > list_extract(embedding,${i + 33}) THEN 1 ELSE 0 END) * ${1L << i}"
+    }.mkString("\n      |    + ")
+    val bandList = (0 until NumBands).mkString("[", ",", "]")
+    s"""WITH sig AS (
+      |  SELECT vec_id, $bits AS sig
+      |  FROM embeddings),
+      |bands AS (
+      |  SELECT vec_id, band, (sig >> (band*$BandBits)) & ${(1 << BandBits) - 1} AS bkey
+      |  FROM sig, (SELECT unnest($bandList) AS band)),
+      |capped AS (
+      |  SELECT vec_id, band, bkey FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
+      |  WHERE bsz <= $BucketCap),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT id_a, id_b,
+      |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+      |  FROM cand JOIN embeddings a ON cand.id_a = a.vec_id
+      |            JOIN embeddings b ON cand.id_b = b.vec_id)
+      |SELECT id_a, id_b, round(sim, 6) AS sim
+      |FROM scored WHERE sim >= $SimThreshold ORDER BY id_a, id_b""".stripMargin
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ScoredId, TopKAgg}
+import graft.queries.VectorQueries
+
+/** CosineSimilarity expression (interpreted vs codegen vs Scala-computed),
+  * the bounded TopKAgg, and the vector query shapes on a tiny corpus. */
+class VectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build(4, "vector-spec")
+  import spark.implicits._
+
+  private def cosScala(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    (0 until n).foreach { i =>
+      dot += a(i).toDouble * b(i).toDouble
+      nx += a(i).toDouble * a(i).toDouble
+      ny += b(i).toDouble * b(i).toDouble
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 2.0f, -1.0f)),
+    (2L, Seq(0.5f, 0.1f, 1.9f, -0.8f)),
+    (3L, Seq(-1.0f, 2.0f, 0.0f, 1.0f)),
+    (4L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+
+  test("cosine_sim matches a Scala-side computation (codegen on and off)") {
+    val df = vecs.toDF("id", "emb")
+    val pairs = df.select(col("id").as("a"), col("emb").as("ea"))
+      .crossJoin(df.select(col("id").as("b"), col("emb").as("eb")))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      val got = pairs
+        .select(col("a"), col("b"), call_function("cosine_sim", col("ea"), col("eb")).as("sim"))
+        .as[(Long, Long, Double)].collect()
+      assert(got.length == 16)
+      got.foreach { case (a, b, sim) =>
+        val want = cosScala(vecs(a.toInt - 1)._2, vecs(b.toInt - 1)._2)
+        assert(math.abs(sim - want) < 1e-12, s"pair ($a,$b): got $sim want $want")
+      }
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("TopKAgg keeps k best ordered by sim desc then id asc, merge-stable") {
+    val agg = new TopKAgg(3)
+    val items = Seq(
+      ScoredId(0.5, 10), ScoredId(0.9, 3), ScoredId(0.9, 1),
+      ScoredId(0.1, 7), ScoredId(0.7, 2), ScoredId(0.9, 2))
+    val expected = Seq(ScoredId(0.9, 1), ScoredId(0.9, 2), ScoredId(0.9, 3))
+    // sequential reduce
+    assert(items.foldLeft(agg.zero)(agg.reduce) == expected)
+    // any split + merge gives the same answer (partial-agg correctness)
+    for (cut <- 0 to items.length) {
+      val (l, r) = items.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == expected, s"cut=$cut")
+    }
+  }
+
+  test("vec_topk: each probe gets 5 ranked neighbors, self excluded") {
+    val df = VectorQueries.vecTopk(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    val probes = rows.map(_.getLong(0)).distinct
+    assert(probes.nonEmpty)
+    probes.foreach { p =>
+      val mine = rows.filter(_.getLong(0) == p)
+      assert(mine.map(_.getInt(1)).toSeq.sorted == (1 to 5))
+      assert(!mine.exists(_.getLong(2) == p), "probe must not be its own neighbor")
+      val sims = mine.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, "sims descend with rank")
+    }
+  }
+
+  test("vec_ann_lsh: candidates verified by exact cosine above threshold") {
+    val df = VectorQueries.vecAnnLsh(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "ANN result must not be trivially empty")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.35 - 1e-6)
+    }
+  }
+}
