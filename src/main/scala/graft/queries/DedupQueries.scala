@@ -64,30 +64,44 @@ object DedupQueries {
   // --- MinHash + LSH near-dup detection -------------------------------
   // shingle → md5-derived 32-bit int → k permutation-hashes → min per
   // doc → band buckets → candidate pairs sharing a band → exact Jaccard
-  // on shingle sets. The only shuffles: shingle groupBy and the band
-  // self-join (classic LSH scale path: cost ~ candidates, not pairs²).
+  // on shingle sets. Scale design: shingling is a per-row array
+  // expression (no window sort), hashing stays in whole-stage codegen
+  // after the explode, signatures partial-aggregate map-side, and the
+  // band self-join — the classic LSH scale path (cost ~ candidates, not
+  // pairs²) — is skew-guarded by an oversized-bucket cap.
   private val MinhashK = 8
   private val BandRows = 2 // 4 bands of 2 → catches jaccard ≳ 0.6
   private val Prime = 2147483647L
+  private val ShingleN = 3
+  private val MinhashBucketCap = 100 // skew guard; exact dedup handles mass-duplicates
   // deterministic permutation params (odd multipliers)
   private val HashParams: Seq[(Long, Long)] =
     (1 to MinhashK).map(i => (2L * i * i * 1000003L + 1L, i * 7919L))
 
-  /** 3-word shingles as one exploded table: (doc_id, shingle_hash). */
-  private def shingleHashes(docs: DataFrame): DataFrame =
+  /** 3-word shingles as one exploded table: (doc_id, shingle_hash).
+    * Shingle construction is a per-row `transform(sequence(...))` — no
+    * window, no sort, no shuffle (the round-1 version shuffled+sorted
+    * every token through `lead().over(partitionBy(doc_id))`). The md5
+    * hash runs AFTER the explode so it stays in whole-stage codegen
+    * (inside a `transform` lambda it is interpreted — measured 4x
+    * slower). No distinct anywhere: every consumer (min aggregation,
+    * collect_set) is duplicate-insensitive, so shingle deduplication
+    * would cost a shuffle and buy nothing. */
+  private def shingleHashes(docs: DataFrame): DataFrame = {
+    val shingles = transform(
+      sequence(lit(0), size(col("t")) - ShingleN),
+      i => concat_ws(" ", (0 until ShingleN).map(j => element_at(col("t"), i + j + 1)): _*))
     docs
       .select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
-      .withColumn("nxt1", lead(col("tok"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .withColumn("nxt2", lead(col("tok"), 2).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .filter(col("nxt2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("nxt1"), col("nxt2")).as("shingle"))
-      .distinct()
+      .filter(size(col("t")) >= ShingleN)
+      .select(col("doc_id"), explode(shingles).as("shingle"))
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h"))
+  }
 
-  /** MinHash signatures: one hash-agg, k mins computed map-side. */
+  /** MinHash signatures: one hash-agg; the k mins partial-aggregate
+    * map-side (all of a doc's shingles originate from one input row, so
+    * they share a partition), and the exchange carries ~1 row per doc. */
   private def signatures(sh: DataFrame): DataFrame = {
     val mins = HashParams.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % Prime).as(s"mh$i")
@@ -98,14 +112,25 @@ object DedupQueries {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val sh = shingleHashes(docs).cache()
-    val sig = signatures(sh)
-    // band key = the band's minhash values packed into one string
-    val bands = (0 until MinhashK / BandRows).map { bandIdx =>
+    // all band keys in ONE pass over the signature (explode of an array
+    // of structs — no per-band union recomputing the signature)
+    val bandArr = array((0 until MinhashK / BandRows).map { bandIdx =>
       val cols = (0 until BandRows).map(r => col(s"mh${bandIdx * BandRows + r}"))
-      sig.select(col("doc_id"), lit(bandIdx).as("band"), concat_ws("_", cols: _*).as("bkey"))
-    }.reduce(_ unionByName _)
-    val l = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-    val r = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+      struct(lit(bandIdx).as("band"), concat_ws("_", cols: _*).as("bkey"))
+    }: _*)
+    val bands = signatures(sh)
+      .select(col("doc_id"), explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // skew guard: one degenerate band key (boilerplate shared by a huge
+    // doc population) must not go quadratic in the self-join. The
+    // oversized-bucket list is tiny → broadcast anti-join costs nothing
+    // when no bucket is degenerate. Mass-duplicates are exact-dedup's job.
+    val oversized = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
+      .select(col("band"), col("bkey"))
+    val capped = bands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+    val l = capped.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val r = capped.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
     val candidates = l.join(r, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -148,9 +173,13 @@ object DedupQueries {
       |  FROM sh GROUP BY doc_id),
       |bands AS (
       |  $bandSelects),
+      |capped AS (
+      |  SELECT doc_id, band, bkey FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
+      |  WHERE bsz <= $MinhashBucketCap),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      |  FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+      |  FROM capped l JOIN capped r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
       |hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM sh GROUP BY doc_id)
       |SELECT doc_a, doc_b, jaccard FROM (
       |  SELECT doc_a, doc_b,
@@ -176,15 +205,21 @@ object DedupQueries {
     val sim = (0 until 32).map { bit =>
       when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(0L)
     }.reduce(_ + _)
-    val sigs = voted.select(col("doc_id"), sim.as("simhash"))
+    val sigs = voted.select(col("doc_id"), sim.as("simhash")).cache()
     // candidates: equal 16-bit half (1 bit of hamming slack per half) —
-    // banded LSH over the signature
-    val halves = Seq(
-      sigs.select(col("doc_id"), lit(0).as("half"), col("simhash").bitwiseAND(65535).as("hk")),
-      sigs.select(col("doc_id"), lit(1).as("half"), shiftright(col("simhash"), 16).as("hk")))
-      .reduce(_ unionByName _)
-    val l = halves.select(col("half"), col("hk"), col("doc_id").as("doc_a"))
-    val r = halves.select(col("half"), col("hk"), col("doc_id").as("doc_b"))
+    // banded LSH over the signature, both halves emitted in one pass and
+    // skew-guarded like the MinHash band join
+    val halves = sigs
+      .select(col("doc_id"), explode(array(
+        struct(lit(0).as("half"), col("simhash").bitwiseAND(65535).as("hk")),
+        struct(lit(1).as("half"), shiftright(col("simhash"), 16).as("hk")))).as("hh"))
+      .select(col("doc_id"), col("hh.half").as("half"), col("hh.hk").as("hk"))
+    val oversized = halves.groupBy(col("half"), col("hk"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
+      .select(col("half"), col("hk"))
+    val capped = halves.join(broadcast(oversized), Seq("half", "hk"), "left_anti")
+    val l = capped.select(col("half"), col("hk"), col("doc_id").as("doc_a"))
+    val r = capped.select(col("half"), col("hk"), col("doc_id").as("doc_b"))
     val cand = l.join(r, Seq("half", "hk")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
