@@ -75,8 +75,17 @@ object ChangeApply {
       batch: DataFrame,
       pks: Seq[String],
       tsCol: String = Envelope.CommitTsCol,
+      flagCol: String = Envelope.FlagCol): DataFrame =
+    applyLatest(target, dedupLatestPerKey(batch, pks, tsCol), pks, flagCol)
+
+  /** Same as [[applyChanges]] but for an already-deduped batch — the
+    * streaming pipeline dedups first so it can derive the touched-bucket
+    * set from the same `latest` frame (partition-scoped merge). */
+  def applyLatest(
+      target: DataFrame,
+      latest: DataFrame,
+      pks: Seq[String],
       flagCol: String = Envelope.FlagCol): DataFrame = {
-    val latest = dedupLatestPerKey(batch, pks, tsCol)
     val dataCols = target.columns.toSeq
     val upserts = latest.filter(col(flagCol) =!= Envelope.Delete)
       .select(dataCols.map(col): _*)

@@ -40,11 +40,20 @@ final case class PipelineConfig(
     startTso: Long = 0L,
     binaryDialect: String = "hex",
     maxFilesPerTrigger: Int = 1000,
-    triggerMs: Long = 12000) // flushInterval/5 analog (cmd/core.go:284)
+    triggerMs: Long = 12000, // flushInterval/5 analog (cmd/core.go:284)
+    numBuckets: Int = 16) { // PK-hash buckets for partition-scoped merge
+
+  /** The target is bucketed on the seed PK so merges rewrite only
+    * touched buckets. PK columns are fixed for a table's lifetime (the
+    * reference rejects PK-changing DDL); the bucket_spec marker enforces
+    * it. */
+  def targetTable(spark: SparkSession): TargetTable =
+    new TargetTable(spark, targetRoot, seed.pkColumns, numBuckets)
+}
 
 final class IncrementalPipeline(spark: SparkSession, cfg: PipelineConfig) {
 
-  private val target = new TargetTable(spark, cfg.targetRoot)
+  private val target = cfg.targetTable(spark)
 
   private def registry(): SchemaRegistry =
     SchemaRegistry.loadFromDir(cfg.incrementRoot, cfg.schemaName, cfg.tableName)
@@ -92,21 +101,34 @@ final class IncrementalPipeline(spark: SparkSession, cfg: PipelineConfig) {
     var curDef = currentDef(reg)
     byVersion.foreach { case (version, paths) =>
       val defAt = reg.effectiveAt(version)
-      var current = target.read()
-      if (defAt.tableVersion != curDef.tableVersion) {
-        // M5: apply pending DDL steps (oldest first) before this
-        // version's data.
-        val chain = curDef +: reg.ddlBetween(curDef.tableVersion, defAt.tableVersion)
-        current = SchemaEvolution.evolveChain(current, chain)
-      }
       val rows = Envelope.project(
         batch.filter(col("_src_path").isin(paths: _*)),
         defAt.columns, cfg.binaryDialect)
       val changes = Envelope
         .tableFilter(rows, cfg.schemaName, cfg.tableName)
         .filter(col(Envelope.CommitTsCol) > cfg.startTso)
-      val merged = ChangeApply.applyChanges(current, changes, defAt.pkColumns)
-      target.writeVersion(merged, s"b${batchId}_v$version")
+      val latest = ChangeApply.dedupLatestPerKey(changes, defAt.pkColumns)
+      val vId = s"b${batchId}_v$version"
+      if (defAt.tableVersion != curDef.tableVersion) {
+        // M5: DDL pending — a schema change rewrites every bucket once
+        // (unavoidable: the physical schema changes), so take the
+        // full-image path for this version.
+        val chain = curDef +: reg.ddlBetween(curDef.tableVersion, defAt.tableVersion)
+        val current = SchemaEvolution.evolveChain(target.read(), chain)
+        val merged = ChangeApply.applyLatest(current, latest, defAt.pkColumns)
+        target.writeVersion(merged, vId)
+      } else {
+        // Steady state: partition-scoped merge. Only buckets containing
+        // touched keys are read (partition-pruned scan) and rewritten;
+        // the rest of the table is carried over by link, not rewritten —
+        // at 100 TB a 12 s trigger touches O(batch), not O(table).
+        val touched = target.touchedBuckets(latest.select(defAt.pkColumns.map(col): _*))
+        if (touched.nonEmpty) {
+          val current = target.readBuckets(touched)
+          val merged = ChangeApply.applyLatest(current, latest, defAt.pkColumns)
+          target.mergeVersion(merged, touched, vId)
+        }
+      }
       target.writeMarker("schema_version", defAt.tableVersion.toString)
       curDef = defAt
     }

@@ -29,7 +29,7 @@ object ReplicationJob {
       snapshotDir: String,
       cfg: PipelineConfig,
       mode: RunMode = Full): Option[StreamingQuery] = {
-    val target = new TargetTable(spark, cfg.targetRoot)
+    val target = cfg.targetTable(spark)
     if (mode != IncrementalOnly && !SnapshotLoader.isLoaded(snapshotDir, cfg.seed)) {
       SnapshotLoader.load(spark, snapshot, target, snapshotDir, cfg.seed)
     }

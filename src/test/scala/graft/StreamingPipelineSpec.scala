@@ -115,6 +115,49 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(!SnapshotLoader.load(spark, snapshotDf, target, s"$root/snapshot", cfg.seed))
   }
 
+  test("partition-scoped merge rewrites only touched buckets, links the rest") {
+    import graft.cdc.Envelope
+    import graft.merge.ChangeApply
+    val root = Files.createTempDirectory("graft-bucket").toString
+    val t = new TargetTable(spark, root, Seq("k"), 4)
+    val init = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e"), (6L, "f"), (7L, "g"), (8L, "h")).toDF("k", "v")
+    t.writeVersion(init, "v0")
+
+    val latest = Seq((1L, "U", 10L, "a2"))
+      .toDF("k", Envelope.FlagCol, Envelope.CommitTsCol, "v")
+    val touched = t.touchedBuckets(latest.select("k"))
+    assert(touched.size == 1, "a single key touches exactly one bucket")
+    val merged = ChangeApply.applyLatest(t.readBuckets(touched), latest, Seq("k"))
+    t.mergeVersion(merged, touched, "v1")
+
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d"),
+        (5L, "e"), (6L, "f"), (7L, "g"), (8L, "h")))
+
+    // untouched bucket files must be carried over without rewrite —
+    // hard links, i.e. literally the same file
+    val v0 = Paths.get(root, "data_v0")
+    val v1 = Paths.get(root, "data_v1")
+    var checked = 0
+    (0 until 4).filterNot(touched.contains).foreach { b =>
+      val d0 = v0.resolve(s"_bucket=$b")
+      if (Files.exists(d0)) {
+        val it = Files.list(d0)
+        try it.iterator().forEachRemaining { f =>
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            assert(Files.isSameFile(f, v1.resolve(s"_bucket=$b").resolve(f.getFileName.toString)),
+              s"bucket $b file ${f.getFileName} must be linked, not rewritten")
+            checked += 1
+          }
+        } finally it.close()
+      }
+    }
+    assert(checked > 0, "expected at least one untouched bucket file to verify")
+    // touched bucket was rewritten: new files, correct content only there
+    assert(Files.exists(v1.resolve(s"_bucket=${touched.head}")))
+  }
+
   test("registry loads schema files from the increment layout") {
     val root = Files.createTempDirectory("graft-reg").toString
     writeFixtures(root)
