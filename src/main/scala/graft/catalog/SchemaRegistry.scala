@@ -49,20 +49,42 @@ object SchemaRegistry {
   }
 
   /** Walk an increment root for `{schema}/{table}/{version}/schema.json`
-    * files (local filesystem flavor of S6's storage walk). */
+    * files (local filesystem flavor of S6's storage walk).
+    *
+    * Every file is integrity-checked like `replicate/increment.go:123-135`:
+    * the version in the path must equal the version in the content, and
+    * for the meta layout (`schema_{ver}_{crc}.json`) the content's CRC32
+    * must equal the filename's — a truncated or hand-edited schema file
+    * fails loudly instead of silently projecting rows with a wrong
+    * column set. The walk stream is closed (it runs once per micro-batch;
+    * leaking it exhausts file descriptors in a long-running job). */
   def loadFromDir(incrementRoot: String, schema: String, table: String): Option[SchemaRegistry] = {
     val root = Paths.get(incrementRoot)
     if (!Files.isDirectory(root)) return None
-    val found = Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .flatMap { p: Path =>
-        PathCodec.parse(p.toString) match {
-          case PathCodec.SchemaFile(s, t, _, _) if s == schema && t == table =>
-            Some(TableDefJson.parse(Files.readString(p)))
-          case _ => None
+    val found = scala.util.Using.resource(Files.walk(root)) { walk =>
+      walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .flatMap { p: Path =>
+          PathCodec.parse(p.toString) match {
+            case PathCodec.SchemaFile(s, t, pathVer, _, sumInName) if s == schema && t == table =>
+              val d =
+                try TableDefJson.parse(Files.readString(p))
+                catch {
+                  case e: Exception =>
+                    sys.error(s"corrupt schema file $p: unparseable (${e.getMessage})")
+                }
+              if (d.tableVersion != pathVer)
+                sys.error(s"corrupt schema file $p: path version $pathVer != content version ${d.tableVersion}")
+              sumInName.foreach { want =>
+                if (d.checksum != want)
+                  sys.error(s"corrupt schema file $p: checksum ${d.checksum} != filename checksum $want")
+              }
+              Some(d)
+            case _ => None
+          }
         }
-      }
-      .toSeq
+        .toSeq
+    }
     if (found.isEmpty) None else Some(fromDefinitions(found))
   }
 }

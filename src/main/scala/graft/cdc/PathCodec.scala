@@ -26,7 +26,12 @@ object PathCodec {
 
   sealed trait CdcPath
   final case class DmlFile(key: DmlPathKey, fileIdx: Long, path: String) extends CdcPath
-  final case class SchemaFile(schema: String, table: String, tableVersion: Long, path: String) extends CdcPath
+  /** `checksum` is the CRC32 embedded in the meta-layout filename
+    * (`schema_{version}_{checksum}.json`) — verified against the parsed
+    * content on load like `replicate/increment.go:123-135`. The plain
+    * `{version}/schema.json` layout has no embedded checksum. */
+  final case class SchemaFile(schema: String, table: String, tableVersion: Long, path: String,
+      checksum: Option[Long] = None) extends CdcPath
   final case class OtherFile(path: String) extends CdcPath
 
   private val DmlRe =
@@ -34,7 +39,7 @@ object PathCodec {
   private val SchemaRe =
     """.*?([^/]+)/([^/]+)/(\d+)/schema\.json$""".r
   private val MetaSchemaRe =
-    """.*?([^/]+)/([^/]+)/meta/schema_(\d+)_\d+\.json$""".r
+    """.*?([^/]+)/([^/]+)/meta/schema_(\d+)_(\d+)\.json$""".r
 
   /** Classify one storage path (S6's walk, `replicate/increment.go:193-229`). */
   def parse(path: String): CdcPath = path match {
@@ -43,7 +48,8 @@ object PathCodec {
         DmlPathKey(schema, table, ver.toLong, Option(part).map(_.toLong).getOrElse(0L), date),
         idx.toLong, path)
     case SchemaRe(schema, table, ver) => SchemaFile(schema, table, ver.toLong, path)
-    case MetaSchemaRe(schema, table, ver) => SchemaFile(schema, table, ver.toLong, path)
+    case MetaSchemaRe(schema, table, ver, sum) =>
+      SchemaFile(schema, table, ver.toLong, path, Some(sum.toLong))
     case _ => OtherFile(path)
   }
 

@@ -26,7 +26,7 @@ class PathCodecSpec extends AnyFunSuite {
     assert(PathCodec.parse("increment/tpch/orders/42/schema.json") ==
       SchemaFile("tpch", "orders", 42L, "increment/tpch/orders/42/schema.json"))
     assert(PathCodec.parse("x/tpch/orders/meta/schema_42_123.json") ==
-      SchemaFile("tpch", "orders", 42L, "x/tpch/orders/meta/schema_42_123.json"))
+      SchemaFile("tpch", "orders", 42L, "x/tpch/orders/meta/schema_42_123.json", Some(123L)))
     assert(PathCodec.parse("snapshot/tpch.orders.0001.csv").isInstanceOf[OtherFile])
   }
 

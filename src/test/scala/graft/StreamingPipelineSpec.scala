@@ -113,6 +113,29 @@ class StreamingPipelineSpec extends AnyFunSuite {
 
     // stage 3: replay safety — rerunning snapshot load is a no-op (M7)
     assert(!SnapshotLoader.load(spark, snapshotDf, target, s"$root/snapshot", cfg.seed))
+
+    // stage 4: TRUNCATE passthrough mid-stream (D2 special case) —
+    // target empties, then subsequent inserts apply
+    val defV300 = defV200.copy(
+      tableVersion = 300L, query = "TRUNCATE TABLE orders",
+      tpe = graft.catalog.SchemaEvolution.Action.TruncateTable)
+    val key300 = PathCodec.DmlPathKey("tpch", "orders", 300L, 0L, "2024-01-03")
+    Files.createDirectories(Paths.get(PathCodec.dmlPath(s"$root/increment", key300, 1L)).getParent)
+    Files.writeString(
+      Paths.get(PathCodec.schemaPath(s"$root/increment", "tpch", "orders", 300L)),
+      TableDefJson.write(defV300))
+    Files.writeString(
+      Paths.get(PathCodec.dmlPath(s"$root/increment", key300, 1L)),
+      """"I","orders","tpch","31",7,"O",70.0,"fresh"
+        |""".stripMargin)
+    val q3 = new IncrementalPipeline(spark, cfg).start()
+    q3.processAllAvailable()
+    q3.stop()
+    val got3 = target.read()
+      .select("o_orderkey", "o_status", "o_price", "o_note")
+      .as[(Long, String, Double, Option[String])].collect().toSet
+    assert(got3 == Set((7L, "O", 70.0, Some("fresh"))),
+      "TRUNCATE must wipe pre-truncate rows; post-truncate insert applies")
   }
 
   test("partition-scoped merge rewrites only touched buckets, links the rest") {
@@ -167,5 +190,45 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(reg.effectiveAt(150L).tableVersion == 100L)
     assert(reg.latest.columns.map(_.name).contains("o_note"))
     assert(reg.ddlBetween(100L, 200L).map(_.tableVersion) == Seq(200L))
+  }
+
+  test("registry rejects corrupt schema files (F6 checksum-on-read)") {
+    val root = Files.createTempDirectory("graft-crc").toString
+    writeFixtures(root)
+    // version mismatch: path says 100, content says 999
+    val p = Paths.get(PathCodec.schemaPath(s"$root/increment", "tpch", "orders", 100L))
+    Files.writeString(p, TableDefJson.write(defV100.copy(tableVersion = 999L)))
+    val e1 = intercept[RuntimeException](SchemaRegistry.loadFromDir(s"$root/increment", "tpch", "orders"))
+    assert(e1.getMessage.contains("path version"))
+    // unparseable content
+    Files.writeString(p, "{ not json")
+    val e2 = intercept[RuntimeException](SchemaRegistry.loadFromDir(s"$root/increment", "tpch", "orders"))
+    assert(e2.getMessage.contains("unparseable"))
+    // meta layout: filename checksum must match content CRC32
+    Files.writeString(p, TableDefJson.write(defV100)) // restore
+    val metaDir = Paths.get(s"$root/increment/tpch/orders/meta")
+    Files.createDirectories(metaDir)
+    val defV400 = defV100.copy(tableVersion = 400L)
+    Files.writeString(metaDir.resolve(s"schema_400_${defV400.checksum}.json"), TableDefJson.write(defV400))
+    assert(SchemaRegistry.loadFromDir(s"$root/increment", "tpch", "orders").get.versions.contains(400L))
+    Files.writeString(metaDir.resolve(s"schema_400_${defV400.checksum}.json"),
+      TableDefJson.write(defV400.copy(columns = defV400.columns.tail))) // tampered content
+    val e3 = intercept[RuntimeException](SchemaRegistry.loadFromDir(s"$root/increment", "tpch", "orders"))
+    assert(e3.getMessage.contains("checksum"))
+  }
+
+  test("DDL passthrough classification matches the reference's dispatch") {
+    import graft.catalog.SchemaEvolution
+    import graft.catalog.SchemaEvolution._
+    assert(classify(defV100.copy(tpe = Action.TruncateTable)) == Wipe)
+    assert(classify(defV100.copy(tpe = Action.DropTable)) == Wipe)
+    assert(classify(defV100.copy(tpe = Action.DropSchema)) == Wipe)
+    assert(classify(defV100.copy(tpe = Action.CreateTable)).isInstanceOf[Rejected])
+    assert(classify(defV100.copy(tpe = Action.RenameTable)).isInstanceOf[Rejected])
+    assert(classify(defV100.copy(tpe = 5)) == ColumnDdl) // ADD COLUMN
+    // rejected actions fail the batch loudly
+    val df = Seq((1L, "x", 1.0)).toDF("o_orderkey", "o_status", "o_price")
+    intercept[RuntimeException](
+      SchemaEvolution.applyDdl(df, defV100, defV100.copy(tpe = Action.RenameTable)))
   }
 }
