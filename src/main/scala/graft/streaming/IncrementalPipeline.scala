@@ -51,7 +51,10 @@ final case class PipelineConfig(
     new TargetTable(spark, targetRoot, seed.pkColumns, numBuckets)
 }
 
-final class IncrementalPipeline(spark: SparkSession, cfg: PipelineConfig) {
+final class IncrementalPipeline(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    metrics: ReplicationMetrics = new ReplicationMetrics) {
 
   private val target = cfg.targetTable(spark)
 
@@ -75,7 +78,7 @@ final class IncrementalPipeline(spark: SparkSession, cfg: PipelineConfig) {
       .csv(s"${cfg.incrementRoot}/${cfg.schemaName}/${cfg.tableName}")
       .select(col("*"), col("_metadata.file_path").as("_src_path"))
     raw.writeStream
-      .queryName(s"graft-${cfg.schemaName}-${cfg.tableName}")
+      .queryName(s"graft:${cfg.schemaName}.${cfg.tableName}")
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(s"${cfg.triggerMs} milliseconds"))
       .foreachBatch((batch: DataFrame, batchId: Long) => processBatch(batch, batchId))
@@ -130,9 +133,19 @@ final class IncrementalPipeline(spark: SparkSession, cfg: PipelineConfig) {
         }
       }
       target.writeMarker("schema_version", defAt.tableVersion.toString)
+      metrics.set(metrics.Names.TableVersion, cfg.tableName, defAt.tableVersion)
+      metrics.add(metrics.Names.IncrementLoadedBytes, cfg.tableName, paths.map(fileSize).sum)
       curDef = defAt
     }
   }
+
+  private def fileSize(path: String): Long =
+    try {
+      val p =
+        if (path.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(path))
+        else java.nio.file.Paths.get(path)
+      java.nio.file.Files.size(p)
+    } catch { case _: Exception => 0L }
 
   private def currentDef(reg: SchemaRegistry): TableDefinition =
     target.readMarker("schema_version")

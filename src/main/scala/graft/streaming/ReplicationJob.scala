@@ -1,16 +1,25 @@
 package graft.streaming
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.{Failure, Success, Try}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.snapshot.{SnapshotLoader, TargetTable}
+import graft.snapshot.SnapshotLoader
 
 /** Per-table replication driver (R1 run modes + R2 parallel driver).
   *
-  * The reference runs one goroutine per table (`cmd/core.go:263-293`);
-  * here each table is one streaming query on a shared SparkSession, and
-  * the caller can `spark.streams.awaitAnyTermination()`. Stage gating
-  * (snapshot-then-increment, M6/M7) mirrors `cmd/core.go:184-226`.
+  * The reference runs one goroutine per table with a WaitGroup and
+  * error-to-status collection (`cmd/core.go:263-293`); here each table is
+  * one streaming query on a shared SparkSession — snapshot phases run in
+  * parallel on a driver thread pool, streams run concurrently under
+  * Spark's scheduler, and the caller can
+  * `spark.streams.awaitAnyTermination()`. Stage gating
+  * (snapshot-then-increment, M6/M7) mirrors `cmd/core.go:184-226`; stages
+  * and fatal errors surface through [[StatusApi]] exactly like the
+  * reference's `/info`.
   */
 object ReplicationJob {
 
@@ -18,6 +27,15 @@ object ReplicationJob {
   case object Full extends RunMode
   case object SnapshotOnly extends RunMode
   case object IncrementalOnly extends RunMode
+
+  /** One table's replication inputs: config + lazily-built snapshot. */
+  final case class TableJob(cfg: PipelineConfig, snapshot: () => DataFrame, snapshotDir: String)
+
+  /** One table's replication outcome: a running stream or an error. */
+  final case class TableHandle(
+      table: String,
+      query: Option[StreamingQuery],
+      error: Option[Throwable])
 
   /** Snapshot-load if needed, then start the increment stream. The
     * snapshot and changefeed share `cfg.startTso`; change events with
@@ -28,12 +46,51 @@ object ReplicationJob {
       snapshot: => DataFrame,
       snapshotDir: String,
       cfg: PipelineConfig,
-      mode: RunMode = Full): Option[StreamingQuery] = {
+      mode: RunMode = Full,
+      status: StatusApi = new StatusApi,
+      metrics: ReplicationMetrics = new ReplicationMetrics): Option[StreamingQuery] = {
+    val table = cfg.tableName
     val target = cfg.targetTable(spark)
     if (mode != IncrementalOnly && !SnapshotLoader.isLoaded(snapshotDir, cfg.seed)) {
+      status.setStage(table, status.Stage.LoadingSnapshot)
       SnapshotLoader.load(spark, snapshot, target, snapshotDir, cfg.seed)
     }
-    if (mode == SnapshotOnly) None
-    else Some(new IncrementalPipeline(spark, cfg).start())
+    if (mode == SnapshotOnly) {
+      status.setStage(table, status.Stage.Finished)
+      None
+    } else {
+      status.setStage(table, status.Stage.LoadingIncremental)
+      Some(new IncrementalPipeline(spark, cfg, metrics).start())
+    }
   }
+
+  /** R2: drive N tables concurrently. Snapshot loads fan out on the
+    * driver pool; each table that reaches the increment stage runs as its
+    * own streaming query. A failing table is recorded (status + error
+    * counter) without taking down its siblings — the per-goroutine
+    * `onError` of `cmd/core.go:263-293`. */
+  def replicateTables(
+      spark: SparkSession,
+      jobs: Seq[TableJob],
+      mode: RunMode = Full,
+      status: StatusApi = new StatusApi,
+      metrics: ReplicationMetrics = new ReplicationMetrics)(
+      implicit ec: ExecutionContext = ExecutionContext.global): Seq[TableHandle] = {
+    val futures = jobs.map { j =>
+      Future {
+        Try(replicateTable(spark, j.snapshot(), j.snapshotDir, j.cfg, mode, status, metrics))
+      }.map(j.cfg.tableName -> _)
+    }
+    Await.result(Future.sequence(futures), Duration.Inf).map {
+      case (table, Success(q)) => TableHandle(table, q, None)
+      case (table, Failure(e)) =>
+        status.setFatalError(table, e)
+        metrics.add(metrics.Names.ErrorCount, table, 1)
+        TableHandle(table, None, Some(e))
+    }
+  }
+
+  /** Block until every table's stream terminates (normally or not). */
+  def awaitAll(handles: Seq[TableHandle]): Unit =
+    handles.flatMap(_.query).foreach(_.awaitTermination())
 }

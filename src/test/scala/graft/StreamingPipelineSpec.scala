@@ -181,6 +181,73 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(Files.exists(v1.resolve(s"_bucket=${touched.head}")))
   }
 
+  test("R2: two tables replicate concurrently with per-table status/metrics") {
+    import graft.streaming.{GraftStreamingListener, ReplicationJob, ReplicationMetrics, StatusApi}
+    import graft.streaming.ReplicationJob.TableJob
+    val root = Files.createTempDirectory("graft-multi").toString
+    val tables = Seq("t_alpha", "t_beta")
+    val defs = tables.map { t =>
+      t -> TableDefinition(
+        schema = "tpch", table = t, tableVersion = 100L,
+        columns = Seq(
+          TableCol("1", "k", "bigint", nullable = "false", isPk = "true"),
+          TableCol("2", "v", "varchar")))
+    }.toMap
+    tables.foreach { t =>
+      val inc = s"$root/increment"
+      val key = PathCodec.DmlPathKey("tpch", t, 100L, 0L, "2024-01-01")
+      Files.createDirectories(Paths.get(PathCodec.dmlPath(inc, key, 1L)).getParent)
+      Files.writeString(
+        Paths.get(PathCodec.schemaPath(inc, "tpch", t, 100L)),
+        TableDefJson.write(defs(t)))
+      Files.writeString(
+        Paths.get(PathCodec.dmlPath(inc, key, 1L)),
+        s""""I","$t","tpch","11",4,"new-$t"
+           |"U","$t","tpch","12",1,"upd-$t"
+           |""".stripMargin)
+      Files.createDirectories(Paths.get(s"$root/snapshot-$t"))
+    }
+    val metrics = new ReplicationMetrics
+    val status = new StatusApi
+    val listener = new GraftStreamingListener(metrics, status)
+    spark.streams.addListener(listener)
+    try {
+      val jobs = tables.map { t =>
+        TableJob(
+          PipelineConfig(
+            incrementRoot = s"$root/increment",
+            schemaName = "tpch", tableName = t,
+            targetRoot = s"$root/target-$t",
+            checkpointDir = s"$root/ckpt-$t",
+            seed = defs(t).copy(tableVersion = 0L),
+            startTso = 10L),
+          () => Seq((1L, s"snap-$t"), (2L, s"gone-$t")).toDF("k", "v"),
+          s"$root/snapshot-$t")
+      }
+      val handles = ReplicationJob.replicateTables(spark, jobs, ReplicationJob.Full, status, metrics)
+      assert(handles.forall(_.error.isEmpty), s"no table may fail: $handles")
+      handles.flatMap(_.query).foreach { q => q.processAllAvailable(); q.stop() }
+
+      tables.foreach { t =>
+        val got = new TargetTable(spark, s"$root/target-$t").read()
+          .as[(Long, String)].collect().toSet
+        assert(got == Set((1L, s"upd-$t"), (2L, s"gone-$t"), (4L, s"new-$t")), s"table $t")
+        assert(status.stageOf(t) == "loading_incremental")
+        assert(status.statusOf(t) == "normal")
+        assert(metrics.get(metrics.Names.TableVersion, t) == 100L)
+        assert(metrics.get(metrics.Names.IncrementLoadedBytes, t) > 0)
+      }
+      // listener-fed row counts arrive asynchronously on the event bus
+      val deadline = System.currentTimeMillis() + 10000
+      while (tables.exists(t => metrics.get(metrics.Names.RowsLoaded, t) == 0)
+          && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      tables.foreach { t =>
+        assert(metrics.get(metrics.Names.RowsLoaded, t) > 0, s"listener rows for $t")
+      }
+      assert(status.render.contains(""""t_alpha""""))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("registry loads schema files from the increment layout") {
     val root = Files.createTempDirectory("graft-reg").toString
     writeFixtures(root)
