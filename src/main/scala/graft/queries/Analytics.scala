@@ -188,17 +188,22 @@ object Analytics {
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Customers with no recent order. The date filter keeps the result
+    * non-empty at every sf (an unfiltered anti-join is 0 rows — every
+    * customer has SOME order — and a 0-row hash check proves nothing). */
   def antiJoinCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.load(spark, sfDir, "customer")
-    val ord = Tables.load(spark, sfDir, "orders")
-    cust.join(ord.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+    val recent = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+    cust.join(recent.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
   }
 
   val antiJoinCustomersSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
       |ORDER BY c_custkey""".stripMargin
 
   // --- set ops on row data (SURVEY §2.7: reference has none; ours do) ---

@@ -35,31 +35,83 @@ object DedupQueries {
       |      FROM documents)
       |GROUP BY content_hash ORDER BY keep_id""".stripMargin
 
-  // --- n-gram Jaccard over candidate pairs (adjacent-id blocking) ---
+  // --- n-gram Jaccard via prefix-filter blocking ----------------------
+  // Exact all-pairs "3-gram shingle Jaccard >= t" result WITHOUT the
+  // quadratic join: order each doc's shingles by global rarity
+  // (document frequency asc), keep the first p = n - ceil(t*n) + 1 as
+  // its "prefix"; the prefix-filter theorem guarantees any pair with
+  // J >= t shares a prefix shingle, so the candidate join on prefix
+  // shingles has perfect recall. Prefix shingles are the globally
+  // RAREST, so candidate buckets are small by construction (a
+  // boilerplate shingle never lands in a prefix) — that property makes
+  // the join survive 100x, where the round-1 version (doc_b = doc_a + 1
+  // adjacent-id blocking) was a toy. Shingle construction itself is the
+  // same shuffle-free per-row transform(sequence(...)) as MinHash.
+  private val JaccardT = 0.5
+
+  /** Distinct 3-gram string shingles per doc, built per-row. */
+  private def shingleSet(textCol: Column): Column = {
+    val t = toks(textCol)
+    array_distinct(transform(
+      sequence(lit(0), size(t) - ShingleN),
+      i => concat_ws(" ", (0 until ShingleN).map(j => element_at(t, i + j + 1)): _*)))
+  }
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), array_distinct(toks(col("text"))).as("t"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("t").as("tb"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("t").as("ta"))
-    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_id"), shingleSet(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    val sh = docs.select(col("doc_id"), explode(col("t")).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // per-doc rarity-ordered prefix: ONE hash-agg (collect_list) + a
+    // per-row array sort — no window sort of the whole shingle stream
+    val p = (size(col("ts")) - ceil(size(col("ts")) * JaccardT) + 1).cast("int")
+    val prefixes = sh.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ts"))
+      .select(col("doc_id"),
+        explode(transform(slice(col("ts"), lit(1), p), s => s.getField("sh"))).as("psh"))
+    val cand = prefixes.select(col("psh"), col("doc_id").as("doc_a"))
+      .join(prefixes.select(col("psh"), col("doc_id").as("doc_b")), Seq("psh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ta"), col("tb"))).as("inter"),
         size(col("ta")).as("na"), size(col("tb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"))
+      .filter(col("jaccard") >= JaccardT)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val ngramJaccardSql: String =
-    """WITH t AS (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS toks
-      |           FROM documents)
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                   for i in range(1, len(toks) - 1)]) AS t
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 3),
+      |sh AS (SELECT doc_id, unnest(t) AS sh FROM d),
+      |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+      |ranked AS (
+      |  SELECT doc_id, sh,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY df, sh) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM sh JOIN dfreq USING (sh)),
+      |pfx AS (SELECT doc_id, sh FROM ranked WHERE rn <= n - ceil(n * $JaccardT) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pfx a JOIN pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, jaccard FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    len(list_intersect(a.toks, b.toks))::DOUBLE
-      |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-      |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
-      |WHERE jaccard >= 0.5 ORDER BY doc_a""".stripMargin
+      |  SELECT doc_a, doc_b,
+      |    len(list_intersect(a.t, b.t))::DOUBLE
+      |      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
+      |  FROM cand JOIN d a ON cand.doc_a = a.doc_id JOIN d b ON cand.doc_b = b.doc_id)
+      |WHERE jaccard >= $JaccardT ORDER BY doc_a, doc_b""".stripMargin
 
   // --- MinHash + LSH near-dup detection -------------------------------
   // shingle → md5-derived 32-bit int → k permutation-hashes → min per
