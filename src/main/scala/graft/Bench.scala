@@ -14,6 +14,9 @@ object Bench {
       try {
         fn(spark, sfDir).count()
         timings(name) = (System.nanoTime() - t0) / 1e9
+        // drop intra-query caches so one query's retained blocks can't
+        // GC-pressure the next (measured multi-second timing swings)
+        spark.catalog.clearCache()
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -100,6 +100,7 @@ object CdcQueries {
     val li = Tables.load(spark, sfDir, "lineitem")
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(max(col("l_quantity")).as("l_quantity"), max(col("l_returnflag")).as("l_returnflag"))
+      .cache() // read 4x below (target + I/U/D legs); uncached the agg reruns each time
     val target = li.filter(col("l_orderkey") % 2 === 0)
     val inserts = li
       .withColumn(Envelope.FlagCol, lit(Envelope.Insert))
