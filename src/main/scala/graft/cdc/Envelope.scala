@@ -52,6 +52,26 @@ object Envelope {
   def rawSchemaFor(nDataCols: Int): StructType = StructType(
     (0 until 4 + nDataCols).map(i => StructField(s"_c$i", StringType, nullable = true)))
 
+  /** Parse raw CSV lines (from a `text`-format stream) into the
+    * positional `_c{i}` envelope at exactly `nDataCols` data width.
+    *
+    * Reading the stream as lines and parsing per micro-batch is what
+    * makes the envelope width DYNAMIC: a `csv`-source stream bakes the
+    * column count into the query at start, so an ADD COLUMN arriving
+    * while the query runs would reference `_c{N}` columns the source
+    * doesn't carry and kill the query; here each table version parses
+    * with its own width inside `foreachBatch`.
+    *
+    * FAILFAST: a malformed line — e.g. a quoted field containing a
+    * newline, split in two by the line-oriented source — fails the batch
+    * loudly; PERMISSIVE would silently null-pad both halves and merge
+    * garbage rows into the target. */
+  def parseLines(lines: DataFrame, nDataCols: Int): DataFrame =
+    lines
+      .select(from_csv(col("value"), rawSchemaFor(nDataCols),
+        csvOptions + ("mode" -> "FAILFAST")).as("_r"))
+      .select(col("_r.*"))
+
   /** P2 cast-and-rename: positional `_c{i}` → typed, named columns. Binary
     * columns decode from hex or base64 per dialect (P3,
     * `cmd/core.go:67-73`, `pkg/snowsql/sql.go:119-121`). */

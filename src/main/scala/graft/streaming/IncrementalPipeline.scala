@@ -63,20 +63,19 @@ final class IncrementalPipeline(
       .map(r => r.get(cfg.seed.tableVersion).fold(r.register(cfg.seed))(_ => r))
       .getOrElse(SchemaRegistry(cfg.seed))
 
-  /** Raw-envelope width: 4 metadata cols + widest registered schema. */
-  private def rawWidth(reg: SchemaRegistry): Int =
-    4 + reg.versions.map(v => reg(v).columns.size).max
-
   def start(): StreamingQuery = {
-    val reg = registry()
+    // the stream carries raw LINES, not parsed columns: the envelope
+    // width is a per-table-version property, and a csv-source stream
+    // would bake the width in at start — an ADD COLUMN arriving while
+    // the query runs would then kill it. Lines are parsed per version
+    // inside processBatch (Envelope.parseLines) at that version's width.
     val raw = spark.readStream
-      .options(Envelope.csvOptions)
+      .format("text")
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger.toString)
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "CDC*.csv")
-      .schema(Envelope.rawSchemaFor(rawWidth(reg) - 4))
-      .csv(s"${cfg.incrementRoot}/${cfg.schemaName}/${cfg.tableName}")
-      .select(col("*"), col("_metadata.file_path").as("_src_path"))
+      .load(s"${cfg.incrementRoot}/${cfg.schemaName}/${cfg.tableName}")
+      .select(col("value"), col("_metadata.file_path").as("_src_path"))
     raw.writeStream
       .queryName(s"graft:${cfg.schemaName}.${cfg.tableName}")
       .option("checkpointLocation", cfg.checkpointDir)
@@ -103,9 +102,19 @@ final class IncrementalPipeline(
 
     var curDef = currentDef(reg)
     byVersion.foreach { case (version, paths) =>
-      val defAt = reg.effectiveAt(version)
+      // a DML file's version must have its schema.json VISIBLE — on
+      // eventually-consistent storage the data can list before its
+      // schema does, and falling back to an older definition would
+      // silently drop the new columns forever (the file source never
+      // replays consumed files). Failing the batch retries it after the
+      // schema walk catches up — the reference forces the same ordering
+      // with its fake `-1` DDL sort key (`replicate/increment.go:283`).
+      val defAt = reg.get(version).getOrElse(sys.error(
+        s"schema.json for table version $version not visible yet under " +
+          s"${cfg.incrementRoot}/${cfg.schemaName}/${cfg.tableName}; failing batch for retry"))
       val rows = Envelope.project(
-        batch.filter(col("_src_path").isin(paths: _*)),
+        Envelope.parseLines(
+          batch.filter(col("_src_path").isin(paths: _*)), defAt.columns.size),
         defAt.columns, cfg.binaryDialect)
       val changes = Envelope
         .tableFilter(rows, cfg.schemaName, cfg.tableName)

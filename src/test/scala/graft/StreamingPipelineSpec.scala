@@ -138,6 +138,35 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "TRUNCATE must wipe pre-truncate rows; post-truncate insert applies")
   }
 
+  test("M5: DDL ADD COLUMN applies in-stream, no restart") {
+    val root = Files.createTempDirectory("graft-instream").toString
+    writeFixtures(root)
+    Files.createDirectories(Paths.get(s"$root/snapshot"))
+    val cfg = PipelineConfig(
+      incrementRoot = s"$root/increment",
+      schemaName = "tpch", tableName = "orders",
+      targetRoot = s"$root/target",
+      checkpointDir = s"$root/ckpt",
+      seed = defV100.copy(tableVersion = 0L),
+      startTso = 10L)
+    val q = ReplicationJob.replicateTable(spark, snapshotDf, s"$root/snapshot", cfg).get
+    q.processAllAvailable() // v100 consumed at width 3
+    // v200 (4 data cols) arrives while the SAME query is live — the
+    // line-oriented stream + per-version parse makes the width dynamic;
+    // a csv-source stream would die here referencing a missing _c7
+    writeDdlFixtures(root)
+    q.processAllAvailable()
+    q.stop()
+    val got = new TargetTable(spark, cfg.targetRoot).read()
+      .select("o_orderkey", "o_status", "o_price", "o_note")
+      .as[(Long, String, Double, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, "F", 11.5, Some("note1")),
+      (3L, "F", 31.0, None),
+      (4L, "O", 40.5, None),
+      (5L, "O", 40.0, Some("hello"))))
+  }
+
   test("partition-scoped merge rewrites only touched buckets, links the rest") {
     import graft.cdc.Envelope
     import graft.merge.ChangeApply
