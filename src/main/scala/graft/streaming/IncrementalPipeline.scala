@@ -48,7 +48,7 @@ final case class PipelineConfig(
     * reference rejects PK-changing DDL); the bucket_spec marker enforces
     * it. */
   def targetTable(spark: SparkSession): TargetTable =
-    new TargetTable(spark, targetRoot, seed.pkColumns, numBuckets)
+    new TargetTable(spark, targetRoot, seed.mergeKeys, numBuckets)
 }
 
 final class IncrementalPipeline(
@@ -119,7 +119,7 @@ final class IncrementalPipeline(
       val changes = Envelope
         .tableFilter(rows, cfg.schemaName, cfg.tableName)
         .filter(col(Envelope.CommitTsCol) > cfg.startTso)
-      val latest = ChangeApply.dedupLatestPerKey(changes, defAt.pkColumns)
+      val latest = ChangeApply.dedupLatestPerKey(changes, defAt.mergeKeys)
       val vId = s"b${batchId}_v$version"
       if (defAt.tableVersion != curDef.tableVersion) {
         // M5: DDL pending — a schema change rewrites every bucket once
@@ -127,17 +127,17 @@ final class IncrementalPipeline(
         // full-image path for this version.
         val chain = curDef +: reg.ddlBetween(curDef.tableVersion, defAt.tableVersion)
         val current = SchemaEvolution.evolveChain(target.read(), chain)
-        val merged = ChangeApply.applyLatest(current, latest, defAt.pkColumns)
+        val merged = ChangeApply.applyLatest(current, latest, defAt.mergeKeys)
         target.writeVersion(merged, vId)
       } else {
         // Steady state: partition-scoped merge. Only buckets containing
         // touched keys are read (partition-pruned scan) and rewritten;
         // the rest of the table is carried over by link, not rewritten —
         // at 100 TB a 12 s trigger touches O(batch), not O(table).
-        val touched = target.touchedBuckets(latest.select(defAt.pkColumns.map(col): _*))
+        val touched = target.touchedBuckets(latest.select(defAt.mergeKeys.map(col): _*))
         if (touched.nonEmpty) {
           val current = target.readBuckets(touched)
-          val merged = ChangeApply.applyLatest(current, latest, defAt.pkColumns)
+          val merged = ChangeApply.applyLatest(current, latest, defAt.mergeKeys)
           target.mergeVersion(merged, touched, vId)
         }
       }

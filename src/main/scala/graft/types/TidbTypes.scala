@@ -41,6 +41,11 @@ final case class TableDefinition(
   def isSchemaSeed: Boolean = query.isEmpty // InitSchema, D4
   def pkColumns: Seq[String] = columns.filter(_.isPrimaryKey).map(_.name)
 
+  /** Merge identity: the PK, or for PK-less tables the full row image
+    * (the reference just omits the PK clause, `pkg/snowsql/sql.go:99-101`;
+    * full-row identity gives its MERGE the same delete/insert effect). */
+  def mergeKeys: Seq[String] = if (pkColumns.nonEmpty) pkColumns else columns.map(_.name)
+
   /** CRC32 over the canonical JSON — the analog of the reference's
     * `TableDefinition.Sum32` checksum verified at `replicate/increment.go:123-135`. */
   def checksum: Long = {
