@@ -40,6 +40,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "dedup_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "dedup_simhash" -> (DedupQueries.simhash _),
+    "dedup_embedding" -> (DedupQueries.dedupEmbedding _),
     "text_tokens" -> (TextQueries.textTokens _),
     "text_quality" -> (TextQueries.textQuality _),
     "text_langid" -> (TextQueries.textLangid _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
     "dedup_minhash_lsh" -> DedupQueries.minhashLshSql,
     // dedup_simhash: bit-vote loop not portably SQL-expressible → rows-only check
+    "dedup_embedding" -> DedupQueries.dedupEmbeddingSql,
     "text_tokens" -> TextQueries.textTokensSql,
     "text_quality" -> TextQueries.textQualitySql,
     "text_langid" -> TextQueries.textLangidSql,

@@ -293,4 +293,62 @@ object DedupQueries {
       .filter(col("hamming") <= 6)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  // --- embedding-cosine near-dup --------------------------------------
+  // Feature-hash each doc into a 64-dim term-frequency vector
+  // (dim = md5(token) % 64, value = count), find candidate pairs with
+  // the same sign-bit LSH banding as vec_ann_lsh, verify with the
+  // codegen'd cosine_sim expression, and collapse each dup onto its
+  // lowest-id neighbor. Cross-engine float parity is EXACT here: the
+  // vectors are integer-valued, so dot/norm sums are exact integers and
+  // cosine = identical IEEE divide+sqrt in both engines.
+  // Scale: tf build is one hash-agg; dense assembly is per-row; the
+  // candidate join is the capped LSH path — never all-pairs.
+  private val EmbDims = 64
+  private val EmbDupT = 0.95
+
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(EmbDims)).as("dim"))
+      .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("cnt"))
+    val dense = tf.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("cnt")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(EmbDims - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("float")).as("emb"))
+      .cache() // read by the LSH pass + both sides of the verify join
+    val cand = VectorQueries.lshCandidates(dense, "doc_id", "emb")
+    val sims = cand
+      .join(dense.select(col("doc_id").as("id_a"), col("emb").as("ea")), Seq("id_a"))
+      .join(dense.select(col("doc_id").as("id_b"), col("emb").as("eb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        call_function("cosine_sim", col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= EmbDupT)
+    sims.groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("keep_id"))
+      .select(col("id_b").as("dup_id"), col("keep_id"))
+      .orderBy(col("dup_id"))
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH tf AS (
+      |  SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) % $EmbDims AS dim, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(list_filter(string_split(text,' '), x->x!='')) AS tok FROM documents)
+      |  GROUP BY 1,2),
+      |dense AS (
+      |  SELECT d.doc_id, array_agg(coalesce(tf.cnt,0) ORDER BY r.i) AS emb
+      |  FROM (SELECT DISTINCT doc_id FROM tf) d
+      |  CROSS JOIN (SELECT unnest(range(0,$EmbDims)) AS i) r
+      |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.dim = r.i
+      |  GROUP BY 1),
+      |${VectorQueries.lshCandSql("dense", "doc_id", "emb")},
+      |scored AS (
+      |  SELECT id_a, id_b,
+      |    list_cosine_similarity(CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])) AS sim
+      |  FROM cand JOIN dense a ON cand.id_a = a.doc_id JOIN dense b ON cand.id_b = b.doc_id)
+      |SELECT id_b AS dup_id, min(id_a) AS keep_id
+      |FROM scored WHERE sim >= $EmbDupT GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -79,31 +79,61 @@ object VectorQueries {
       |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim, 6) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
 
-  // --- bucketed ANN via sign-bit (random-hyperplane) LSH ---------------
-  def vecAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    VectorFunctions.register(spark)
-    val vecs = Tables.load(spark, sfDir, "embeddings")
+  /** Sign-bit LSH candidate pairs `(id_a, id_b)` for ANY frame carrying
+    * an id column and a ≥56-dim numeric array column — shared by
+    * `vec_ann_lsh` (raw embeddings) and `dedup_embedding` (feature-
+    * hashed TF vectors). 24 sign bits, banded 4×6, degenerate buckets
+    * dropped (skew guard; the oversized list is ≤ bands × 2^bits rows →
+    * always broadcastable). */
+  private[queries] def lshCandidates(vecs: DataFrame, idCol: String, embCol: String): DataFrame = {
     val sig = (0 until Bits).map { i =>
-      (element_at(col("embedding"), i + 1) > element_at(col("embedding"), i + 33))
+      (element_at(col(embCol), i + 1) > element_at(col(embCol), i + 33))
         .cast(LongType) * lit(1L << i)
     }.reduce(_ + _)
-    val sigs = vecs.select(col("vec_id"), sig.as("sig"))
+    val sigs = vecs.select(col(idCol), sig.as("sig"))
     val bands = (0 until NumBands).map { b =>
-      sigs.select(col("vec_id"), lit(b).as("band"),
+      sigs.select(col(idCol), lit(b).as("band"),
         shiftright(col("sig"), b * BandBits).bitwiseAND(lit((1 << BandBits) - 1)).as("bkey"))
     }.reduce(_ unionByName _)
-    // Skew guard: the oversized-bucket list is ≤ bands × 2^BandBits rows
-    // → always broadcastable; the anti-join costs nothing when no bucket
-    // is degenerate.
     val oversized = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > BucketCap)
       .select(col("band"), col("bkey"))
     val capped = bands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
-    val l = capped.select(col("band"), col("bkey"), col("vec_id").as("id_a"))
-    val r = capped.select(col("band"), col("bkey"), col("vec_id").as("id_b"))
-    val cand = l.join(r, Seq("band", "bkey"))
+    val l = capped.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val r = capped.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** The DuckDB mirror of [[lshCandidates]]: CTEs `sig`→`bands`→`capped`→
+    * `cand` over a source CTE/table. Splice after a `WITH ...,`. */
+  private[queries] def lshCandSql(src: String, idCol: String, embCol: String): String = {
+    val bits = (0 until Bits).map { i =>
+      s"(CASE WHEN list_extract($embCol,${i + 1}) > list_extract($embCol,${i + 33}) THEN 1 ELSE 0 END) * ${1L << i}"
+    }.mkString("\n      |    + ")
+    val bandList = (0 until NumBands).mkString("[", ",", "]")
+    s"""sig AS (
+      |  SELECT $idCol, $bits AS sig
+      |  FROM $src),
+      |bands AS (
+      |  SELECT $idCol, band, (sig >> (band*$BandBits)) & ${(1 << BandBits) - 1} AS bkey
+      |  FROM sig, (SELECT unnest($bandList) AS band)),
+      |capped AS (
+      |  SELECT $idCol, band, bkey FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
+      |  WHERE bsz <= $BucketCap),
+      |cand AS (
+      |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.$idCol < b.$idCol)""".stripMargin
+  }
+
+  // --- bucketed ANN via sign-bit (random-hyperplane) LSH ---------------
+  def vecAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val cand = lshCandidates(vecs, "vec_id", "embedding")
     val emb = vecs.select(col("vec_id"), col("embedding"))
     cand
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
@@ -115,24 +145,7 @@ object VectorQueries {
   }
 
   val vecAnnLshSql: String = {
-    val bits = (0 until Bits).map { i =>
-      s"(CASE WHEN list_extract(embedding,${i + 1}) > list_extract(embedding,${i + 33}) THEN 1 ELSE 0 END) * ${1L << i}"
-    }.mkString("\n      |    + ")
-    val bandList = (0 until NumBands).mkString("[", ",", "]")
-    s"""WITH sig AS (
-      |  SELECT vec_id, $bits AS sig
-      |  FROM embeddings),
-      |bands AS (
-      |  SELECT vec_id, band, (sig >> (band*$BandBits)) & ${(1 << BandBits) - 1} AS bkey
-      |  FROM sig, (SELECT unnest($bandList) AS band)),
-      |capped AS (
-      |  SELECT vec_id, band, bkey FROM (
-      |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
-      |  WHERE bsz <= $BucketCap),
-      |cand AS (
-      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      |  FROM capped a JOIN capped b
-      |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+    s"""WITH ${lshCandSql("embeddings", "vec_id", "embedding")},
       |scored AS (
       |  SELECT id_a, id_b,
       |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
