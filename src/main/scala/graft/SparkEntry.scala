@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, CdcQueries, DedupQueries, TextQueries, VectorQueries}
+import graft.queries.{Analytics, CdcQueries, DedupQueries, MediaQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,6 +45,8 @@ object SparkEntry {
     "text_quality" -> (TextQueries.textQuality _),
     "text_langid" -> (TextQueries.textLangid _),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
+    "mm_decode_meta" -> (MediaQueries.mmDecodeMeta _),
+    "mm_frame_sample" -> (MediaQueries.mmFrameSample _),
     "vec_topk" -> (VectorQueries.vecTopk _),
     "vec_ann_lsh" -> (VectorQueries.vecAnnLsh _),
   )
@@ -78,6 +80,8 @@ object SparkEntry {
     "text_quality" -> TextQueries.textQualitySql,
     "text_langid" -> TextQueries.textLangidSql,
     "text_fingerprint" -> TextQueries.textFingerprintSql,
+    "mm_decode_meta" -> MediaQueries.mmDecodeMetaSql,
+    "mm_frame_sample" -> MediaQueries.mmFrameSampleSql,
     "vec_topk" -> VectorQueries.vecTopkSql,
     "vec_ann_lsh" -> VectorQueries.vecAnnLshSql,
   )

@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column operations: media as opaque `binary` + typed
+  * metadata, Spark-side plumbing real, decode stubbed
+  * ([[FakeMediaCodec]]).
+  *
+  * Scale notes (100 TB of media): payload rows are MB-scale, so
+  * `spark.sql.files.maxPartitionBytes` governs scan parallelism, not
+  * row counts; every transform here is per-row/mapPartitions (no
+  * shuffle), and decode batches amortize codec setup exactly like
+  * `mapInPandas` batches do. Frame explosion multiplies rows — sample
+  * BEFORE shuffling frames anywhere.
+  */
+object MediaOps {
+
+  /** Typed metadata carried beside every media payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("content_len", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate_hz", IntegerType)))
+
+  /** Magic-byte container sniffing over a binary column — REAL (no
+    * stub): prefix compares stay in codegen; unknown containers fall
+    * through to application/octet-stream. */
+  def sniffMime(content: Column): Column = {
+    def pfx(hexMagic: String, at: Int = 1): Column =
+      substring(content, at, hexMagic.length / 2) === unhex(lit(hexMagic))
+    when(pfx("89504E470D0A1A0A"), "image/png")
+      .when(pfx("FFD8FF"), "image/jpeg")
+      .when(pfx("474946383761").or(pfx("474946383961")), "image/gif")
+      .when(pfx("52494646").and(pfx("57415645", 9)), "audio/wav") // RIFF....WAVE
+      .when(pfx("52494646").and(pfx("57454250", 9)), "image/webp") // RIFF....WEBP
+      .when(pfx("494433").or(pfx("FFFB")), "audio/mpeg")
+      .when(pfx("66747970", 5), "video/mp4") // ....ftyp
+      .otherwise("application/octet-stream")
+  }
+
+  /** Decode a batch-at-a-time and attach [[metaSchema]] as a `meta`
+    * struct column. The mapPartitions body groups rows into
+    * `batchSize`-element batches before calling the codec — the batch
+    * shape, not the codec, is the contract (a real decoder sees the
+    * same `Seq[Array[Byte]]` the fake does). */
+  def withMediaMeta(
+      df: DataFrame,
+      contentCol: String,
+      codec: MediaCodec,
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("meta", metaSchema))
+    val idx = df.schema.fieldIndex(contentCol)
+    val mimed = df.withColumn("_mime", sniffMime(col(contentCol)))
+    val mimeIdx = mimed.schema.fieldIndex("_mime")
+    val result = mimed.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        val decoded = codec.decodeBatch(rows.map(_.getAs[Array[Byte]](idx)))
+        rows.lazyZip(decoded).map { (r, d) =>
+          val meta = Row(r.getString(mimeIdx), r.getAs[Array[Byte]](idx).length.toLong,
+            d.width, d.height, d.nFrames, d.sampleRateHz)
+          Row.fromSeq(r.toSeq.dropRight(1) :+ meta) // drop _mime, add meta
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(result, schema)
+  }
+
+  /** "Resize" every image payload: re-encode through the codec at the
+    * target box, updating width/height in meta. The fake codec keeps
+    * the payload and scales metadata — the real plumbing is the
+    * schema-preserving per-row transform. */
+  def resizeMeta(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(1.0),
+      lit(maxW) / col("meta.width"), lit(maxH) / col("meta.height"))
+    df.withColumn("meta", struct(
+      col("meta.mime").as("mime"),
+      col("meta.content_len").as("content_len"),
+      floor(col("meta.width") * scale).cast(IntegerType).as("width"),
+      floor(col("meta.height") * scale).cast(IntegerType).as("height"),
+      col("meta.n_frames").as("n_frames"),
+      col("meta.sample_rate_hz").as("sample_rate_hz")))
+  }
+
+  /** Sample every `everyK`-th frame of each video payload into one row
+    * per frame `(… , frame_idx, frame)` — the explode side of a
+    * frame-level training pipeline. Frame EXTRACTION is stubbed (the
+    * fake "frame" is the payload's md5-seeded slice); the row
+    * multiplication, ordering, and pruning are real. */
+  def sampleFrames(df: DataFrame, everyK: Int): DataFrame = {
+    require(everyK > 0, "everyK must be positive")
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK))))
+      // STUB frame bytes: deterministic 16-byte slice keyed by index —
+      // a real codec returns the decoded frame here
+      .withColumn("frame", substring(
+        md5(concat(col("meta.mime"), col("frame_idx").cast(StringType))).cast(BinaryType), 1, 16))
+  }
+}

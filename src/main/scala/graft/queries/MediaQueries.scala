@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.MediaOps
+
+/** Multimodal-column query family (BASELINE north star): media payloads
+  * as opaque binary + typed metadata, exercised end-to-end against the
+  * DuckDB oracle.
+  *
+  * The payloads are synthesized deterministically from `documents.text`
+  * (this sandbox ships no media files or codecs): each doc gets a real
+  * container magic prefix by `doc_id % 4` — PNG / JPEG / WAV / none —
+  * so the magic-byte sniffing is exercised for real, and the "decode"
+  * is the documented md5-seeded fake shared bit-for-bit with
+  * [[graft.multimodal.FakeMediaCodec]] (MultimodalSpec asserts the
+  * expression path and the batch-codec path agree). Everything here is
+  * per-row and codegen-friendly: at 100 TB the scan parallelism comes
+  * from maxPartitionBytes, and nothing shuffles until the explicit
+  * frame explode.
+  */
+object MediaQueries {
+
+  private val FrameStride = 4
+
+  /** payload = magic(doc_id % 4) ++ utf8(text). */
+  private def payload: Column = {
+    val m = pmod(col("doc_id"), lit(4))
+    val magic = when(m === 0, unhex(lit("89504E470D0A1A0A"))) // PNG
+      .when(m === 1, unhex(lit("FFD8FFE0"))) // JPEG/JFIF
+      .when(m === 2, concat(unhex(lit("52494646")), encode(lit("xxxxWAVE"), "UTF-8"))) // RIFF....WAVE
+      .otherwise(encode(lit(""), "UTF-8"))
+    concat(magic, encode(col("text"), "UTF-8"))
+  }
+
+  /** md5-prefix seed over the payload's hex rendering — the same
+    * unsigned-32-bit value [[graft.multimodal.FakeMediaCodec.seed]]
+    * derives on the JVM (hex because DuckDB md5 only takes VARCHAR). */
+  private def seed(c: Column): Column =
+    conv(substring(md5(hex(c)), 1, 8), 16, 10).cast("long")
+
+  def mmDecodeMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val withPayload = docs.select(col("doc_id"), payload.as("content"))
+    val h = seed(col("content"))
+    withPayload.select(
+        col("doc_id"),
+        MediaOps.sniffMime(col("content")).as("mime"),
+        length(col("content")).cast("long").as("content_len"),
+        (lit(16) + h.bitwiseAND(lit(255L))).as("width"),
+        (lit(16) + shiftright(h, 8).bitwiseAND(lit(255L))).as("height"),
+        (lit(1) + shiftright(h, 16).bitwiseAND(lit(31L))).as("n_frames"),
+        (lit(8000) + shiftright(h, 21).bitwiseAND(lit(32767L))).as("sample_rate_hz"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmDecodeMetaSql: String =
+    """WITH media AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4
+      |       WHEN 0 THEN from_hex('89504E470D0A1A0A')
+      |       WHEN 1 THEN from_hex('FFD8FFE0')
+      |       WHEN 2 THEN from_hex('52494646') || encode('xxxxWAVE')
+      |       ELSE encode('') END) || encode(text) AS content
+      |  FROM documents),
+      |seeded AS (
+      |  SELECT doc_id, content, hex(content) AS hx,
+      |    CAST(('0x' || substr(md5(hex(content)), 1, 8)) AS BIGINT) AS h
+      |  FROM media)
+      |SELECT doc_id,
+      |  CASE -- magic sniff on the hex rendering (byte i = hex chars 2i-1..2i)
+      |    WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+      |    WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+      |    WHEN substr(hx, 1, 8) = '52494646'
+      |         AND substr(hx, 17, 8) = '57415645' THEN 'audio/wav'
+      |    ELSE 'application/octet-stream' END AS mime,
+      |  octet_length(content) AS content_len,
+      |  16 + (h & 255) AS width,
+      |  16 + ((h >> 8) & 255) AS height,
+      |  1 + ((h >> 16) & 31) AS n_frames,
+      |  8000 + ((h >> 21) & 32767) AS sample_rate_hz
+      |FROM seeded ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling: one row per every-`FrameStride`-th frame, with a
+    * deterministic frame fingerprint standing in for decoded frame
+    * bytes. The row-multiplying explode + downstream-prunable layout is
+    * the real operator; frame extraction is the stub. */
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val meta = mmDecodeMeta(spark, sfDir)
+    meta.select(col("doc_id"), col("mime"), col("n_frames"))
+      .select(col("doc_id"), col("mime"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(FrameStride.toLong))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("mime"), lit(":"), col("frame_idx").cast("string"))).as("frame_id"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val mmFrameSampleSql: String =
+    s"""WITH meta AS (${mmDecodeMetaSql.replace("ORDER BY doc_id", "")})
+      |SELECT doc_id, frame_idx, md5(mime || ':' || CAST(frame_idx AS VARCHAR)) AS frame_id
+      |FROM (SELECT doc_id, mime, unnest(range(0, n_frames, $FrameStride)) AS frame_idx FROM meta)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+}

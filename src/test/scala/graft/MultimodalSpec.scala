@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{FakeMediaCodec, MediaCodec, MediaOps}
+
+/** Multimodal plumbing: mime sniffing on real magic bytes, the batched
+  * codec boundary (batch shape + ordering), schema of the meta struct,
+  * resize math, frame explosion, and the stub-parity contract between
+  * FakeMediaCodec (JVM) and MediaQueries' SQL-expression fake. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.build(4, "multimodal-spec")
+  import spark.implicits._
+
+  private val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3)
+  private val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 9, 9)
+  private val wav = "RIFFxxxxWAVEdata".getBytes("UTF-8")
+  private val txt = "just some text".getBytes("UTF-8")
+
+  private def mediaDf = Seq(
+    (1L, png), (2L, jpg), (3L, wav), (4L, txt))
+    .toDF("id", "content")
+
+  test("sniffMime detects containers by magic bytes") {
+    val got = mediaDf.select(col("id"), MediaOps.sniffMime(col("content")).as("mime"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "image/png", 2L -> "image/jpeg", 3L -> "audio/wav",
+      4L -> "application/octet-stream"))
+  }
+
+  test("withMediaMeta: meta struct schema, values, and row order") {
+    val out = MediaOps.withMediaMeta(mediaDf, "content", FakeMediaCodec, batchSize = 2)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "content", "meta"))
+    assert(out.select("meta.*").schema.fieldNames.toSeq ==
+      Seq("mime", "content_len", "width", "height", "n_frames", "sample_rate_hz"))
+    val rows = out.select("id", "meta.mime", "meta.content_len", "meta.width")
+      .as[(Long, String, Long, Int)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq("image/png", "image/jpeg", "audio/wav", "application/octet-stream"))
+    assert(rows.map(_._3).toSeq == Seq(png.length.toLong, jpg.length.toLong, wav.length.toLong, txt.length.toLong))
+    val h = FakeMediaCodec.seed(png)
+    assert(rows.head._4 == FakeMediaCodec.widthOf(h))
+  }
+
+  test("codec sees mapInPandas-shaped batches: size bounded, order kept") {
+    // the codec runs in the task, so report the observed batch size
+    // through the decoded metadata rather than a driver-side collector
+    object SpyCodec extends MediaCodec {
+      def decodeBatch(contents: Seq[Array[Byte]]) =
+        FakeMediaCodec.decodeBatch(contents).map(_.copy(width = contents.size))
+    }
+    val df = (1 to 10).map(i => (i.toLong, Array(i.toByte))).toDF("id", "content").coalesce(1)
+    val out = MediaOps.withMediaMeta(df, "content", SpyCodec, batchSize = 4)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == (1L to 10L))
+    val batchSizes = out.select("meta.width").as[Int].collect().toSeq
+    assert(batchSizes.sorted == Seq(2, 2, 4, 4, 4, 4, 4, 4, 4, 4),
+      "10 rows in batches of 4 → two rows saw a 2-batch, eight saw 4-batches")
+  }
+
+  test("resizeMeta clamps into the box, preserving aspect ratio") {
+    val df = MediaOps.withMediaMeta(mediaDf, "content", FakeMediaCodec)
+    val out = MediaOps.resizeMeta(df, 32, 32)
+      .select("meta.width", "meta.height").as[(Int, Int)].collect()
+    assert(out.forall { case (w, h) => w <= 32 && h <= 32 && w >= 1 && h >= 1 })
+    // an already-small image must not be upscaled
+    val h0 = FakeMediaCodec.seed(png)
+    val (w0, ht0) = (FakeMediaCodec.widthOf(h0), FakeMediaCodec.heightOf(h0))
+    val big = MediaOps.resizeMeta(MediaOps.withMediaMeta(mediaDf, "content", FakeMediaCodec), 10000, 10000)
+      .filter(col("id") === 1).select("meta.width", "meta.height").as[(Int, Int)].head()
+    assert(big == ((w0, ht0)))
+  }
+
+  test("sampleFrames explodes every k-th frame") {
+    val df = MediaOps.withMediaMeta(mediaDf, "content", FakeMediaCodec)
+    val out = MediaOps.sampleFrames(df, 5)
+    val counts = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    val expected = mediaDf.as[(Long, Array[Byte])].collect().map { case (id, c) =>
+      val n = FakeMediaCodec.framesOf(FakeMediaCodec.seed(c))
+      id -> (0 until n by 5).size.toLong
+    }.toMap
+    assert(counts == expected)
+    assert(out.schema("frame").dataType == org.apache.spark.sql.types.BinaryType)
+  }
+
+  test("SQL-expression fake (MediaQueries) ≡ FakeMediaCodec derivation") {
+    // the oracle-checked query derives width/height/frames/rate from the
+    // md5 seed in SQL; the codec derives them on the JVM — one contract
+    val df = mediaDf.select(col("id"), col("content"),
+      conv(substring(md5(hex(col("content"))), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("id"), col("content"),
+        (lit(16) + col("h").bitwiseAND(lit(255L))).as("width"),
+        (lit(1) + shiftright(col("h"), 16).bitwiseAND(lit(31L))).as("n_frames"))
+      .as[(Long, Array[Byte], Long, Long)].collect()
+    df.foreach { case (_, content, w, n) =>
+      val h = FakeMediaCodec.seed(content)
+      assert(w == FakeMediaCodec.widthOf(h), "width derivations must agree")
+      assert(n == FakeMediaCodec.framesOf(h), "frame derivations must agree")
+    }
+  }
+}
