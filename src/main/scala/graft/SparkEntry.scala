@@ -74,7 +74,7 @@ object SparkEntry {
     "dedup_exact" -> DedupQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
     "dedup_minhash_lsh" -> DedupQueries.minhashLshSql,
-    // dedup_simhash: bit-vote loop not portably SQL-expressible → rows-only check
+    "dedup_simhash" -> DedupQueries.simhashSql,
     "dedup_embedding" -> DedupQueries.dedupEmbeddingSql,
     "text_tokens" -> TextQueries.textTokensSql,
     "text_quality" -> TextQueries.textQualitySql,

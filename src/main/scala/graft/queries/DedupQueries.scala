@@ -253,8 +253,6 @@ object DedupQueries {
   }
 
   // --- SimHash near-dup: 32-bit simhash + banded hamming candidates ---
-  // (no SQL oracle: bit-vote loop isn't reasonably expressible in one
-  // portable SQL statement → driver rows-only check)
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val withTok = docs
@@ -292,6 +290,43 @@ object DedupQueries {
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
       .filter(col("hamming") <= 6)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB mirror of [[simhash]] — the 32-bit vote loop unrolled as 32
+    * conditional sums (verified row-identical against the Spark output,
+    * upgrading this query from a rows-only check to the full oracle). */
+  val simhashSql: String = {
+    val votes = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n      |    ")
+    val sim = (0 until 32)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString("\n      |      + ")
+    s"""WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(list_filter(string_split(text,' '), x->x!='')) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h FROM tok),
+      |voted AS (
+      |  SELECT doc_id,
+      |    $votes
+      |  FROM h GROUP BY doc_id),
+      |sigs AS (
+      |  SELECT doc_id,
+      |      $sim AS simhash
+      |  FROM voted),
+      |halves AS (
+      |  SELECT doc_id, half, CASE WHEN half = 0 THEN simhash & 65535 ELSE simhash >> 16 END AS hk
+      |  FROM sigs, (SELECT unnest([0,1]) AS half)),
+      |capped AS (
+      |  SELECT doc_id, half, hk FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY half, hk) AS bsz FROM halves)
+      |  WHERE bsz <= $MinhashBucketCap),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM capped a JOIN capped b ON a.half = b.half AND a.hk = b.hk AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, bit_count(CAST(xor(sa.simhash, sb.simhash) AS BIGINT)) AS hamming
+      |FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id JOIN sigs sb ON cand.doc_b = sb.doc_id
+      |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // --- embedding-cosine near-dup --------------------------------------
