@@ -1,10 +1,14 @@
 package graft.snapshot
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, hex, lower, unhex}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
 
-import graft.types.{TableDefinition, TidbTypeMapper}
+import graft.types.{TableDefinition, TableDefJson, TidbTypeMapper}
 import graft.cdc.Envelope
 
 /** Snapshot (bulk) load stage — S1/S7/S8/S11 of SURVEY §2.1.
@@ -22,12 +26,65 @@ import graft.cdc.Envelope
 object SnapshotLoader {
 
   /** Read a dumpling-layout CSV snapshot directory with the table's
-    * typed schema (no envelope columns in snapshot files). */
-  def readSnapshotCsv(spark: SparkSession, snapshotDir: String, d: TableDefinition): DataFrame =
-    spark.read
+    * typed schema (no envelope columns in snapshot files). Binary
+    * columns travel hex-encoded in the CSV (the reference's default
+    * dialect, `cmd/core.go:67-73`) because Spark's CSV source cannot
+    * carry BinaryType — they read as string and unhex here. */
+  def readSnapshotCsv(spark: SparkSession, snapshotDir: String, d: TableDefinition): DataFrame = {
+    val typed = TidbTypeMapper.toStructType(d.columns)
+    val wire = StructType(typed.map {
+      case StructField(n, BinaryType, nu, m) => StructField(n, StringType, nu, m)
+      case f => f
+    })
+    val raw = spark.read
       .options(Envelope.csvOptions)
-      .schema(TidbTypeMapper.toStructType(d.columns))
+      .schema(wire)
       .csv(s"$snapshotDir/${d.schema}.${d.table}.*.csv")
+    raw.select(typed.map {
+      case StructField(n, BinaryType, _, _) => unhex(col(n)).as(n)
+      case f => col(f.name)
+    }: _*)
+  }
+
+  /** Export-only mode (reference `cmd/s3.go`/`cmd/gcs.go`): write the
+    * snapshot image as dumpling-layout CSV chunks
+    * `{schema}.{table}.{NNNNNNNNN}.csv` plus the schema.json seed, so
+    * any loader — including [[readSnapshotCsv]] — can consume the
+    * directory. Chunk parallelism is the DataFrame's partitioning
+    * (dumpling's ≤16-thread dump, minus the hand-rolled pool). Binary
+    * columns are hex-encoded (default dialect). */
+  def writeSnapshotCsv(
+      spark: SparkSession,
+      snapshot: DataFrame,
+      snapshotDir: String,
+      d: TableDefinition): Seq[String] = {
+    val typed = TidbTypeMapper.toStructType(d.columns)
+    val wire = snapshot.select(typed.map {
+      case StructField(n, BinaryType, _, _) => lower(hex(col(n))).as(n)
+      case f => col(f.name)
+    }: _*)
+    val tmp = Paths.get(snapshotDir, ".tmp_export")
+    wire.write.options(Envelope.csvOptions).mode(SaveMode.Overwrite).csv(tmp.toString)
+    val parts = Using.resource(Files.list(tmp)) { s =>
+      s.iterator().asScala.filter(_.getFileName.toString.endsWith(".csv")).toSeq
+    }.sortBy(_.getFileName.toString)
+    val out = parts.zipWithIndex.map { case (p, i) =>
+      val name = f"${d.schema}.${d.table}.$i%09d.csv"
+      Files.move(p, Paths.get(snapshotDir, name), StandardCopyOption.REPLACE_EXISTING)
+      name
+    }
+    deleteRecursively(tmp)
+    Files.writeString(Paths.get(snapshotDir, s"${d.schema}.${d.table}-schema.json"),
+      TableDefJson.write(d))
+    Files.writeString(Paths.get(snapshotDir, "metadata"), s"export finished: ${out.size} chunks")
+    out
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Using.resource(Files.list(p))(_.iterator().asScala.toList).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
 
   def loadinfoPath(snapshotDir: String, d: TableDefinition): String =
     s"$snapshotDir/${d.schema}.${d.table}.loadinfo"

@@ -27,6 +27,9 @@ object ReplicationJob {
   case object Full extends RunMode
   case object SnapshotOnly extends RunMode
   case object IncrementalOnly extends RunMode
+  /** Reference `cmd/s3.go`/`cmd/gcs.go`: dump the snapshot as
+    * dumpling-layout CSV to storage, no warehouse/merge stage. */
+  case object ExportOnly extends RunMode
 
   /** One table's replication inputs: config + lazily-built snapshot. */
   final case class TableJob(cfg: PipelineConfig, snapshot: () => DataFrame, snapshotDir: String)
@@ -50,6 +53,12 @@ object ReplicationJob {
       status: StatusApi = new StatusApi,
       metrics: ReplicationMetrics = new ReplicationMetrics): Option[StreamingQuery] = {
     val table = cfg.tableName
+    if (mode == ExportOnly) {
+      status.setStage(table, status.Stage.LoadingSnapshot)
+      SnapshotLoader.writeSnapshotCsv(spark, snapshot, snapshotDir, cfg.seed)
+      status.setStage(table, status.Stage.Finished)
+      return None
+    }
     val target = cfg.targetTable(spark)
     if (mode != IncrementalOnly && !SnapshotLoader.isLoaded(snapshotDir, cfg.seed)) {
       status.setStage(table, status.Stage.LoadingSnapshot)
