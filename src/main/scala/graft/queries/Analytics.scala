@@ -62,9 +62,10 @@ object Analytics {
       .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz"))
     val li = Tables.load(spark, sfDir, "lineitem")
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
-    // customer is the small side at every SF → broadcast; orders⋈lineitem
-    // shuffles on the shared key only once.
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    // customer SCALES with SF, so no hard broadcast hint — AQE picks
+    // broadcast at small scale by size and a shuffle join at 100 TB;
+    // orders⋈lineitem shuffles on the shared key only once.
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
       .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -90,11 +91,14 @@ object Analytics {
     val ord = Tables.load(spark, sfDir, "orders")
     val li = Tables.load(spark, sfDir, "lineitem")
     val supp = Tables.load(spark, sfDir, "supplier")
-    // dims (region,nation,supplier,customer) broadcast; the only big
-    // shuffle is lineitem⋈orders on orderkey.
+    // region/nation are FIXED-cardinality (5/25 rows) → safe hard
+    // broadcast at any scale. supplier/customer scale with SF, so they
+    // carry no hint: AQE broadcasts them while they fit and falls back
+    // to shuffle joins at 100 TB. The only unavoidable big shuffle is
+    // lineitem⋈orders on orderkey.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
@@ -137,7 +141,7 @@ object Analytics {
     val ord = Tables.load(spark, sfDir, "orders")
     val li = Tables.load(spark, sfDir, "lineitem").filter(col("l_returnflag") === "R")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")) // scales with SF: AQE decides
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -160,8 +164,9 @@ object Analytics {
       .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("qty_dec"))
       .filter(col("qty_dec") > 300)
       .select(col("l_orderkey"), col("qty_dec").cast(DoubleType).as("total_qty"))
-    // `big` is tiny after the HAVING filter → broadcast to orders.
-    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    // `big`'s cardinality is a fixed FRACTION of orders (HAVING > 300),
+    // so it still scales with SF — no hard hint, AQE sizes the join.
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
       .orderBy(col("total_qty").desc, col("o_orderkey"))
   }
