@@ -124,6 +124,16 @@ final class TargetTable(
     true
   }
 
+  /** Bytes in the current version's data files (snapshot/merge size
+    * metrics, reference `pkg/metrics/metrics.go:14-79`). */
+  def currentSizeBytes: Long = {
+    if (!exists) return 0L
+    def walk(p: Path): Long =
+      if (Files.isDirectory(p)) listDir(p).map(walk).sum
+      else Files.size(p)
+    walk(currentDir)
+  }
+
   /** Small stage markers beside the data (loadinfo / schema-version
     * analogs of the reference's storage markers, SURVEY §2.9 M7). */
   def writeMarker(name: String, value: String): Unit = {

@@ -63,6 +63,9 @@ object ReplicationJob {
     if (mode != IncrementalOnly && !SnapshotLoader.isLoaded(snapshotDir, cfg.seed)) {
       status.setStage(table, status.Stage.LoadingSnapshot)
       SnapshotLoader.load(spark, snapshot, target, snapshotDir, cfg.seed)
+      val bytes = target.currentSizeBytes
+      metrics.set(metrics.Names.SnapshotTotalBytes, table, bytes)
+      metrics.set(metrics.Names.SnapshotLoadedBytes, table, bytes)
     }
     if (mode == SnapshotOnly) {
       status.setStage(table, status.Stage.Finished)

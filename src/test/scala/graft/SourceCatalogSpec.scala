@@ -81,6 +81,24 @@ class SourceCatalogSpec extends AnyFunSuite {
     assert(d.tableVersion == 7L)
   }
 
+  test("JdbcSnapshot: chunked read options pin the TSO per connection") {
+    import graft.snapshot.JdbcSnapshot
+    val d = SourceCatalog.tableDefinition(fixture, "tpch", "orders", Some(42L))
+    val opts = JdbcSnapshot.options("jdbc:mysql://h:4000/tpch", d, tso = 449L,
+      numPartitions = 8, bounds = Some((0L, 100000L)))
+    assert(opts("dbtable") == "`tpch`.`orders`")
+    assert(opts("sessionInitStatement") == "SET SESSION tidb_snapshot = 449")
+    assert(opts("partitionColumn") == "id") // first INTEGER pk; region is unsigned int → long, but id comes first
+    assert(opts("numPartitions") == "8" && opts("lowerBound") == "0" && opts("upperBound") == "100000")
+    // no integer PK → single-partition fallback, no range options
+    val noPk = new SqlExecutor {
+      def query(sql: String): Seq[Row] =
+        if (sql.startsWith("SHOW INDEX")) Nil else fixture.query(sql)
+    }
+    val opts2 = JdbcSnapshot.options("u", SourceCatalog.tableDefinition(noPk, "tpch", "orders", Some(1L)), 449L, 8, Some((0L, 10L)))
+    assert(!opts2.contains("partitionColumn") && !opts2.contains("numPartitions"))
+  }
+
   test("identifiers and strings are escaped into catalog SQL") {
     assert(SourceCatalog.columnsQuery("a'b", "t").contains("a''b"))
     assert(SourceCatalog.pkQuery("s", "weird`name").contains("`weird``name`"))

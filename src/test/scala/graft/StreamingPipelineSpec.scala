@@ -265,6 +265,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
         assert(status.statusOf(t) == "normal")
         assert(metrics.get(metrics.Names.TableVersion, t) == 100L)
         assert(metrics.get(metrics.Names.IncrementLoadedBytes, t) > 0)
+        assert(metrics.get(metrics.Names.SnapshotLoadedBytes, t) > 0)
       }
       // listener-fed row counts arrive asynchronously on the event bus
       val deadline = System.currentTimeMillis() + 10000
