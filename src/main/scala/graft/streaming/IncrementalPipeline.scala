@@ -146,6 +146,26 @@ final class IncrementalPipeline(
       metrics.add(metrics.Names.IncrementLoadedBytes, cfg.tableName, paths.map(fileSize).sum)
       curDef = defAt
     }
+    // pending = discovered CDC bytes not yet merged — the reference
+    // recomputes this on every poll tick the same way
+    // (`replicate/increment.go:214-217`); the walk is the one we already
+    // pay for the schema registry.
+    val totalBytes = walkCdcBytes()
+    metrics.set(metrics.Names.IncrementPendingBytes, cfg.tableName,
+      math.max(0L, totalBytes - metrics.get(metrics.Names.IncrementLoadedBytes, cfg.tableName)))
+  }
+
+  private def walkCdcBytes(): Long = {
+    val root = java.nio.file.Paths.get(cfg.incrementRoot, cfg.schemaName, cfg.tableName)
+    if (!java.nio.file.Files.isDirectory(root)) return 0L
+    scala.util.Using.resource(java.nio.file.Files.walk(root)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.matches("CDC.*\\.csv"))
+        .map(p => java.nio.file.Files.size(p))
+        .sum
+    }
   }
 
   private def fileSize(path: String): Long =

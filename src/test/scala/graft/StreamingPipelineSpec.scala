@@ -266,6 +266,8 @@ class StreamingPipelineSpec extends AnyFunSuite {
         assert(metrics.get(metrics.Names.TableVersion, t) == 100L)
         assert(metrics.get(metrics.Names.IncrementLoadedBytes, t) > 0)
         assert(metrics.get(metrics.Names.SnapshotLoadedBytes, t) > 0)
+        assert(metrics.get(metrics.Names.IncrementPendingBytes, t) == 0L,
+          "all discovered CDC bytes were merged → nothing pending")
       }
       // listener-fed row counts arrive asynchronously on the event bus
       val deadline = System.currentTimeMillis() + 10000
