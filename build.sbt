@@ -26,5 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed-size heap: local[32] under a growing/shrinking heap spends
+  // ~35% of CPU in the KERNEL (commit/uncommit churn against the VM's
+  // memory driver, measured via /proc/stat during bench bursts) and the
+  // stalls land on random queries as 5-10x timing spikes. Xms == Xmx
+  // commits once and keeps G1 from returning memory mid-run.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // fault every heap page in at JVM startup instead of mid-query: on a
+  // virtualized host under memory pressure, first-touch faults are slow
+  // kernel time that otherwise lands on whichever query grows the heap
+  "-XX:+AlwaysPreTouch",
 )

@@ -5,6 +5,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.build(cpus, "graft-bench")
+    // Warm the JVM once before timing anything: parquet footers, codegen
+    // compiler, shuffle machinery. First-touch costs are session setup,
+    // not per-query cost, and would otherwise land on whichever query
+    // runs first.
+    Tables.all.foreach { t =>
+      try Tables.load(spark, sfDir, t).limit(1).count()
+      catch { case _: Throwable => () }
+    }
+    spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").sum("v").collect()
     // A failed query must never masquerade as a fast one: failures are
     // excluded from the timing map and reported by name in "errors".
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -184,6 +184,8 @@ object DedupQueries {
     val bands = signatures(sh)
       .select(col("doc_id"), explode(bandArr).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .cache() // read 3x (oversized agg + self-join sides); uncached the
+               // signature hash-agg over every shingle reruns each time
     // skew guard: one degenerate band key (boilerplate shared by a huge
     // doc population) must not go quadratic in the self-join. The
     // oversized-bucket list is tiny → broadcast anti-join costs nothing
@@ -275,6 +277,7 @@ object DedupQueries {
         struct(lit(0).as("half"), col("simhash").bitwiseAND(65535).as("hk")),
         struct(lit(1).as("half"), shiftright(col("simhash"), 16).as("hk")))).as("hh"))
       .select(col("doc_id"), col("hh.half").as("half"), col("hh.hk").as("hk"))
+      .cache() // read 3x (oversized agg + self-join sides)
     val oversized = halves.groupBy(col("half"), col("hk"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
       .select(col("half"), col("hk"))

@@ -91,10 +91,17 @@ object VectorQueries {
         .cast(LongType) * lit(1L << i)
     }.reduce(_ + _)
     val sigs = vecs.select(col(idCol), sig.as("sig"))
-    val bands = (0 until NumBands).map { b =>
-      sigs.select(col(idCol), lit(b).as("band"),
+    // all band keys in ONE pass over the signature (explode of an array
+    // of structs, not an N-way union re-evaluating the 24-bit sig), and
+    // cached: the tiny (id, band, bkey) frame is read three times below
+    // (oversized agg + both sides of the self-join)
+    val bandArr = array((0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
         shiftright(col("sig"), b * BandBits).bitwiseAND(lit((1 << BandBits) - 1)).as("bkey"))
-    }.reduce(_ unionByName _)
+    }: _*)
+    val bands = sigs.select(col(idCol), explode(bandArr).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .cache()
     val oversized = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > BucketCap)
       .select(col("band"), col("bkey"))
