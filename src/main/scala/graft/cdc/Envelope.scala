@@ -66,11 +66,23 @@ object Envelope {
     * newline, split in two by the line-oriented source — fails the batch
     * loudly; PERMISSIVE would silently null-pad both halves and merge
     * garbage rows into the target. */
-  def parseLines(lines: DataFrame, nDataCols: Int): DataFrame =
-    lines
+  def parseLines(lines: DataFrame, nDataCols: Int): DataFrame = {
+    val parsed = lines
       .select(from_csv(col("value"), rawSchemaFor(nDataCols),
         csvOptions + ("mode" -> "FAILFAST")).as("_r"))
       .select(col("_r.*"))
+    // FAILFAST only catches structurally malformed records; a HALF-row
+    // (e.g. the tail of a quoted newline split by the line source)
+    // parses as a short row null-padded to width. Any row whose
+    // envelope is invalid — flag not I/U/D or commit-ts missing — is
+    // corruption, and raise_error fails the batch loudly instead of
+    // letting the garbage half merge. Expressed as a filter so the
+    // optimizer cannot prune the check away.
+    val valid = col("_c0").isin(Insert, Update, Delete) && col("_c3").isNotNull
+    parsed.filter(when(valid, lit(true)).otherwise(raise_error(concat(
+      lit("malformed CDC line (envelope invalid): flag="), coalesce(col("_c0"), lit("null")),
+      lit(" commit_ts="), coalesce(col("_c3"), lit("null"))))))
+  }
 
   /** P2 cast-and-rename: positional `_c{i}` → typed, named columns. Binary
     * columns decode from hex or base64 per dialect (P3,

@@ -280,6 +280,41 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("PK-less table replicates with full-row merge identity") {
+    val root = Files.createTempDirectory("graft-nopk").toString
+    val defNoPk = TableDefinition(
+      schema = "tpch", table = "logs", tableVersion = 100L,
+      columns = Seq(
+        TableCol("1", "k", "bigint"), // note: NOT marked isPk
+        TableCol("2", "v", "varchar")))
+    val inc = s"$root/increment"
+    val key = PathCodec.DmlPathKey("tpch", "logs", 100L, 0L, "2024-01-01")
+    Files.createDirectories(Paths.get(PathCodec.dmlPath(inc, key, 1L)).getParent)
+    Files.writeString(
+      Paths.get(PathCodec.schemaPath(inc, "tpch", "logs", 100L)),
+      TableDefJson.write(defNoPk))
+    // duplicate full rows + a delete identified by the full row image
+    Files.writeString(
+      Paths.get(PathCodec.dmlPath(inc, key, 1L)),
+      """"I","logs","tpch","11",4,"new"
+        |"D","logs","tpch","12",1,"a"
+        |""".stripMargin)
+    Files.createDirectories(Paths.get(s"$root/snapshot"))
+    val cfg = PipelineConfig(
+      incrementRoot = inc, schemaName = "tpch", tableName = "logs",
+      targetRoot = s"$root/target", checkpointDir = s"$root/ckpt",
+      seed = defNoPk.copy(tableVersion = 0L), startTso = 10L)
+    assert(cfg.seed.mergeKeys == Seq("k", "v"), "no PK → full-row identity")
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val q = ReplicationJob.replicateTable(spark, snap, s"$root/snapshot", cfg).get
+    q.processAllAvailable()
+    q.stop()
+    val got = new TargetTable(spark, cfg.targetRoot, cfg.seed.mergeKeys, cfg.numBuckets)
+      .read().as[(Long, String)].collect().toSet
+    // (1,"a") deleted by exact row image; (2,"b") untouched; (4,"new") inserted
+    assert(got == Set((2L, "b"), (4L, "new")))
+  }
+
   test("registry loads schema files from the increment layout") {
     val root = Files.createTempDirectory("graft-reg").toString
     writeFixtures(root)
