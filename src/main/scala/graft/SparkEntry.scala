@@ -49,6 +49,7 @@ object SparkEntry {
     "mm_frame_sample" -> (MediaQueries.mmFrameSample _),
     "vec_topk" -> (VectorQueries.vecTopk _),
     "vec_ann_lsh" -> (VectorQueries.vecAnnLsh _),
+    "vec_ivf_topk" -> (VectorQueries.vecIvfTopk _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -84,5 +85,6 @@ object SparkEntry {
     "mm_frame_sample" -> MediaQueries.mmFrameSampleSql,
     "vec_topk" -> VectorQueries.vecTopkSql,
     "vec_ann_lsh" -> VectorQueries.vecAnnLshSql,
+    "vec_ivf_topk" -> VectorQueries.vecIvfTopkSql,
   )
 }

@@ -79,6 +79,80 @@ object VectorQueries {
       |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim, 6) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
 
+  // --- IVF-flat ANN: coarse quantizer + inverted lists -----------------
+  // Build: one scan of the corpus assigns every vector to its nearest
+  // centroid (centroids broadcast — an IVF quantizer is BOUNDED by
+  // construction; here deterministically sampled by id stride so the
+  // DuckDB oracle mirrors it exactly, where a real deployment would
+  // train k-means once and broadcast the same way). Query: probe the
+  // `NProbe` nearest inverted lists only — cost scales with list size,
+  // not corpus size. Recall < 1 by design; the oracle mirrors the same
+  // probe policy so parity is exact.
+  private val CentroidStride = 25
+  private val NProbe = 2
+
+  def vecIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val assigned = vecs.join(broadcast(cents))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(cosine(col("embedding"), col("cemb")).desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+    val probeCents = probes.join(broadcast(cents))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(cosine(col("pemb"), col("cemb")).desc, col("cent_id"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("probe_id"), col("pemb"), col("cent_id"))
+    val scored = probeCents.join(assigned, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("id"),
+        cosine(col("pemb"), col("embedding")).as("sim"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val vecIvfTopkSql: String =
+    s"""WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
+      |  WHERE vec_id % $CentroidStride = 0),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cent_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding AS pemb FROM embeddings
+      |  WHERE vec_id % $ProbeStride = 0),
+      |probe_cents AS (
+      |  SELECT probe_id, pemb, cent_id FROM (
+      |    SELECT p.probe_id, p.pemb, c.cent_id,
+      |      row_number() OVER (PARTITION BY p.probe_id
+      |        ORDER BY list_cosine_similarity(CAST(p.pemb AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM probes p CROSS JOIN cents c)
+      |  WHERE rn <= $NProbe),
+      |scored AS (
+      |  SELECT probe_id, a.vec_id,
+      |    list_cosine_similarity(CAST(pemb AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+      |  FROM probe_cents pc JOIN assigned a ON pc.cent_id = a.cent_id AND a.vec_id != pc.probe_id),
+      |ranked AS (
+      |  SELECT probe_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM scored)
+      |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim,6) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+
   /** Sign-bit LSH candidate pairs `(id_a, id_b)` for ANY frame carrying
     * an id column and a ≥56-dim numeric array column — shared by
     * `vec_ann_lsh` (raw embeddings) and `dedup_embedding` (feature-
