@@ -179,6 +179,12 @@ final class TargetTable(
     }
 
   private def repoint(dir: String): Unit = {
+    // commit order is recorded explicitly (_history, newest last) so gc
+    // never depends on filesystem mtimes — mtime ordering ties/races on
+    // object stores and under clock skew, and a wrong order would
+    // delete the version an in-flight reader still holds.
+    val hist = readMarker("history").map(_.split("\n").toSeq).getOrElse(Nil)
+    writeMarker("history", ((hist.filterNot(_ == dir) :+ dir).takeRight(8)).mkString("\n"))
     val tmp = rootPath.resolve("_current.tmp")
     Files.writeString(tmp, dir)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
@@ -186,16 +192,16 @@ final class TargetTable(
     gc(keep = 2)
   }
 
-  /** Drop all but the newest `keep` data versions (old images are only
-    * needed for in-flight readers). Hard-linked files stay valid in
-    * newer versions when an old version is deleted. */
+  /** Drop all but the newest `keep` data versions by COMMIT order (old
+    * images are only needed for in-flight readers). Hard-linked files
+    * stay valid in newer versions when an old version is deleted. */
   private def gc(keep: Int): Unit = {
-    val versions = listDir(rootPath)
+    val hist = readMarker("history").map(_.split("\n").toSeq).getOrElse(Nil)
+    val keepSet = hist.takeRight(keep).toSet + currentVersion.getOrElse("")
+    listDir(rootPath)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data_"))
-    val current = currentVersion.getOrElse("")
-    versions.sortBy(p => Files.getLastModifiedTime(p).toMillis).dropRight(keep).foreach { p =>
-      if (p.getFileName.toString != current) deleteRecursively(p)
-    }
+      .filterNot(p => keepSet.contains(p.getFileName.toString))
+      .foreach(deleteRecursively)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.DedupQueries
+
+/** The prefix-filter claim behind `dedup_ngram_jaccard` is EXACT recall:
+  * every pair with 3-gram-shingle Jaccard ≥ t shares a prefix shingle,
+  * so the blocked join must return exactly the brute-force all-pairs
+  * result. Checked on generated corpora with planted near-dups. */
+class DedupRecallSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.build(4, "dedup-recall-spec")
+  import spark.implicits._
+
+  /** Deterministic corpus: base docs from a small vocabulary + planted
+    * near-dups (1-2 token edits) + exact dups + short/empty docs. */
+  private def corpus(seed: Long, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val base = (0 until nDocs).map { i =>
+      val n = 5 + rnd.nextInt(20)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val planted = base.take(nDocs / 4).map { case (id, text) =>
+      val toks = text.split(" ").toBuffer
+      toks(rnd.nextInt(toks.size)) = vocab(rnd.nextInt(vocab.size))
+      (id + nDocs, toks.mkString(" "))
+    }
+    val exact = base.slice(nDocs / 4, nDocs / 4 + 3).map { case (id, t) => (id + 2 * nDocs, t) }
+    val edge = Seq((9000L, ""), (9001L, "one"), (9002L, "one two"), (9003L, "one two three"))
+    base ++ planted ++ exact ++ edge
+  }
+
+  private def bruteForce(docs: Seq[(Long, String)]): Set[(Long, Long)] = {
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.5
+    } yield (a, b)).toSet
+  }
+
+  test("prefix-filter blocking returns the exact brute-force pair set") {
+    Seq(11L, 42L).foreach { seed =>
+      val docs = corpus(seed, 60)
+      val dir = Files.createTempDirectory(s"graft-recall-$seed").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val got = DedupQueries.ngramJaccard(spark, dir)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val want = bruteForce(docs)
+      assert(got == want,
+        s"seed=$seed missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty, s"seed=$seed corpus must contain true near-dup pairs")
+    }
+  }
+}
