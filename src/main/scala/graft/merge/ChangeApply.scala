@@ -76,7 +76,9 @@ object ChangeApply {
       pks: Seq[String],
       tsCol: String = Envelope.CommitTsCol,
       flagCol: String = Envelope.FlagCol): DataFrame =
-    applyLatest(target, dedupLatestPerKey(batch, pks, tsCol), pks, flagCol)
+    // cached: applyLatest reads `latest` twice (upsert rows + the
+    // anti-join key side), which would run the dedup aggregation twice
+    applyLatest(target, dedupLatestPerKey(batch, pks, tsCol).cache(), pks, flagCol)
 
   /** Same as [[applyChanges]] but for an already-deduped batch — the
     * streaming pipeline dedups first so it can derive the touched-bucket
