@@ -167,6 +167,33 @@ class StreamingPipelineSpec extends AnyFunSuite {
       (5L, "O", 40.0, Some("hello"))))
   }
 
+  test("M5/O1: one micro-batch spanning two schema versions applies in version order") {
+    val root = Files.createTempDirectory("graft-multiver").toString
+    writeFixtures(root)
+    writeDdlFixtures(root) // v100 AND v200 files all visible before start
+    Files.createDirectories(Paths.get(s"$root/snapshot"))
+    val cfg = PipelineConfig(
+      incrementRoot = s"$root/increment",
+      schemaName = "tpch", tableName = "orders",
+      targetRoot = s"$root/target",
+      checkpointDir = s"$root/ckpt",
+      seed = defV100.copy(tableVersion = 0L),
+      startTso = 10L,
+      maxFilesPerTrigger = 1000) // everything lands in one trigger
+    val q = ReplicationJob.replicateTable(spark, snapshotDf, s"$root/snapshot", cfg).get
+    q.processAllAvailable()
+    q.stop()
+    val got = new TargetTable(spark, cfg.targetRoot).read()
+      .select("o_orderkey", "o_status", "o_price", "o_note")
+      .as[(Long, String, Double, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, "F", 11.5, Some("note1")), // v100 update then v200 update, in order
+      (3L, "F", 31.0, None),
+      (4L, "O", 40.5, None),
+      (5L, "O", 40.0, Some("hello"))))
+    assert(new TargetTable(spark, cfg.targetRoot).readMarker("schema_version").contains("200"))
+  }
+
   test("partition-scoped merge rewrites only touched buckets, links the rest") {
     import graft.cdc.Envelope
     import graft.merge.ChangeApply
