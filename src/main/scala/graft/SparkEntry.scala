@@ -27,10 +27,12 @@ object SparkEntry {
     "anti_join_customers" -> (Analytics.antiJoinCustomers _),
     "setops_orderkeys" -> (Analytics.setOpsOrderkeys _),
     "rollup_revenue" -> (Analytics.rollupRevenue _),
+    "cube_revenue" -> (Analytics.cubeRevenue _),
     "distinct_counts" -> (Analytics.distinctCounts _),
     "window_running_total" -> (Analytics.windowRunningTotal _),
     "window_top_events" -> (Analytics.windowTopEvents _),
     "events_tumbling_hour" -> (Analytics.eventsTumblingHour _),
+    "events_sliding_hour" -> (Analytics.eventsSlidingHour _),
     "events_sessionize" -> (Analytics.eventsSessionize _),
     "snapshot_scan" -> (Analytics.snapshotScan _),
     "cdc_dedup_latest" -> (CdcQueries.dedupLatest _),
@@ -63,10 +65,12 @@ object SparkEntry {
     "anti_join_customers" -> Analytics.antiJoinCustomersSql,
     "setops_orderkeys" -> Analytics.setOpsOrderkeysSql,
     "rollup_revenue" -> Analytics.rollupRevenueSql,
+    "cube_revenue" -> Analytics.cubeRevenueSql,
     "distinct_counts" -> Analytics.distinctCountsSql,
     "window_running_total" -> Analytics.windowRunningTotalSql,
     "window_top_events" -> Analytics.windowTopEventsSql,
     "events_tumbling_hour" -> Analytics.eventsTumblingHourSql,
+    "events_sliding_hour" -> Analytics.eventsSlidingHourSql,
     "events_sessionize" -> Analytics.eventsSessionizeSql,
     "snapshot_scan" -> Analytics.snapshotScanSql,
     "cdc_dedup_latest" -> CdcQueries.dedupLatestSql,

@@ -303,6 +303,41 @@ object Analytics {
   // --- events: tumbling-hour aggregation (streaming M8 analog in batch) ---
   // `events.ts` arrives as an ns-epoch long (see GraftSession); the hour
   // bucket is derived via µs → timestamp → formatted string.
+  /** CUBE over the same keys as the rollup — all four grouping sets. */
+  def cubeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+  val cubeRevenueSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price, count(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** M8 sliding window: 1 h windows every 30 min — each event lands in
+    * two overlapping windows (Spark's `window()` generate-explode). */
+  def eventsSlidingHour(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.groupBy(
+        window(expr("timestamp_micros(ts div 1000)"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+  val eventsSlidingHourSql: String =
+    """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+      |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT event_type, value,
+      |    unnest([to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800),
+      |            to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800)]) AS ws
+      |  FROM events)
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   def eventsTumblingHour(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     ev.groupBy(expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd HH')").as("hour"),
