@@ -342,6 +342,31 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got == Set((2L, "b"), (4L, "new")))
   }
 
+  test("M8 in-stream: watermarked windowed change rates over the CDC source") {
+    import graft.streaming.ChangeStats
+    val root = Files.createTempDirectory("graft-stats").toString
+    writeFixtures(root) // ts 5,11,12 in file 1; 13,14 in file 2
+    val cfg = PipelineConfig(
+      incrementRoot = s"$root/increment",
+      schemaName = "tpch", tableName = "orders",
+      targetRoot = s"$root/target", checkpointDir = s"$root/ckpt-stats",
+      seed = defV100.copy(tableVersion = 0L))
+    val rates = ChangeStats.changeRates(spark, cfg, window = "10 seconds")
+    val q = rates.writeStream
+      .format("memory").queryName("change_rates").outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt-stats")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("change_rates")
+      .select("win_start", "flag", "n_changes")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, f, n) => (w.toInstant.getEpochSecond, f, n) }.toSet
+    // commit-ts seconds 5,11,12,13,14 → windows [0,10) and [10,20):
+    // I@5, I@11, U@12, D@13, U@14
+    assert(got == Set((0L, "I", 1L), (10L, "I", 1L), (10L, "U", 2L), (10L, "D", 1L)))
+  }
+
   test("registry loads schema files from the increment layout") {
     val root = Files.createTempDirectory("graft-reg").toString
     writeFixtures(root)
