@@ -5,9 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only: print Spark-side schemas of the testdata tables. */
 object SchemaProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.GraftSession.build(4, "schema-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for (t <- graft.Tables.all) {
       val df = graft.Tables.load(spark, "/root/testdata/sf0.001", t)
