@@ -23,6 +23,8 @@ object SparkEntry {
     "q6_forecast" -> (Analytics.q6Forecast _),
     "q10_returned" -> (Analytics.q10Returned _),
     "q18_large_orders" -> (Analytics.q18LargeOrders _),
+    "q14_promo" -> (Analytics.q14Promo _),
+    "asof_latest_order" -> (Analytics.asofLatestOrder _),
     "semi_join_customers" -> (Analytics.semiJoinCustomers _),
     "anti_join_customers" -> (Analytics.antiJoinCustomers _),
     "setops_orderkeys" -> (Analytics.setOpsOrderkeys _),
@@ -61,6 +63,8 @@ object SparkEntry {
     "q6_forecast" -> Analytics.q6ForecastSql,
     "q10_returned" -> Analytics.q10ReturnedSql,
     "q18_large_orders" -> Analytics.q18LargeOrdersSql,
+    "q14_promo" -> Analytics.q14PromoSql,
+    "asof_latest_order" -> Analytics.asofLatestOrderSql,
     "semi_join_customers" -> Analytics.semiJoinCustomersSql,
     "anti_join_customers" -> Analytics.antiJoinCustomersSql,
     "setops_orderkeys" -> Analytics.setOpsOrderkeysSql,

@@ -303,6 +303,77 @@ object Analytics {
   // --- events: tumbling-hour aggregation (streaming M8 analog in batch) ---
   // `events.ts` arrives as an ns-epoch long (see GraftSession); the hour
   // bucket is derived via µs → timestamp → formatted string.
+  // --- Q14-style: promo revenue share (lineitem ⋈ part) ---
+  def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.load(spark, sfDir, "part")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp_ntz"))
+    // part scales with SF → no hard broadcast hint, AQE sizes the join
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) /
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("promo_share_pct"),
+        count(lit(1)).as("n_items"))
+  }
+  val q14PromoSql: String =
+    """SELECT
+      |  100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+      |            THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+      |        / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS promo_share_pct,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
+
+  // --- AS-OF join: latest order per customer at each event time ---
+  // Spark has no ASOF JOIN; the Spark-first plan is union + running
+  // last-non-null window: ONE shuffle on the key, never an
+  // events×orders join explosion — state rows and probe rows interleave
+  // on the time axis and each probe reads the most recent state at or
+  // before its timestamp. DuckDB's native ASOF LEFT JOIN is the oracle.
+  def asofLatestOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), (col("ts") / 1000).cast("long").as("t_us"))
+    // one order image per (customer, date), deterministic via max orderkey
+    val o1 = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
+      .select(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        col("m.o_orderkey").as("o_orderkey"), col("m.o_totalprice").as("o_totalprice"))
+    val tagged = o1
+      .select(col("user_id"), col("t_us"), lit(0).as("typ"),
+        col("o_orderkey"), col("o_totalprice"), lit(null).cast("long").as("event_id"))
+      .unionByName(ev.select(col("user_id"), col("t_us"), lit(1).as("typ"),
+        lit(null).cast("long").as("o_orderkey"), lit(null).cast("double").as("o_totalprice"),
+        col("event_id")))
+    // state (typ 0) sorts before probes (typ 1) at equal time → the
+    // as-of comparison is inclusive, matching ASOF's ts >= o_orderdate
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("typ"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_price", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("typ") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("asof_orderkey").as("o_orderkey"), col("asof_price").as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+  val asofLatestOrderSql: String =
+    """WITH o1 AS (
+      |  SELECT o_custkey, o_orderdate,
+      |    arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+      |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, o1.o_orderkey, o1.o_totalprice
+      |FROM events e ASOF LEFT JOIN o1
+      |  ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   /** CUBE over the same keys as the rollup — all four grouping sets. */
   def cubeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
