@@ -337,7 +337,7 @@ object Analytics {
   // before its timestamp. DuckDB's native ASOF LEFT JOIN is the oracle.
   def asofLatestOrder(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
-      .select(col("event_id"), col("user_id"), (col("ts") / 1000).cast("long").as("t_us"))
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t_us")) // ns→µs, integer div (/ would round through double)
     // one order image per (customer, date), deterministic via max orderkey
     val o1 = Tables.load(spark, sfDir, "orders")
       .groupBy(col("o_custkey"), col("o_orderdate"))
