@@ -24,6 +24,7 @@ object SparkEntry {
     "q10_returned" -> (Analytics.q10Returned _),
     "q18_large_orders" -> (Analytics.q18LargeOrders _),
     "q14_promo" -> (Analytics.q14Promo _),
+    "q17_small_qty" -> (Analytics.q17SmallQty _),
     "asof_latest_order" -> (Analytics.asofLatestOrder _),
     "semi_join_customers" -> (Analytics.semiJoinCustomers _),
     "anti_join_customers" -> (Analytics.antiJoinCustomers _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "q10_returned" -> Analytics.q10ReturnedSql,
     "q18_large_orders" -> Analytics.q18LargeOrdersSql,
     "q14_promo" -> Analytics.q14PromoSql,
+    "q17_small_qty" -> Analytics.q17SmallQtySql,
     "asof_latest_order" -> Analytics.asofLatestOrderSql,
     "semi_join_customers" -> Analytics.semiJoinCustomersSql,
     "anti_join_customers" -> Analytics.antiJoinCustomersSql,

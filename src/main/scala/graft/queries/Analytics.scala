@@ -329,6 +329,30 @@ object Analytics {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
 
+  // --- Q17-style: correlated scalar-aggregate subquery, decorrelated ---
+  // "revenue of small-quantity orders": lineitems under 20% of their
+  // part's average quantity. Written as the decorrelated plan Catalyst
+  // would produce anyway — per-part averages via ONE hash-agg joined
+  // back on partkey — so the subquery never re-executes per row.
+  def q17SmallQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part").filter(col("p_brand") === "Brand#1")
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_cut"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"), count(lit(1)).as("n_items"))
+  }
+  val q17SmallQtySql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+
   // --- AS-OF join: latest order per customer at each event time ---
   // Spark has no ASOF JOIN; the Spark-first plan is union + running
   // last-non-null window: ONE shuffle on the key, never an
