@@ -470,8 +470,8 @@ object Analytics {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
       |FROM (
       |  SELECT user_id, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT user_id, ts, event_id, value,
       |      CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL

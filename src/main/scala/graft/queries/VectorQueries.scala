@@ -92,33 +92,48 @@ object VectorQueries {
   private val NProbe = 2
 
   def vecIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     VectorFunctions.register(spark)
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    // Nearest-centroid assignment as ONE hash aggregation: `max_by`
+    // partial-aggregates map-side, so the exchange carries one row per
+    // VECTOR — a `row_number` window here would re-shuffle all N×C
+    // scored rows (at 1 B vectors × 10 k centroids, 10^13 rows). The
+    // `(sim, -cent_id)` ordering key reproduces the window's
+    // `sim DESC, cent_id ASC` tie-break deterministically.
     val assigned = vecs.join(broadcast(cents))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(cosine(col("embedding"), col("cemb")).desc, col("cent_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("cemb")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("embedding")),
+        struct(col("csim"), (-col("cent_id")).as("tb"))).as("a"))
+      .select(col("vec_id"), col("a.embedding").as("embedding"), col("a.cent_id").as("cent_id"))
     val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+    // Per-probe top-NProbe centroids through the same bounded partial-
+    // merge aggregator (shuffle ≤ probes × NProbe rows), then rejoin the
+    // probe embedding by key.
+    val topNProbe = udaf(new TopKAgg(NProbe))
     val probeCents = probes.join(broadcast(cents))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
-        .orderBy(cosine(col("pemb"), col("cemb")).desc, col("cent_id"))))
-      .filter(col("rn") <= NProbe)
-      .select(col("probe_id"), col("pemb"), col("cent_id"))
+      .select(col("probe_id"), cosine(col("pemb"), col("cemb")).as("csim"), col("cent_id"))
+      .groupBy(col("probe_id"))
+      .agg(topNProbe(col("csim"), col("cent_id")).as("pc"))
+      .select(col("probe_id"), explode(col("pc")).as("pc"))
+      .select(col("probe_id"), col("pc.id").as("cent_id"))
+      .join(probes, Seq("probe_id"))
     val scored = probeCents.join(assigned, Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("id"),
         cosine(col("pemb"), col("embedding")).as("sim"))
-    scored
-      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
-        .orderBy(col("sim").desc, col("id"))))
-      .filter(col("rank") <= TopK)
-      .select(col("probe_id"), col("rank"), col("id").as("neighbor_id"),
-        round(col("sim"), 6).as("sim"))
+    // Final per-probe rank: TopKAgg again — bounded by the probed lists
+    // but still partial-merged, never a per-probe window shuffle.
+    val topk = udaf(new TopKAgg(TopK))
+    scored.groupBy(col("probe_id"))
+      .agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.sim"), 6).as("sim"))
       .orderBy(col("probe_id"), col("rank"))
   }
 

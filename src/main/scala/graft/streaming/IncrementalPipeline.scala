@@ -119,28 +119,35 @@ final class IncrementalPipeline(
       val changes = Envelope
         .tableFilter(rows, cfg.schemaName, cfg.tableName)
         .filter(col(Envelope.CommitTsCol) > cfg.startTso)
-      val latest = ChangeApply.dedupLatestPerKey(changes, defAt.mergeKeys)
+      // `latest` is consumed up to three times per version (touched-bucket
+      // key collect, then applyLatest's upsert rows + anti-join keys) —
+      // cache it so the CSV parse + dedup hash-agg run once per trigger,
+      // not once per consumer (`ChangeApply.applyChanges` caches for the
+      // same reason). Unpersisted after the version commit.
+      val latest = ChangeApply.dedupLatestPerKey(changes, defAt.mergeKeys).cache()
       val vId = s"b${batchId}_v$version"
-      if (defAt.tableVersion != curDef.tableVersion) {
-        // M5: DDL pending — a schema change rewrites every bucket once
-        // (unavoidable: the physical schema changes), so take the
-        // full-image path for this version.
-        val chain = curDef +: reg.ddlBetween(curDef.tableVersion, defAt.tableVersion)
-        val current = SchemaEvolution.evolveChain(target.read(), chain)
-        val merged = ChangeApply.applyLatest(current, latest, defAt.mergeKeys)
-        target.writeVersion(merged, vId)
-      } else {
-        // Steady state: partition-scoped merge. Only buckets containing
-        // touched keys are read (partition-pruned scan) and rewritten;
-        // the rest of the table is carried over by link, not rewritten —
-        // at 100 TB a 12 s trigger touches O(batch), not O(table).
-        val touched = target.touchedBuckets(latest.select(defAt.mergeKeys.map(col): _*))
-        if (touched.nonEmpty) {
-          val current = target.readBuckets(touched)
+      try {
+        if (defAt.tableVersion != curDef.tableVersion) {
+          // M5: DDL pending — a schema change rewrites every bucket once
+          // (unavoidable: the physical schema changes), so take the
+          // full-image path for this version.
+          val chain = curDef +: reg.ddlBetween(curDef.tableVersion, defAt.tableVersion)
+          val current = SchemaEvolution.evolveChain(target.read(), chain)
           val merged = ChangeApply.applyLatest(current, latest, defAt.mergeKeys)
-          target.mergeVersion(merged, touched, vId)
+          target.writeVersion(merged, vId)
+        } else {
+          // Steady state: partition-scoped merge. Only buckets containing
+          // touched keys are read (partition-pruned scan) and rewritten;
+          // the rest of the table is carried over by link, not rewritten —
+          // at 100 TB a 12 s trigger touches O(batch), not O(table).
+          val touched = target.touchedBuckets(latest.select(defAt.mergeKeys.map(col): _*))
+          if (touched.nonEmpty) {
+            val current = target.readBuckets(touched)
+            val merged = ChangeApply.applyLatest(current, latest, defAt.mergeKeys)
+            target.mergeVersion(merged, touched, vId)
+          }
         }
-      }
+      } finally latest.unpersist()
       target.writeMarker("schema_version", defAt.tableVersion.toString)
       metrics.set(metrics.Names.TableVersion, cfg.tableName, defAt.tableVersion)
       metrics.add(metrics.Names.IncrementLoadedBytes, cfg.tableName, paths.map(fileSize).sum)
