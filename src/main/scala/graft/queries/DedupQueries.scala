@@ -60,7 +60,15 @@ object DedupQueries {
   // the join survive 100x, where the round-1 version (doc_b = doc_a + 1
   // adjacent-id blocking) was a toy. Shingle construction itself is the
   // same shuffle-free per-row transform(sequence(...)) as MinHash.
+  // Recall is exact UP TO the oversized-bucket skew cap below: buckets
+  // only exceed the cap when >cap docs share their rarest shingle (a
+  // mass-duplicate population), which exact dedup collapses anyway.
   private val JaccardT = 0.5
+  // shared skew guard for every candidate self-join (prefix, minhash
+  // band, simhash half); declared BEFORE the first oracle-SQL val that
+  // interpolates it — a Scala object initializes vals in declaration
+  // order and a forward reference silently reads 0.
+  private val MinhashBucketCap = 100 // mass-duplicates are exact-dedup's job
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // shingle identity is a 64-bit xxhash, not the string: the verify
@@ -85,8 +93,19 @@ object DedupQueries {
       .select(col("doc_id"),
         explode(transform(slice(col("ts"), lit(1), p), s => s.getField("sh"))).as("psh"))
       .cache() // self-joined below: without this the dfreq pipeline runs twice
-    val cand = prefixes.select(col("psh"), col("doc_id").as("doc_a"))
-      .join(prefixes.select(col("psh"), col("doc_id").as("doc_b")), Seq("psh"))
+    // skew guard, same cap as the minhash/simhash band joins: a
+    // degenerate corpus (thousands of docs sharing their RAREST shingle,
+    // e.g. mass-duplicates) would make one prefix bucket quadratic.
+    // Dropping oversized buckets bounds the self-join at any scale; it
+    // costs recall only on mass-duplicate populations, which exact dedup
+    // already collapses. The oversized list is ≤ distinct-prefix-shingles
+    // rows of one long each → always broadcastable.
+    val oversized = prefixes.groupBy(col("psh"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
+      .select(col("psh"))
+    val capped = prefixes.join(broadcast(oversized), Seq("psh"), "left_anti")
+    val cand = capped.select(col("psh"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("psh"), col("doc_id").as("doc_b")), Seq("psh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
@@ -117,9 +136,13 @@ object DedupQueries {
       |    count(*) OVER (PARTITION BY doc_id) AS n
       |  FROM sh JOIN dfreq USING (sh)),
       |pfx AS (SELECT doc_id, sh FROM ranked WHERE rn <= n - ceil(n * $JaccardT) + 1),
+      |capped AS (
+      |  SELECT doc_id, sh FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY sh) AS bsz FROM pfx)
+      |  WHERE bsz <= $MinhashBucketCap),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM pfx a JOIN pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id)
+      |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, jaccard FROM (
       |  SELECT doc_a, doc_b,
       |    len(list_intersect(a.t, b.t))::DOUBLE
@@ -139,7 +162,6 @@ object DedupQueries {
   private val BandRows = 2 // 4 bands of 2 → catches jaccard ≳ 0.6
   private val Prime = 2147483647L
   private val ShingleN = 3
-  private val MinhashBucketCap = 100 // skew guard; exact dedup handles mass-duplicates
   // deterministic permutation params (odd multipliers)
   private val HashParams: Seq[(Long, Long)] =
     (1 to MinhashK).map(i => (2L * i * i * 1000003L + 1L, i * 7919L))

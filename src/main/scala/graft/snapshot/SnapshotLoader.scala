@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, hex, lower, unhex}
+import org.apache.spark.sql.functions.{base64, col, hex, lower, unbase64, unhex}
 import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
 
 import graft.types.{TableDefinition, TableDefJson, TidbTypeMapper}
@@ -27,10 +27,15 @@ object SnapshotLoader {
 
   /** Read a dumpling-layout CSV snapshot directory with the table's
     * typed schema (no envelope columns in snapshot files). Binary
-    * columns travel hex-encoded in the CSV (the reference's default
-    * dialect, `cmd/core.go:67-73`) because Spark's CSV source cannot
-    * carry BinaryType — they read as string and unhex here. */
-  def readSnapshotCsv(spark: SparkSession, snapshotDir: String, d: TableDefinition): DataFrame = {
+    * columns travel text-encoded in the CSV — hex for the default/
+    * snowflake/redshift dialects, base64 for bigquery
+    * (`cmd/core.go:67-73`) — because Spark's CSV source cannot carry
+    * BinaryType; they read as string and decode here. */
+  def readSnapshotCsv(
+      spark: SparkSession,
+      snapshotDir: String,
+      d: TableDefinition,
+      binaryDialect: String = "hex"): DataFrame = {
     val typed = TidbTypeMapper.toStructType(d.columns)
     val wire = StructType(typed.map {
       case StructField(n, BinaryType, nu, m) => StructField(n, StringType, nu, m)
@@ -41,6 +46,7 @@ object SnapshotLoader {
       .schema(wire)
       .csv(s"$snapshotDir/${d.schema}.${d.table}.*.csv")
     raw.select(typed.map {
+      case StructField(n, BinaryType, _, _) if binaryDialect == "base64" => unbase64(col(n)).as(n)
       case StructField(n, BinaryType, _, _) => unhex(col(n)).as(n)
       case f => col(f.name)
     }: _*)
@@ -52,14 +58,17 @@ object SnapshotLoader {
     * any loader — including [[readSnapshotCsv]] — can consume the
     * directory. Chunk parallelism is the DataFrame's partitioning
     * (dumpling's ≤16-thread dump, minus the hand-rolled pool). Binary
-    * columns are hex-encoded (default dialect). */
+    * columns encode per the dialect map `cmd/core.go:67-73`: lowercase
+    * hex for default/snowflake/redshift, base64 for bigquery. */
   def writeSnapshotCsv(
       spark: SparkSession,
       snapshot: DataFrame,
       snapshotDir: String,
-      d: TableDefinition): Seq[String] = {
+      d: TableDefinition,
+      binaryDialect: String = "hex"): Seq[String] = {
     val typed = TidbTypeMapper.toStructType(d.columns)
     val wire = snapshot.select(typed.map {
+      case StructField(n, BinaryType, _, _) if binaryDialect == "base64" => base64(col(n)).as(n)
       case StructField(n, BinaryType, _, _) => lower(hex(col(n))).as(n)
       case f => col(f.name)
     }: _*)

@@ -10,7 +10,13 @@ import graft.queries.DedupQueries
 /** The prefix-filter claim behind `dedup_ngram_jaccard` is EXACT recall:
   * every pair with 3-gram-shingle Jaccard ≥ t shares a prefix shingle,
   * so the blocked join must return exactly the brute-force all-pairs
-  * result. Checked on generated corpora with planted near-dups. */
+  * result. Checked on generated corpora with planted near-dups.
+  *
+  * The one sanctioned recall exception is the oversized-bucket skew cap:
+  * a prefix bucket larger than the cap (>cap docs sharing their RAREST
+  * shingle — a mass-duplicate population) is dropped so the self-join
+  * stays bounded instead of going quadratic; the degenerate-corpus test
+  * pins both halves of that trade. */
 class DedupRecallSpec extends AnyFunSuite {
 
   lazy val spark = GraftSession.build(4, "dedup-recall-spec")
@@ -49,6 +55,25 @@ class DedupRecallSpec extends AnyFunSuite {
       j = inter.toDouble / (sa.size + sb.size - inter)
       if j >= 0.5
     } yield (a, b)).toSet
+  }
+
+  test("degenerate corpus: oversized prefix bucket is dropped, candidates stay bounded") {
+    // 300 mass-duplicates share every shingle (one prefix bucket of 300
+    // ≫ cap=100) — without the cap the self-join alone would produce
+    // 300*299/2 ≈ 45k candidate pairs from that bucket. With it, the
+    // degenerate population contributes ZERO pairs while a normal
+    // near-dup pair elsewhere in the corpus is still found.
+    val boiler = (0 until 300).map(i => (i.toLong, "alpha bravo charlie delta echo"))
+    val pair = Seq(
+      (9100L, "golf hotel india juliet kilo lima golf hotel"),
+      (9101L, "golf hotel india juliet kilo lima golf mike"))
+    val docs = boiler ++ pair
+    val dir = Files.createTempDirectory("graft-recall-degenerate").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.ngramJaccard(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((9100L, 9101L)),
+      s"expected only the planted pair; got ${got.size} pairs: ${got.take(5)}")
   }
 
   test("prefix-filter blocking returns the exact brute-force pair set") {

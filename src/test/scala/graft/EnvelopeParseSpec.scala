@@ -30,6 +30,22 @@ class EnvelopeParseSpec extends AnyFunSuite {
     assert(got(1) == ((2L, None, "U", 12L)))
   }
 
+  test("project: binary columns decode per dialect (hex default, base64 for bigquery)") {
+    // P3 / cmd/core.go:67-73: the same CDC line can carry binary as hex
+    // (snowflake/redshift/default) or base64 (bigquery)
+    val binCols = cols :+ TableCol("3", "payload", "blob")
+    val payload = Array[Byte](0x00, 0x7f, 0xff.toByte)
+    val hexLine = Seq(s""""I","t","s","11",1,"v","007fff"""").toDF("value")
+    val b64 = java.util.Base64.getEncoder.encodeToString(payload)
+    val b64Line = Seq(s""""I","t","s","11",1,"v","$b64"""").toDF("value")
+    val gotHex = Envelope.project(Envelope.parseLines(hexLine, binCols.size), binCols)
+      .select("payload").as[Array[Byte]].collect().head
+    val gotB64 = Envelope.project(Envelope.parseLines(b64Line, binCols.size), binCols, "base64")
+      .select("payload").as[Array[Byte]].collect().head
+    assert(gotHex.toSeq == payload.toSeq)
+    assert(gotB64.toSeq == payload.toSeq)
+  }
+
   test("parseLines: a half-row (split quoted newline) fails the batch loudly") {
     // a quoted field containing a newline arrives as two physical lines
     // from the line-oriented source; the tail half parses as a short row

@@ -52,6 +52,25 @@ class SnapshotExportSpec extends AnyFunSuite {
     assert(got.map(_._4).toSeq == Seq(Some(BigDecimal("12.34")), Some(BigDecimal("0.99")), None))
   }
 
+  test("writeSnapshotCsv base64 dialect: BigQuery-style dump round-trips") {
+    // cmd/core.go:67-73 — bigquery exports binary as base64, everything
+    // else hex; the wire text must actually BE base64 and the typed
+    // reader must decode it back bit-identically.
+    val dir = Files.createTempDirectory("graft-export-b64").toString
+    val payload = Array[Byte](0x00, 0x7f, 0xff.toByte, 0x0a)
+    val df = Seq((1L, "x", payload, BigDecimal("1.00")))
+      .toDF("id", "name", "payload", "price")
+      .withColumn("price", col("price").cast("decimal(10,2)"))
+    val chunks = SnapshotLoader.writeSnapshotCsv(spark, df, dir, d, binaryDialect = "base64")
+    val wire = Files.readString(Paths.get(dir, chunks.head))
+    val b64 = java.util.Base64.getEncoder.encodeToString(payload)
+    assert(wire.contains(b64), s"wire CSV should carry base64 '$b64': $wire")
+    assert(!wire.contains("007fff0a"), s"wire CSV must not be hex: $wire")
+    val got = SnapshotLoader.readSnapshotCsv(spark, dir, d, binaryDialect = "base64")
+      .select("payload").as[Array[Byte]].collect()
+    assert(got.head.toSeq == payload.toSeq)
+  }
+
   test("ExportOnly run mode writes the dump and finishes without a stream") {
     val root = Files.createTempDirectory("graft-exportmode").toString
     val status = new graft.streaming.StatusApi
