@@ -41,7 +41,15 @@ final case class PipelineConfig(
     binaryDialect: String = "hex",
     maxFilesPerTrigger: Int = 1000,
     triggerMs: Long = 12000, // flushInterval/5 analog (cmd/core.go:284)
-    numBuckets: Int = 16) { // PK-hash buckets for partition-scoped merge
+    // PK-hash buckets for the partition-scoped merge. SIZING RULE: a
+    // merge rewrites every bucket containing a touched key, so buckets
+    // must be ≫ distinct keys per batch (or rewrites approach O(table))
+    // AND each bucket must stay rewrite-sized (a few GB): pick
+    // numBuckets ≈ max(64 × keysPerBatch, tableBytes / 2 GB). The
+    // default suits the ~GB range; at 100 TB set it explicitly (e.g.
+    // 50 000 → 2 GB buckets). The bucket_spec marker pins the choice at
+    // table creation — it cannot drift silently afterwards.
+    numBuckets: Int = 256) {
 
   /** The target is bucketed on the seed PK so merges rewrite only
     * touched buckets. PK columns are fixed for a table's lifetime (the

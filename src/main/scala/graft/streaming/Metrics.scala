@@ -44,6 +44,11 @@ final class ReplicationMetrics {
     counters.entrySet().toArray(Array.empty[java.util.Map.Entry[(String, String), AtomicLong]])
       .filter(_.getKey._2 == table)
       .map(e => e.getKey._1 -> e.getValue.get()).toMap
+
+  /** Every (name, table, value) cell — the /metrics exposition reads this. */
+  def all: Seq[(String, String, Long)] =
+    counters.entrySet().toArray(Array.empty[java.util.Map.Entry[(String, String), AtomicLong]])
+      .map(e => (e.getKey._1, e.getKey._2, e.getValue.get())).toSeq
 }
 
 /** `/info` response shape (`pkg/apiservice/api_info.go:38-70`): service

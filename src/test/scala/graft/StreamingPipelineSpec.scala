@@ -237,8 +237,56 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(Files.exists(v1.resolve(s"_bucket=${touched.head}")))
   }
 
+  test("high bucket count: a 1-key batch rewrites exactly 1 of 256 buckets") {
+    import graft.cdc.Envelope
+    import graft.merge.ChangeApply
+    val root = Files.createTempDirectory("graft-bucket256").toString
+    val t = new TargetTable(spark, root, Seq("k"), 256)
+    // 512 keys → ~all 256 buckets populated (2 keys/bucket expected)
+    val init = (1L to 512L).map(k => (k, s"v$k")).toDF("k", "v")
+    t.writeVersion(init, "v0")
+    val latest = Seq((7L, "U", 10L, "v7-updated"))
+      .toDF("k", Envelope.FlagCol, Envelope.CommitTsCol, "v")
+    val touched = t.touchedBuckets(latest.select("k"))
+    assert(touched.size == 1, s"one key → one bucket, got $touched")
+    t.mergeVersion(
+      ChangeApply.applyLatest(t.readBuckets(touched), latest, Seq("k")), touched, "v1")
+    assert(t.read().filter($"k" === 7L).as[(Long, String)].collect().toSeq ==
+      Seq((7L, "v7-updated")))
+    assert(t.read().count() == 512)
+    // every untouched populated bucket carried over AS LINKS (same inode),
+    // and only the touched bucket got new files
+    val v0 = Paths.get(root, "data_v0")
+    val v1 = Paths.get(root, "data_v1")
+    var linked = 0
+    var rewritten = 0
+    (0 until 256).foreach { b =>
+      val d0 = v0.resolve(s"_bucket=$b")
+      val d1 = v1.resolve(s"_bucket=$b")
+      if (Files.exists(d0)) {
+        val it = Files.list(d0)
+        try it.iterator().forEachRemaining { f =>
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            if (touched.contains(b)) {
+              assert(!Files.exists(d1.resolve(f.getFileName.toString)) ||
+                !Files.isSameFile(f, d1.resolve(f.getFileName.toString)),
+                s"touched bucket $b must be rewritten, not linked")
+              rewritten += 1
+            } else {
+              assert(Files.isSameFile(f, d1.resolve(f.getFileName.toString)),
+                s"untouched bucket $b must be hard-linked")
+              linked += 1
+            }
+          }
+        } finally it.close()
+      }
+    }
+    assert(rewritten >= 1, "the touched bucket must exist in v0")
+    assert(linked >= 200, s"expected ~255 untouched populated buckets, linked=$linked")
+  }
+
   test("R2: two tables replicate concurrently with per-table status/metrics") {
-    import graft.streaming.{GraftStreamingListener, ReplicationJob, ReplicationMetrics, StatusApi}
+    import graft.streaming.{ApiServer, GraftStreamingListener, ReplicationJob, ReplicationMetrics, StatusApi}
     import graft.streaming.ReplicationJob.TableJob
     val root = Files.createTempDirectory("graft-multi").toString
     val tables = Seq("t_alpha", "t_beta")
@@ -267,6 +315,14 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val status = new StatusApi
     val listener = new GraftStreamingListener(metrics, status)
     spark.streams.addListener(listener)
+    val api = new ApiServer(status, metrics) // R3: HTTP /info + /metrics
+    val apiPort = api.start()
+    def fetch(path: String): String = {
+      val conn = java.net.URI.create(s"http://127.0.0.1:$apiPort$path")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try scala.io.Source.fromInputStream(conn.getInputStream).mkString
+      finally conn.disconnect()
+    }
     try {
       val jobs = tables.map { t =>
         TableJob(
@@ -304,7 +360,24 @@ class StreamingPipelineSpec extends AnyFunSuite {
         assert(metrics.get(metrics.Names.RowsLoaded, t) > 0, s"listener rows for $t")
       }
       assert(status.render.contains(""""t_alpha""""))
-    } finally spark.streams.removeListener(listener)
+
+      // R3 over HTTP, mid-replication state visible on both endpoints
+      val info = fetch("/info")
+      assert(info.contains(""""status": "running""""), info)
+      tables.foreach { t =>
+        assert(info.contains(s""""$t": {"stage": "loading_incremental", "status": "normal""""), info)
+      }
+      val prom = fetch("/metrics")
+      assert(prom.contains("# TYPE graft_table_versions gauge"), prom)
+      tables.foreach { t =>
+        assert(prom.contains(s"""graft_table_versions{table="$t"} 100"""), prom)
+        assert(prom.contains(s"""graft_snapshot_loaded_size{table="$t"}"""), prom)
+      }
+      assert(prom.contains(s"graft_table_num ${tables.size}"), prom)
+    } finally {
+      api.stop()
+      spark.streams.removeListener(listener)
+    }
   }
 
   test("PK-less table replicates with full-row merge identity") {
