@@ -27,6 +27,10 @@ object ReplicationJob {
   case object Full extends RunMode
   case object SnapshotOnly extends RunMode
   case object IncrementalOnly extends RunMode
+  /** Reference `cmd/core.go:36`: full replication with the HTTP API
+    * service bound for the job's lifetime (`runWithServer`,
+    * `cmd/core.go:295-316`). Use [[replicateTablesCloud]]. */
+  case object Cloud extends RunMode
   /** Reference `cmd/s3.go`/`cmd/gcs.go`: dump the snapshot as
     * dumpling-layout CSV to storage, no warehouse/merge stage. */
   case object ExportOnly extends RunMode
@@ -100,6 +104,22 @@ object ReplicationJob {
         metrics.add(metrics.Names.ErrorCount, table, 1)
         TableHandle(table, None, Some(e))
     }
+  }
+
+  /** R1 `cloud` mode (`runWithServer`, `cmd/core.go:295-316`): bind the
+    * `/info` + `/metrics` API first, then replicate like Full — the
+    * operator can observe the job from its first snapshot byte. The
+    * caller owns the returned server (stop it when the job ends). */
+  def replicateTablesCloud(
+      spark: SparkSession,
+      jobs: Seq[TableJob],
+      status: StatusApi = new StatusApi,
+      metrics: ReplicationMetrics = new ReplicationMetrics,
+      apiPort: Int = 0)(
+      implicit ec: ExecutionContext = ExecutionContext.global): (ApiServer, Seq[TableHandle]) = {
+    val api = new ApiServer(status, metrics, apiPort)
+    api.start()
+    (api, replicateTables(spark, jobs, Cloud, status, metrics))
   }
 
   /** Block until every table's stream terminates (normally or not). */

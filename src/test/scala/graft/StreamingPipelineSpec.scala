@@ -315,10 +315,9 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val status = new StatusApi
     val listener = new GraftStreamingListener(metrics, status)
     spark.streams.addListener(listener)
-    val api = new ApiServer(status, metrics) // R3: HTTP /info + /metrics
-    val apiPort = api.start()
+    var api: ApiServer = null // bound by replicateTablesCloud below
     def fetch(path: String): String = {
-      val conn = java.net.URI.create(s"http://127.0.0.1:$apiPort$path")
+      val conn = java.net.URI.create(s"http://127.0.0.1:${api.boundPort}$path")
         .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
       try scala.io.Source.fromInputStream(conn.getInputStream).mkString
       finally conn.disconnect()
@@ -336,7 +335,9 @@ class StreamingPipelineSpec extends AnyFunSuite {
           () => Seq((1L, s"snap-$t"), (2L, s"gone-$t")).toDF("k", "v"),
           s"$root/snapshot-$t")
       }
-      val handles = ReplicationJob.replicateTables(spark, jobs, ReplicationJob.Full, status, metrics)
+      // R1 cloud mode: API service bound for the job's lifetime
+      val (server, handles) = ReplicationJob.replicateTablesCloud(spark, jobs, status, metrics)
+      api = server
       assert(handles.forall(_.error.isEmpty), s"no table may fail: $handles")
       handles.flatMap(_.query).foreach { q => q.processAllAvailable(); q.stop() }
 
@@ -375,7 +376,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
       }
       assert(prom.contains(s"graft_table_num ${tables.size}"), prom)
     } finally {
-      api.stop()
+      if (api != null) api.stop()
       spark.streams.removeListener(listener)
     }
   }
