@@ -25,6 +25,11 @@ object SparkEntry {
     "q18_large_orders" -> (Analytics.q18LargeOrders _),
     "q14_promo" -> (Analytics.q14Promo _),
     "q17_small_qty" -> (Analytics.q17SmallQty _),
+    "q4_priority" -> (Analytics.q4Priority _),
+    "q16_parts_supplier" -> (Analytics.q16PartsSupplier _),
+    "q19_disjunctive" -> (Analytics.q19Disjunctive _),
+    "q21_blame_supplier" -> (Analytics.q21BlameSupplier _),
+    "q22_idle_rich" -> (Analytics.q22IdleRich _),
     "asof_latest_order" -> (Analytics.asofLatestOrder _),
     "semi_join_customers" -> (Analytics.semiJoinCustomers _),
     "anti_join_customers" -> (Analytics.antiJoinCustomers _),
@@ -66,6 +71,11 @@ object SparkEntry {
     "q18_large_orders" -> Analytics.q18LargeOrdersSql,
     "q14_promo" -> Analytics.q14PromoSql,
     "q17_small_qty" -> Analytics.q17SmallQtySql,
+    "q4_priority" -> Analytics.q4PrioritySql,
+    "q16_parts_supplier" -> Analytics.q16PartsSupplierSql,
+    "q19_disjunctive" -> Analytics.q19DisjunctiveSql,
+    "q21_blame_supplier" -> Analytics.q21BlameSupplierSql,
+    "q22_idle_rich" -> Analytics.q22IdleRichSql,
     "asof_latest_order" -> Analytics.asofLatestOrderSql,
     "semi_join_customers" -> Analytics.semiJoinCustomersSql,
     "anti_join_customers" -> Analytics.antiJoinCustomersSql,

@@ -480,6 +480,161 @@ object Analytics {
       |    FROM events))
       |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // --- Q4-style: EXISTS decorrelated to a left-semi join ---------------
+  // "orders in a quarter having at least one returned item, counted by
+  // priority". The correlated EXISTS is a left-semi join on orderkey:
+  // lineitem is pre-filtered to returned rows BEFORE the join (the
+  // filter prunes ~75% of the probe side at the scan), the semi join
+  // needs no dedup of the right side, and the date filter on orders is
+  // a parquet pushdown. One shuffle on orderkey, then a tiny hash agg.
+  def q4Priority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+    val returned = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --- Q16-style: NOT IN decorrelated to a left-anti join --------------
+  // "distinct suppliers per (brand, type), excluding delinquent
+  // suppliers". The NOT-IN subquery (finite, non-null right side) is a
+  // left-anti join whose build side is tiny (suppliers with negative
+  // balance) → AQE broadcasts it; count(DISTINCT) plans as one expand +
+  // two-level hash agg — no per-group sort anywhere.
+  def q16PartsSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part").filter(col("p_type") =!= "PROMO")
+    val delinquent = Tables.load(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    li.join(delinquent, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+  }
+
+  val q16PartsSupplierSql: String =
+    """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type <> 'PROMO'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
+
+  // --- Q19-style: disjunctive join predicates --------------------------
+  // OR-of-ANDs spanning both join sides. Catalyst extracts the
+  // per-table residues (p_brand IN (...) to the part scan, quantity
+  // range to the lineitem scan) so both scans prune BEFORE the join —
+  // the query is the classic test that disjunctions don't defeat
+  // pushdown. Part scales with SF: no broadcast hint, AQE decides.
+  def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) && col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) && col("l_quantity").between(20, 50))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  // --- Q21-style: double-correlated EXISTS / NOT EXISTS ----------------
+  // "suppliers solely to blame for a returned item in multi-supplier
+  // orders". The textbook form is two correlated subqueries per
+  // lineitem row (EXISTS another supplier in the order; NOT EXISTS
+  // another supplier with a returned item); both decorrelate into ONE
+  // per-order aggregation — distinct suppliers, distinct suppliers with
+  // returns, and (when unique) that supplier — so lineitem is read and
+  // shuffled exactly once, on orderkey. `max(CASE …)` is safe because
+  // the r_supp = 1 filter guarantees uniqueness.
+  def q21BlameSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val profile = li.groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("r_supp"),
+        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("blamed"))
+      .filter(col("n_supp") >= 2 && col("r_supp") === 1)
+    profile.groupBy(col("blamed"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(supp, col("blamed") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val q21BlameSupplierSql: String =
+    """WITH prof AS (
+      |  SELECT l_orderkey,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS r_supp,
+      |    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS blamed
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT s_name, count(*) AS numwait
+      |FROM prof JOIN supplier ON blamed = s_suppkey
+      |WHERE n_supp >= 2 AND r_supp = 1
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  // --- Q22-style: scalar subquery + anti join --------------------------
+  // "rich customers gone idle": balance above the positive-balance
+  // average (scalar aggregate, broadcast as a 1-row cross join — never
+  // collected to the driver) with no orders since 2000 (anti join whose
+  // right side prunes at the orders scan). The threshold is computed
+  // decimal-exact then cast to double, so the `>` compare is the same
+  // IEEE compare in both engines. Grouped by nation (fixed cardinality
+  // → hard broadcast).
+  def q22IdleRich(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val recent = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+      .select(col("o_custkey"))
+    val threshold = cust.filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal"), count(lit(1))).as("avg_bal"))
+    cust.crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q22IdleRichSql: String =
+    """WITH threshold AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT n_name, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM customer, threshold, nation
+      |WHERE c_acctbal > avg_bal AND c_nationkey = n_nationkey
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // --- plain pushdown scan (S1 analog): projection+filter reach parquet ---
   def snapshotScan(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.load(spark, sfDir, "orders")
