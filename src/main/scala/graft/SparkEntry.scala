@@ -60,6 +60,7 @@ object SparkEntry {
     "vec_topk" -> (VectorQueries.vecTopk _),
     "vec_ann_lsh" -> (VectorQueries.vecAnnLsh _),
     "vec_ivf_topk" -> (VectorQueries.vecIvfTopk _),
+    "vec_ivf_kmeans" -> (VectorQueries.vecIvfKmeans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -106,5 +107,6 @@ object SparkEntry {
     "vec_topk" -> VectorQueries.vecTopkSql,
     "vec_ann_lsh" -> VectorQueries.vecAnnLshSql,
     "vec_ivf_topk" -> VectorQueries.vecIvfTopkSql,
+    "vec_ivf_kmeans" -> VectorQueries.vecIvfKmeansSql,
   )
 }

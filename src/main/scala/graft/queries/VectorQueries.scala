@@ -91,29 +91,28 @@ object VectorQueries {
   private val CentroidStride = 25
   private val NProbe = 2
 
-  def vecIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    VectorFunctions.register(spark)
-    val vecs = Tables.load(spark, sfDir, "embeddings")
-    val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
-    // Nearest-centroid assignment as ONE hash aggregation: `max_by`
-    // partial-aggregates map-side, so the exchange carries one row per
-    // VECTOR — a `row_number` window here would re-shuffle all N×C
-    // scored rows (at 1 B vectors × 10 k centroids, 10^13 rows). The
-    // `(sim, -cent_id)` ordering key reproduces the window's
-    // `sim DESC, cent_id ASC` tie-break deterministically.
-    val assigned = vecs.join(broadcast(cents))
+  /** Nearest-centroid assignment as ONE hash aggregation: `max_by`
+    * partial-aggregates map-side, so the exchange carries one row per
+    * VECTOR — a `row_number` window here would re-shuffle all N×C
+    * scored rows (at 1 B vectors × 10 k centroids, 10^13 rows). The
+    * `(sim, -cent_id)` ordering key reproduces the window's
+    * `sim DESC, cent_id ASC` tie-break deterministically. */
+  private def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         cosine(col("embedding"), col("cemb")).as("csim"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cent_id"), col("embedding")),
         struct(col("csim"), (-col("cent_id")).as("tb"))).as("a"))
       .select(col("vec_id"), col("a.embedding").as("embedding"), col("a.cent_id").as("cent_id"))
+
+  /** Probe the `NProbe` nearest inverted lists and rank exact cosine —
+    * both per-probe rankings run through the bounded partial-merge
+    * [[TopKAgg]] (shuffle ≤ probes × k rows), never a per-probe window
+    * shuffle. */
+  private def probeLists(vecs: DataFrame, cents: DataFrame, assigned: DataFrame): DataFrame = {
     val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
-    // Per-probe top-NProbe centroids through the same bounded partial-
-    // merge aggregator (shuffle ≤ probes × NProbe rows), then rejoin the
-    // probe embedding by key.
     val topNProbe = udaf(new TopKAgg(NProbe))
     val probeCents = probes.join(broadcast(cents))
       .select(col("probe_id"), cosine(col("pemb"), col("cemb")).as("csim"), col("cent_id"))
@@ -126,8 +125,6 @@ object VectorQueries {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("id"),
         cosine(col("pemb"), col("embedding")).as("sim"))
-    // Final per-probe rank: TopKAgg again — bounded by the probed lists
-    // but still partial-merged, never a per-probe window shuffle.
     val topk = udaf(new TopKAgg(TopK))
     scored.groupBy(col("probe_id"))
       .agg(topk(col("sim"), col("id")).as("nn"))
@@ -137,10 +134,103 @@ object VectorQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  def vecIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    probeLists(vecs, cents, assignNearest(vecs, cents))
+  }
+
   val vecIvfTopkSql: String =
     s"""WITH cents AS (
       |  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
       |  WHERE vec_id % $CentroidStride = 0),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cent_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding AS pemb FROM embeddings
+      |  WHERE vec_id % $ProbeStride = 0),
+      |probe_cents AS (
+      |  SELECT probe_id, pemb, cent_id FROM (
+      |    SELECT p.probe_id, p.pemb, c.cent_id,
+      |      row_number() OVER (PARTITION BY p.probe_id
+      |        ORDER BY list_cosine_similarity(CAST(p.pemb AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM probes p CROSS JOIN cents c)
+      |  WHERE rn <= $NProbe),
+      |scored AS (
+      |  SELECT probe_id, a.vec_id,
+      |    list_cosine_similarity(CAST(pemb AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+      |  FROM probe_cents pc JOIN assigned a ON pc.cent_id = a.cent_id AND a.vec_id != pc.probe_id),
+      |ranked AS (
+      |  SELECT probe_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM scored)
+      |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim,6) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+
+  // --- IVF with a TRAINED coarse quantizer: one Lloyd iteration --------
+  // The sampled-seed quantizer above is the bootstrap; real IVF trains
+  // k-means. One Lloyd step, all DataFrame ops: assign every vector to
+  // its seed centroid (the same one-row-per-vector hash agg), recompute
+  // each centroid as the member mean, re-assign, probe. The mean is
+  // computed in FIXED POINT — `floor(v * 2^20)` is bit-exact in every
+  // engine (a power-of-two multiply only shifts the exponent, and floor
+  // has no rounding-mode ambiguity), the int sums are exact, and the
+  // final divide + float cast are single deterministic IEEE ops — so the
+  // DuckDB oracle reproduces the trained centroids bit-for-bit, with
+  // none of the float-sum order-dependence that breaks naive means.
+  // Scale: the dim-explode multiplies rows ×D but partial-aggregates
+  // map-side; the exchange carries C×D cells, the trained centroid set
+  // stays broadcast-sized by construction.
+  private val Dims = 64
+  private val FixedPoint = 1048576L // 2^20
+
+  def vecIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val a0 = assignNearest(vecs, seeds)
+    val cells = a0.select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("cent_id"), col("dim"),
+        floor(col("v").cast("double") * FixedPoint).cast("long").as("qv"))
+    val means = cells.groupBy(col("cent_id"), col("dim"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .select(col("cent_id"), col("dim"),
+        (col("s").cast("double") / (col("n") * lit(FixedPoint.toDouble))).cast("float").as("m"))
+    val trained = means.groupBy(col("cent_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("m")))).as("mm"))
+      .select(col("cent_id"),
+        transform(sequence(lit(0), lit(Dims - 1)), i => element_at(col("mm"), i)).as("cemb"))
+    probeLists(vecs, trained, assignNearest(vecs, trained))
+  }
+
+  val vecIvfKmeansSql: String =
+    s"""WITH seeds AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
+      |  WHERE vec_id % $CentroidStride = 0),
+      |a0 AS (
+      |  SELECT vec_id, embedding, cent_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM embeddings e CROSS JOIN seeds c)
+      |  WHERE rn = 1),
+      |cells AS (
+      |  SELECT cent_id, u.dim AS dim,
+      |    CAST(floor(CAST(u.v AS DOUBLE) * $FixedPoint) AS BIGINT) AS qv
+      |  FROM a0, LATERAL (SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) - 1 AS dim) u),
+      |means AS (
+      |  SELECT cent_id, dim,
+      |    CAST(CAST(sum(qv) AS DOUBLE) / (count(*) * $FixedPoint.0) AS REAL) AS m
+      |  FROM cells GROUP BY cent_id, dim),
+      |cents AS (
+      |  SELECT cent_id, array_agg(m ORDER BY dim) AS cemb FROM means GROUP BY cent_id),
       |assigned AS (
       |  SELECT vec_id, embedding, cent_id FROM (
       |    SELECT e.vec_id, e.embedding, c.cent_id,
