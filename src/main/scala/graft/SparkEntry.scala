@@ -42,6 +42,7 @@ object SparkEntry {
     "events_tumbling_hour" -> (Analytics.eventsTumblingHour _),
     "events_sliding_hour" -> (Analytics.eventsSlidingHour _),
     "events_sessionize" -> (Analytics.eventsSessionize _),
+    "events_percentiles" -> (Analytics.eventsPercentiles _),
     "snapshot_scan" -> (Analytics.snapshotScan _),
     "cdc_dedup_latest" -> (CdcQueries.dedupLatest _),
     "cdc_merge_into" -> (CdcQueries.mergeInto _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "events_tumbling_hour" -> Analytics.eventsTumblingHourSql,
     "events_sliding_hour" -> Analytics.eventsSlidingHourSql,
     "events_sessionize" -> Analytics.eventsSessionizeSql,
+    "events_percentiles" -> Analytics.eventsPercentilesSql,
     "snapshot_scan" -> Analytics.snapshotScanSql,
     "cdc_dedup_latest" -> CdcQueries.dedupLatestSql,
     "cdc_merge_into" -> CdcQueries.mergeIntoSql,

@@ -635,6 +635,33 @@ object Analytics {
       |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // --- exact percentiles per group -------------------------------------
+  // Spark's `percentile` and DuckDB's `quantile_cont` share the same
+  // definition (linear interpolation at rank (n-1)*q over the sorted
+  // group), so the oracle can hash-check EXACT percentiles; the output
+  // is rounded to 6 decimals only to absorb last-ulp interpolation
+  // noise. Exact percentile is a sort-based aggregate — fine per group;
+  // for 100 TB global quantiles you'd reach for approx_percentile
+  // (t-digest), which has no cross-engine-identical oracle.
+  def eventsPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsPercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95,
+      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- plain pushdown scan (S1 analog): projection+filter reach parquet ---
   def snapshotScan(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.load(spark, sfDir, "orders")
