@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "dedup_simhash" -> (DedupQueries.simhash _),
     "dedup_embedding" -> (DedupQueries.dedupEmbedding _),
+    "dedup_clusters" -> (DedupQueries.dedupClusters _),
     "text_tokens" -> (TextQueries.textTokens _),
     "text_quality" -> (TextQueries.textQuality _),
     "text_langid" -> (TextQueries.textLangid _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> DedupQueries.minhashLshSql,
     "dedup_simhash" -> DedupQueries.simhashSql,
     "dedup_embedding" -> DedupQueries.dedupEmbeddingSql,
+    "dedup_clusters" -> DedupQueries.dedupClustersSql,
     "text_tokens" -> TextQueries.textTokensSql,
     "text_quality" -> TextQueries.textQualitySql,
     "text_langid" -> TextQueries.textLangidSql,

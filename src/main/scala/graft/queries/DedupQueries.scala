@@ -354,6 +354,65 @@ object DedupQueries {
       |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --- near-dup cluster consolidation ---------------------------------
+  // Pairwise near-dup detection (minhash) is only half the operator a
+  // training pipeline needs: overlapping pairs must consolidate into
+  // CLUSTERS with one canonical survivor (A~B, B~C ⇒ {A,B,C} keep min).
+  // Connected components via min-label propagation, all DataFrame ops:
+  // every node starts labelled with itself; each round pushes labels
+  // across edges and keeps the per-node min; the driver loop stops at
+  // fixpoint (no label changed). Rounds = component diameter — near-dup
+  // clusters are shallow (dup sets link pairwise), so convergence is
+  // 2-3 rounds; the alternating large-star/small-star variant is the
+  // drop-in if components with large diameters ever appear. Each round
+  // is one join + one hash agg, shuffling |V|+|E| rows — never
+  // materializing the transitive closure the way the oracle's recursive
+  // CTE does (fine for DuckDB at test scale, quadratic poison at 100 TB).
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache() // iterated over; uncached, every round would re-run minhash
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val pushed = edges.join(labels.withColumnRenamed("id", "doc_a"), Seq("doc_a"))
+        .select(col("doc_b").as("id"), col("label"))
+      val next = labels.union(pushed)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror: the same minhash pairs, components via a recursive
+    * transitive-closure CTE (aggregates are not allowed in recursive
+    * terms, so the oracle materializes reachability and takes the min —
+    * correct at oracle scale, not a pattern for the engine). */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT doc_a, doc_b FROM ($minhashLshSql)
+      |),
+      |e AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT doc_a, doc_a FROM pairs
+      |  UNION SELECT doc_b, doc_b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_a, doc_b FROM e
+      |  UNION
+      |  SELECT r.a, e.doc_b FROM reach r JOIN e ON r.b = e.doc_a)
+      |SELECT a AS doc_id, min(b) AS cluster_id
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   // --- embedding-cosine near-dup --------------------------------------
   // Feature-hash each doc into a 64-dim term-frequency vector
   // (dim = md5(token) % 64, value = count), find candidate pairs with
