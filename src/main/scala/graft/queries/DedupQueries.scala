@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -370,22 +371,40 @@ object DedupQueries {
   // CTE does (fine for DuckDB at test scale, quadratic poison at 100 TB).
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache() // iterated over; uncached, every round would re-run minhash
-    var labels = edges.select(col("doc_a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    // both directions in ONE pass over the pairs (explode, not union —
+    // a union would evaluate the whole minhash verify subtree once per
+    // branch), cached because every propagation round re-reads it
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+      .cache()
+    // Convergence bookkeeping: labels only ever DECREASE, so the label
+    // sum strictly decreases until fixpoint — one decimal-exact
+    // aggregate per round instead of a prev-vs-next join. Seed labels
+    // with the first neighbor-min round directly (identity ∪ neighbors),
+    // skipping the no-op identity round.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var labels = edges
+      .select(col("doc_a").as("id"), col("doc_a").as("label"))
+      .union(edges.select(col("doc_a").as("id"), col("doc_b").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+      .cache()
+    var prevSum = labelSum(labels)
+    var rounds = 1
+    var converged = false
+    while (!converged && rounds < 20) {
       val pushed = edges.join(labels.withColumnRenamed("id", "doc_a"), Seq("doc_a"))
         .select(col("doc_b").as("id"), col("label"))
       val next = labels.union(pushed)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      labels.unpersist()
       labels = next
+      prevSum = nextSum
       rounds += 1
     }
     edges.unpersist()
