@@ -57,6 +57,7 @@ object SparkEntry {
     "text_quality" -> (TextQueries.textQuality _),
     "text_langid" -> (TextQueries.textLangid _),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
+    "corpus_filter" -> (TextQueries.corpusFilter _),
     "mm_decode_meta" -> (MediaQueries.mmDecodeMeta _),
     "mm_frame_sample" -> (MediaQueries.mmFrameSample _),
     "vec_topk" -> (VectorQueries.vecTopk _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "text_quality" -> TextQueries.textQualitySql,
     "text_langid" -> TextQueries.textLangidSql,
     "text_fingerprint" -> TextQueries.textFingerprintSql,
+    "corpus_filter" -> TextQueries.corpusFilterSql,
     "mm_decode_meta" -> MediaQueries.mmDecodeMetaSql,
     "mm_frame_sample" -> MediaQueries.mmFrameSampleSql,
     "vec_topk" -> VectorQueries.vecTopkSql,

@@ -120,6 +120,62 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // --- the composed corpus filter: dedup ∩ quality ∩ language ----------
+  // What a training-data pipeline actually runs nightly: one pass that
+  // keeps a document iff it is (a) the canonical copy of its exact-dup
+  // class (min doc_id per normalized content hash), (b) above the
+  // quality threshold, (c) in the target language. Every stage reuses
+  // the per-row expressions above; the only shuffle is the dedup
+  // hash-agg + the keep-id join (build side = one row per distinct
+  // hash, AQE-broadcast while it fits).
+  private val QualityThreshold = 0.4
+
+  def corpusFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val stopArr = array(stopEn.map(lit): _*)
+    val quality =
+      size(filter(t, x => array_contains(stopArr, x))).cast("double") / nTok * lit(2.0) +
+      size(array_distinct(t)).cast("double") / nTok +
+      length(regexp_replace(col("text"), "[^a-z0-9]", "")).cast("double") /
+        length(col("text")).cast("double") - lit(1.0)
+    val enArr = array(langStops.toMap.apply("en").map(lit): _*)
+    val deArr = array(langStops.toMap.apply("de").map(lit): _*)
+    val en = size(filter(t, x => array_contains(enArr, x)))
+    val de = size(filter(t, x => array_contains(deArr, x)))
+    val scored = docs.select(col("doc_id"), col("text"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
+        quality.as("quality"), (en >= de).as("is_en"))
+    val keepers = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    scored.join(keepers, Seq("fp", "doc_id"), "left_semi")
+      .filter(col("quality") >= QualityThreshold && col("is_en"))
+      .select(col("doc_id"), round(col("quality"), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusFilterSql: String = {
+    val stop = stopEn.map(s => s"'$s'").mkString("[", ", ", "]")
+    val enStop = langStops.toMap.apply("en").map(s => s"'$s'").mkString("[", ", ", "]")
+    val deStop = langStops.toMap.apply("de").map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+      |  SELECT doc_id,
+      |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+      |    len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks) * 2.0
+      |      + len(list_distinct(toks))::DOUBLE / len(toks)
+      |      + length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)
+      |      - 1.0 AS quality,
+      |    len(list_filter(toks, x -> list_contains($enStop, x)))
+      |      >= len(list_filter(toks, x -> list_contains($deStop, x))) AS is_en
+      |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+      |        FROM documents)),
+      |keepers AS (SELECT fp, min(doc_id) AS doc_id FROM scored GROUP BY fp)
+      |SELECT s.doc_id, round(s.quality, 6) AS quality
+      |FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.doc_id
+      |WHERE s.quality >= $QualityThreshold AND s.is_en
+      |ORDER BY s.doc_id""".stripMargin
+  }
+
   // --- document fingerprinting: normalized-content hash + source stats ---
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")

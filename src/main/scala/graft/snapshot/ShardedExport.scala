@@ -1,0 +1,80 @@
+package graft.snapshot
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sharded export for training-data consumption — the last
+  * stage of the LLM-pipeline surface: a filtered corpus lands as N
+  * hash-sharded parquet directories plus a manifest, so a downstream
+  * loader can map shard → worker with no coordination.
+  *
+  * Scale design: the shard id is `pmod(hash(key), n)` — a pure function
+  * of the key, so re-exports place every row in the same shard (stable
+  * incremental refresh) and the assignment needs no global sort or
+  * sampling pass. `repartition(n, shard)` gives one task per shard
+  * (balanced by the same hash), `partitionBy(shard)` makes each shard a
+  * self-describing directory; write + manifest commit through a tmp-dir
+  * rename, the same atomic-swap protocol as [[TargetTable]].
+  */
+object ShardedExport {
+
+  final case class Manifest(numShards: Int, totalRows: Long, rowsPerShard: Map[Int, Long])
+
+  private val ShardCol = "_shard"
+
+  /** Write `df` as `numShards` hash-sharded parquet dirs under `outDir`
+    * (`_shard=K/`), plus `_manifest.json`. Returns the manifest. */
+  def writeShards(df: DataFrame, keyCol: String, outDir: String, numShards: Int): Manifest = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val root = Paths.get(outDir)
+    Files.createDirectories(root.getParent match { case null => root; case p => p })
+    val tmp = root.resolveSibling(root.getFileName.toString + ".tmp")
+    deleteRecursively(tmp)
+    val sharded = df.withColumn(ShardCol, pmod(hash(col(keyCol)), lit(numShards)))
+    sharded
+      .repartition(numShards, col(ShardCol))
+      .write.partitionBy(ShardCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // per-shard counts from the written files (counts what actually
+    // landed, not what the plan intended)
+    val spark = df.sparkSession
+    val counts = spark.read.parquet(tmp.toString)
+      .groupBy(col(ShardCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val manifest = Manifest(numShards, counts.values.sum, counts)
+    Files.writeString(tmp.resolve("_manifest.json"), renderManifest(manifest))
+    deleteRecursively(root)
+    Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+    manifest
+  }
+
+  def readManifest(outDir: String): Manifest = {
+    val text = Files.readString(Paths.get(outDir, "_manifest.json"))
+    val num = """"num_shards"\s*:\s*(\d+)""".r.findFirstMatchIn(text).get.group(1).toInt
+    val total = """"total_rows"\s*:\s*(\d+)""".r.findFirstMatchIn(text).get.group(1).toLong
+    val per = """"(\d+)"\s*:\s*(\d+)""".r.findAllMatchIn(text)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    Manifest(num, total, per)
+  }
+
+  /** One shard as a DataFrame (partition-pruned read of `_shard=K`). */
+  def readShard(spark: org.apache.spark.sql.SparkSession, outDir: String, shard: Int): DataFrame =
+    spark.read.parquet(outDir)
+      .filter(col(ShardCol) === shard)
+      .drop(ShardCol)
+
+  private def renderManifest(m: Manifest): String = {
+    val per = m.rowsPerShard.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    s"""{"num_shards": ${m.numShards}, "total_rows": ${m.totalRows}, "rows_per_shard": $per}"""
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Using.resource(Files.list(p))(_.iterator().asScala.toList).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
