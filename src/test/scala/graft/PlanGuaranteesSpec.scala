@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the properties the 100 TB scale
+  * story depends on. Correctness gates can't catch a plan that silently
+  * degrades (a window sneaking back into centroid assignment, a
+  * broadcast hint lost, a filter no longer reaching the scan) — these
+  * assertions pin the SHAPE, so a regression fails loudly in CI instead
+  * of surfacing as a 100× slowdown on a cluster.
+  */
+class PlanGuaranteesSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.build(4, "plan-guarantees-spec")
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    out.toString("UTF-8")
+  }
+
+  test("ANN queries plan no per-probe/per-vector Window — bounded aggregation only") {
+    // a row_number window over corpus×centroids re-shuffles N×C rows;
+    // the whole point of TopKAgg/max_by is that it never appears
+    Seq(
+      "vec_topk" -> SparkEntry.queries("vec_topk"),
+      "vec_ivf_topk" -> SparkEntry.queries("vec_ivf_topk"),
+      "vec_ivf_kmeans" -> SparkEntry.queries("vec_ivf_kmeans")
+    ).foreach { case (name, fn) =>
+      val plan = physical(fn(spark, sf))
+      assert(!plan.contains("Window"), s"$name plans a Window:\n${plan.take(2000)}")
+    }
+  }
+
+  test("candidate-join dedup queries never plan a cartesian product") {
+    Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_embedding", "vec_ann_lsh").foreach { name =>
+      val plan = physical(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to an all-pairs join:\n${plan.take(2000)}")
+    }
+  }
+
+  test("decorrelated subqueries keep their semi/anti join types") {
+    val q4 = physical(SparkEntry.queries("q4_priority")(spark, sf))
+    assert(q4.contains("LeftSemi"), s"q4 lost its semi join:\n${q4.take(2000)}")
+    Seq("q16_parts_supplier", "q22_idle_rich", "anti_join_customers").foreach { name =>
+      val plan = physical(SparkEntry.queries(name)(spark, sf))
+      assert(plan.contains("LeftAnti"), s"$name lost its anti join:\n${plan.take(2000)}")
+    }
+  }
+
+  test("fixed-cardinality dims stay hard-broadcast in the star join") {
+    val plan = physical(SparkEntry.queries("q5_region_revenue")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q5 lost its dim broadcasts:\n${plan.take(2000)}")
+  }
+
+  test("filters and projection reach the parquet scan") {
+    val f = formatted(SparkEntry.queries("snapshot_scan")(spark, sf))
+    assert(f.contains("PushedFilters: [IsNotNull"),
+      s"snapshot_scan pushdown missing:\n${f.take(2000)}")
+    // projection pruning: the scan must not read all 6 orders columns
+    assert(f.contains("ReadSchema") &&
+      !f.contains("o_orderpriority"),
+      s"snapshot_scan reads columns the query never uses:\n${f.take(2000)}")
+  }
+
+  test("disjunctive predicates still prune both scans (q19)") {
+    val f = formatted(SparkEntry.queries("q19_disjunctive")(spark, sf))
+    assert(f.contains("EqualTo(p_brand,Brand#12"),
+      s"q19 part-side pushdown missing:\n${f.take(3000)}")
+    assert(f.contains("GreaterThanOrEqual(l_quantity,1.0"),
+      s"q19 lineitem-side pushdown missing:\n${f.take(3000)}")
+  }
+}
