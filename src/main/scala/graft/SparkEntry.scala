@@ -43,6 +43,7 @@ object SparkEntry {
     "events_sliding_hour" -> (Analytics.eventsSlidingHour _),
     "events_sessionize" -> (Analytics.eventsSessionize _),
     "events_percentiles" -> (Analytics.eventsPercentiles _),
+    "events_props_agg" -> (Analytics.eventsPropsAgg _),
     "snapshot_scan" -> (Analytics.snapshotScan _),
     "cdc_dedup_latest" -> (CdcQueries.dedupLatest _),
     "cdc_merge_into" -> (CdcQueries.mergeInto _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "events_sliding_hour" -> Analytics.eventsSlidingHourSql,
     "events_sessionize" -> Analytics.eventsSessionizeSql,
     "events_percentiles" -> Analytics.eventsPercentilesSql,
+    "events_props_agg" -> Analytics.eventsPropsAggSql,
     "snapshot_scan" -> Analytics.snapshotScanSql,
     "cdc_dedup_latest" -> CdcQueries.dedupLatestSql,
     "cdc_merge_into" -> CdcQueries.mergeIntoSql,

@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Spark extension entry point: `--conf
+  * spark.sql.extensions=graft.functions.GraftExtensions` registers the
+  * engine's native expressions in every session built from that config —
+  * no imperative `register` call, works for pure-SQL users and
+  * thrift/connect servers where nobody owns session setup code.
+  * (`VectorFunctions.register` remains for programmatic use; both routes
+  * resolve to the same codegen'd expression.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

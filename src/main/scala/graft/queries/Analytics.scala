@@ -635,6 +635,30 @@ object Analytics {
       |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // --- JSON property extraction + aggregation --------------------------
+  // Semi-structured ops over the events `props` JSON column:
+  // `get_json_object` is codegen'd per-row extraction (no UDF), the agg
+  // is an ordinary hash agg. Oracle note: DuckDB's sum(BIGINT) returns
+  // HUGEINT which pandas renders float64 — CAST to BIGINT (the
+  // events_sessionize lesson, VERDICT r2 #1).
+  def eventsPropsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    ev.select(col("event_type"), k.as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("n_distinct_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsPropsAggSql: String =
+    """SELECT event_type, count(*) AS n, count(DISTINCT k) AS n_distinct_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |WHERE k IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- exact percentiles per group -------------------------------------
   // Spark's `percentile` and DuckDB's `quantile_cont` share the same
   // definition (linear interpolation at rank (n-1)*q over the sorted

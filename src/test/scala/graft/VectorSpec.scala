@@ -31,6 +31,38 @@ class VectorSpec extends AnyFunSuite {
     (3L, Seq(-1.0f, 2.0f, 0.0f, 1.0f)),
     (4L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
 
+  test("GraftExtensions registers cosine_sim for pure-SQL sessions") {
+    // an isolated session whose ONLY registration route is the
+    // extensions class — proves pure-SQL users need no register() call.
+    // `withExtensions(new GraftExtensions)` is the same injection path
+    // `spark.sql.extensions=graft.functions.GraftExtensions` takes; the
+    // config form is static (read at first SparkContext creation), so a
+    // shared-context test suite can only exercise it programmatically.
+    spark // force the shared session to exist before parking it
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]").appName("ext-spec")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val one = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      one.createOrReplaceTempView("ext_vecs")
+      val sim = s2.sql("SELECT cosine_sim(a, b) AS sim FROM ext_vecs")
+        .collect().head.getDouble(0)
+      assert(math.abs(sim - 1.0) < 1e-12)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("cosine_sim matches a Scala-side computation (codegen on and off)") {
     val df = vecs.toDF("id", "emb")
     val pairs = df.select(col("id").as("a"), col("emb").as("ea"))
