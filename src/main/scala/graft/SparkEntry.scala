@@ -59,6 +59,7 @@ object SparkEntry {
     "text_langid" -> (TextQueries.textLangid _),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
     "corpus_filter" -> (TextQueries.corpusFilter _),
+    "corpus_mixture" -> (TextQueries.corpusMixture _),
     "mm_decode_meta" -> (MediaQueries.mmDecodeMeta _),
     "mm_frame_sample" -> (MediaQueries.mmFrameSample _),
     "vec_topk" -> (VectorQueries.vecTopk _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "text_langid" -> TextQueries.textLangidSql,
     "text_fingerprint" -> TextQueries.textFingerprintSql,
     "corpus_filter" -> TextQueries.corpusFilterSql,
+    "corpus_mixture" -> TextQueries.corpusMixtureSql,
     "mm_decode_meta" -> MediaQueries.mmDecodeMetaSql,
     "mm_frame_sample" -> MediaQueries.mmFrameSampleSql,
     "vec_topk" -> VectorQueries.vecTopkSql,

@@ -176,6 +176,39 @@ object TextQueries {
       |ORDER BY s.doc_id""".stripMargin
   }
 
+  // --- data-mixture sampling: per-source rates, hash-deterministic -----
+  // Training mixtures weight sources differently (keep 100% of one
+  // corpus, 25% of another). Selection is a pure function of doc_id —
+  // `md5(doc_id) mod 100 < rate` — NOT `rand()`: replays, incremental
+  // refreshes, and the cross-engine oracle all see the same sample, and
+  // the filter is per-row/shuffle-free. The md5-derived bucket is
+  // uniform and computable identically in DuckDB.
+  // sources are src0..srcN; the mixture weights them 100/75/50/25% by
+  // index mod 4 (stand-in for a configured per-corpus rate table)
+  def corpusMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"), lit(100))
+    val srcIdx = substring(col("source"), 4, 4).cast("int")
+    val rate = when(pmod(srcIdx, lit(4)) === 0, 100)
+      .when(pmod(srcIdx, lit(4)) === 1, 75)
+      .when(pmod(srcIdx, lit(4)) === 2, 50)
+      .otherwise(25)
+    docs.filter(bucket < rate)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"))
+      .orderBy(col("source"))
+  }
+
+  val corpusMixtureSql: String =
+    """SELECT source, count(*) AS n_kept, min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      |      < (CASE CAST(substr(source, 4) AS INT) % 4
+      |           WHEN 0 THEN 100 WHEN 1 THEN 75 WHEN 2 THEN 50 ELSE 25 END)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // --- document fingerprinting: normalized-content hash + source stats ---
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
