@@ -573,11 +573,17 @@ object Analytics {
   def q21BlameSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val supp = Tables.load(spark, sfDir, "supplier")
-    val profile = li.groupBy(col("l_orderkey"))
+    // two-level aggregation instead of two countDistincts: a multi-
+    // distinct agg plans an Expand that triples lineitem before the
+    // shuffle; collapsing to (order, supplier) grain first gives two
+    // plain hash aggs, both map-side partial, no row multiplication.
+    val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("returned"))
+    val profile = perSupp.groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("r_supp"),
-        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("blamed"))
+        count(lit(1)).as("n_supp"),
+        sum(col("returned")).as("r_supp"),
+        max(when(col("returned") === 1, col("l_suppkey"))).as("blamed"))
       .filter(col("n_supp") >= 2 && col("r_supp") === 1)
     profile.groupBy(col("blamed"))
       .agg(count(lit(1)).as("numwait"))

@@ -55,6 +55,12 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     }
   }
 
+  test("q21's double decorrelation plans two hash aggs, no Expand") {
+    val plan = physical(SparkEntry.queries("q21_blame_supplier")(spark, sf))
+    assert(!plan.contains("Expand"),
+      s"q21 regressed to a multi-distinct Expand:\n${plan.take(2000)}")
+  }
+
   test("fixed-cardinality dims stay hard-broadcast in the star join") {
     val plan = physical(SparkEntry.queries("q5_region_revenue")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
