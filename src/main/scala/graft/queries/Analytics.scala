@@ -604,6 +604,83 @@ object Analytics {
       |WHERE n_supp >= 2 AND r_supp = 1
       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
 
+  // --- Q7-style: bilateral volume between two nations ------------------
+  // lineitem joins BOTH dimension paths (supplier→nation and
+  // customer→nation via orders) with a cross-pair predicate. nation is
+  // fixed-cardinality → two hard broadcasts; the pair filter reduces at
+  // the join, the year bucket groups shipping volume. The one big
+  // shuffle is lineitem⋈orders on orderkey, everything else rides it.
+  def q7NationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val n1 = broadcast(nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation").isin("NATION_1", "NATION_2") &&
+        col("cust_nation").isin("NATION_1", "NATION_2") &&
+        col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7NationVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_1', 'NATION_2') AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // --- Q8-style: market share via conditional aggregation --------------
+  // share = sum(revenue WHERE supplier is the target nation) /
+  // sum(revenue), per year — the conditional-numerator pattern (same as
+  // Q14's promo share) over the full star join; one grouped aggregate,
+  // no second pass over the fact table.
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val part = Tables.load(spark, sfDir, "part").filter(col("p_type") === "PROMO")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((dsum(when(col("n_name") === "NATION_3", vol).otherwise(lit(0.0))) /
+        dsum(vol)).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(sum(CAST(CASE WHEN n_name = 'NATION_3'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+      |  / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- Q22-style: scalar subquery + anti join --------------------------
   // "rich customers gone idle": balance above the positive-balance
   // average (scalar aggregate, broadcast as a 1-row cross join — never
