@@ -190,23 +190,49 @@ object VectorQueries {
   private val Dims = 64
   private val FixedPoint = 1048576L // 2^20
 
-  def vecIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
-    VectorFunctions.register(spark)
-    val vecs = Tables.load(spark, sfDir, "embeddings")
-    val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
-    val a0 = assignNearest(vecs, seeds)
-    val cells = a0.select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+  /** One Lloyd step: assign every vector to its nearest centroid, then
+    * recompute each centroid as its members' fixed-point-exact mean.
+    * Empty clusters vanish (standard k-means semantics). Exchange costs:
+    * one row per vector for assignment, C×D cells for the means. */
+  private[graft] def lloydStep(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val cells = assignNearest(vecs, cents)
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("cent_id"), col("dim"),
         floor(col("v").cast("double") * FixedPoint).cast("long").as("qv"))
-    val means = cells.groupBy(col("cent_id"), col("dim"))
+    cells.groupBy(col("cent_id"), col("dim"))
       .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
       .select(col("cent_id"), col("dim"),
         (col("s").cast("double") / (col("n") * lit(FixedPoint.toDouble))).cast("float").as("m"))
-    val trained = means.groupBy(col("cent_id"))
+      .groupBy(col("cent_id"))
       .agg(map_from_entries(collect_list(struct(col("dim"), col("m")))).as("mm"))
       .select(col("cent_id"),
         transform(sequence(lit(0), lit(Dims - 1)), i => element_at(col("mm"), i)).as("cemb"))
+  }
+
+  /** Multi-iteration k-means over (vec_id, embedding): seeds by id
+    * stride, then `iters` Lloyd steps. Intermediate centroid frames are
+    * materialized to the driver (bounded — an IVF quantizer IS
+    * driver-held model state, same as the broadcast in assignNearest)
+    * so the lineage does not stack `iters` corpus joins into one plan;
+    * the final step stays lazy for the caller's own plan. */
+  def trainCentroids(vecs: DataFrame, seedStride: Int, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative: $iters")
+    var cents = vecs.filter(col("vec_id") % seedStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    (0 until iters).foreach { i =>
+      val next = lloydStep(vecs, cents)
+      cents =
+        if (i < iters - 1)
+          vecs.sparkSession.createDataFrame(next.collectAsList(), next.schema)
+        else next
+    }
+    cents
+  }
+
+  def vecIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val trained = trainCentroids(vecs, CentroidStride, iters = 1)
     probeLists(vecs, trained, assignNearest(vecs, trained))
   }
 
