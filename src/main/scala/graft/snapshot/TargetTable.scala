@@ -54,6 +54,24 @@ final class TargetTable(
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
 
+  /** Retained version ids, oldest first (commit order from `_history`;
+    * gc keeps the newest 2, so this is the time-travel window). */
+  def versions: Seq[String] =
+    readMarker("history").map(_.split("\n").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      .map(_.stripPrefix("data_"))
+      .filter(v => Files.isDirectory(rootPath.resolve(s"data_$v")))
+
+  /** Time-travel read of a retained version ("AS OF" on the version
+    * id): old images share untouched bucket files with newer ones by
+    * hard link, so history costs O(changed buckets), not O(table). */
+  def readAt(version: String): DataFrame = {
+    val dir = rootPath.resolve(s"data_$version")
+    require(Files.isDirectory(dir),
+      s"version $version not retained (have: ${versions.mkString(", ")})")
+    val df = spark.read.parquet(dir.toString)
+    if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+  }
+
   /** Partition-pruned logical read of just the given buckets — the scan
     * only lists/reads `_bucket=K` directories for K in `buckets`. */
   def readBuckets(buckets: Seq[Int]): DataFrame = {

@@ -285,6 +285,32 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(linked >= 200, s"expected ~255 untouched populated buckets, linked=$linked")
   }
 
+  test("time travel: retained versions readable AS OF, shared via links") {
+    import graft.cdc.Envelope
+    import graft.merge.ChangeApply
+    val root = Files.createTempDirectory("graft-timetravel").toString
+    val t = new TargetTable(spark, root, Seq("k"), 4)
+    t.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "v0")
+    val latest = Seq((1L, "U", 10L, "a2")).toDF("k", Envelope.FlagCol, Envelope.CommitTsCol, "v")
+    val touched = t.touchedBuckets(latest.select("k"))
+    t.mergeVersion(ChangeApply.applyLatest(t.readBuckets(touched), latest, Seq("k")), touched, "v1")
+
+    assert(t.versions == Seq("v0", "v1"))
+    assert(t.readAt("v0").as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")),
+      "the pre-merge image must still read exactly")
+    assert(t.readAt("v1").as[(Long, String)].collect().toSet == Set((1L, "a2"), (2L, "b")))
+    assert(t.read().as[(Long, String)].collect().toSet == Set((1L, "a2"), (2L, "b")))
+    intercept[IllegalArgumentException](t.readAt("v99"))
+
+    // gc keeps 2: a third version evicts v0 from the travel window
+    val l2 = Seq((2L, "U", 20L, "b2")).toDF("k", Envelope.FlagCol, Envelope.CommitTsCol, "v")
+    val t2 = t.touchedBuckets(l2.select("k"))
+    t.mergeVersion(ChangeApply.applyLatest(t.readBuckets(t2), l2, Seq("k")), t2, "v2")
+    assert(t.versions == Seq("v1", "v2"))
+    assert(t.readAt("v1").as[(Long, String)].collect().toSet == Set((1L, "a2"), (2L, "b")),
+      "hard-linked files must survive the old version's deletion")
+  }
+
   test("R2: two tables replicate concurrently with per-table status/metrics") {
     import graft.streaming.{ApiServer, GraftStreamingListener, ReplicationJob, ReplicationMetrics, StatusApi}
     import graft.streaming.ReplicationJob.TableJob
