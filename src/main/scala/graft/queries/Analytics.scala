@@ -769,6 +769,125 @@ object Analytics {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- Q9-style: product-type profit by nation and year ----------------
+  // The testdata has no partsupp, so supply cost is p_retailprice ×
+  // quantity (same shape: a per-part attribute priced into the fact
+  // row). One pass over the star join, decimal-exact profit sum. The
+  // p_name filter prunes part BEFORE the join; AQE broadcasts the
+  // filtered part side while it fits.
+  def q9ProfitByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val part = Tables.load(spark, sfDir, "part").filter(col("p_name").contains("red"))
+    val nation = Tables.load(spark, sfDir, "nation")
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(profit).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProfitByNationSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |      - p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  // --- Q12-style: shipping-delay conditional counts --------------------
+  // Late/on-time split per order priority: one lineitem⋈orders shuffle
+  // on orderkey, then CASE-conditional counts in a single hash agg (the
+  // Q8/Q14 conditional-numerator pattern applied to counts). Oracle
+  // note: DuckDB sum(int) is HUGEINT → CAST AS BIGINT both sides.
+  def q12ShipDelay(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(late, 1L).otherwise(0L)).as("late_count"),
+        sum(when(late, 0L).otherwise(1L)).as("ontime_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q12ShipDelaySql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+      |  CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 0 ELSE 1 END) AS BIGINT) AS ontime_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --- Q13-style: customer order-count distribution --------------------
+  // The one outer-join-shaped aggregate in the suite: customers with
+  // ZERO orders must survive (left join, count(o_orderkey) skips nulls)
+  // — a semi/inner join would silently drop the c_count=0 bucket. Two
+  // hash aggs: per-customer count (shuffle on custkey — at 100 TB this
+  // is the natural partitioning of both sides), then the tiny histogram.
+  def q13OrderDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val ord = Tables.load(spark, sfDir, "orders")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13OrderDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --- Q15-style: top supplier by quarterly revenue --------------------
+  // The classic view + scalar-max pattern, decorrelated: the per-supplier
+  // revenue aggregate is computed ONCE, its max is a 1-row broadcast
+  // joined back on equality (exact: both sides are the same decimal-sum
+  // double). No window over a single global partition, no second scan of
+  // lineitem.
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val rev = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-04-01").cast("timestamp_ntz"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   // --- plain pushdown scan (S1 analog): projection+filter reach parquet ---
   def snapshotScan(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.load(spark, sfDir, "orders")
