@@ -209,6 +209,49 @@ object TextQueries {
       |           WHEN 0 THEN 100 WHEN 1 THEN 75 WHEN 2 THEN 50 ELSE 25 END)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --- repetition filter: duplicate/top 2-gram fractions ---------------
+  // The Gopher-style repetition signals: a doc whose most frequent
+  // 2-gram dominates, or whose 2-grams are mostly non-unique, is
+  // boilerplate/spam. Plan: build 2-grams per row (array expressions,
+  // no shuffle), explode, then TWO hash aggs — (doc, gram) counts, then
+  // per-doc stats. Both aggs partial-aggregate map-side; shuffle rows =
+  // distinct grams per doc, linear in corpus size at 100 TB. The ratios
+  // are int/int divides — bit-identical doubles in both engines.
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t = toks(col("text"))
+    val grams = docs
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_2grams"),
+        (max(col("c")).cast("double") / sum(col("c"))).as("top2_frac"),
+        (sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") / sum(col("c")))
+          .as("dup2_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    """SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_2grams,
+      |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top2_frac,
+      |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup2_frac
+      |FROM (
+      |  SELECT doc_id, gram, count(*) AS c
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |          FROM documents)
+      |    WHERE len(toks) >= 2)
+      |  GROUP BY doc_id, gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --- document fingerprinting: normalized-content hash + source stats ---
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
