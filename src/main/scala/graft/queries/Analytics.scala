@@ -861,11 +861,16 @@ object Analytics {
   // lineitem.
   def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val supp = Tables.load(spark, sfDir, "supplier")
+    // cached: the view is read twice (max + equality probe) and without
+    // the cache Spark re-derives BOTH subtrees from the fact table — two
+    // full lineitem scans at 100 TB. Cached it is one scan plus a
+    // supplier-sized (one row per supplier) in-memory relation.
     val rev = Tables.load(spark, sfDir, "lineitem")
       .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
         col("l_shipdate") < lit("1998-04-01").cast("timestamp_ntz"))
       .groupBy(col("l_suppkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+      .cache()
     val mx = rev.agg(max(col("total_revenue")).as("mx"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_revenue") === col("mx"))

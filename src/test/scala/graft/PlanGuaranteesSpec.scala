@@ -77,6 +77,25 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"snapshot_scan reads columns the query never uses:\n${f.take(2000)}")
   }
 
+  test("q13 keeps its outer join; q15 and text_repetition stay window-free") {
+    // q13's zero-order bucket only exists under LeftOuter — an optimizer
+    // rewrite to inner/semi silently drops it
+    val q13 = physical(SparkEntry.queries("q13_order_dist")(spark, sf))
+    assert(q13.contains("LeftOuter"), s"q13 lost its outer join:\n${q13.take(2000)}")
+    // q15's scalar max is a 1-row broadcast, NOT a rank() over a single
+    // global partition (which would funnel every supplier into one task)
+    val q15 = physical(SparkEntry.queries("q15_top_supplier")(spark, sf))
+    assert(!q15.contains("Window"), s"q15 regressed to a global window:\n${q15.take(2000)}")
+    // q15's revenue view must be computed once: the cache means one
+    // lineitem scan, not one per consumer subtree
+    assert(q15.contains("InMemoryTableScan"),
+      s"q15 re-derives the revenue view from the fact table:\n${q15.take(2000)}")
+    SparkEntry.queries("q15_top_supplier")(spark, sf).sparkSession.catalog.clearCache()
+    val rep = physical(SparkEntry.queries("text_repetition")(spark, sf))
+    assert(!rep.contains("Window") && !rep.contains("CartesianProduct"),
+      s"text_repetition plan degenerated:\n${rep.take(2000)}")
+  }
+
   test("disjunctive predicates still prune both scans (q19)") {
     val f = formatted(SparkEntry.queries("q19_disjunctive")(spark, sf))
     assert(f.contains("EqualTo(p_brand,Brand#12"),
