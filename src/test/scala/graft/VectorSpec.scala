@@ -111,6 +111,32 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF recall@5 vs brute force is measured and bounded") {
+    // ANN without a recall number is not an operator, it's a hope. On
+    // the deterministic sf0.001 corpus, compare each IVF variant's
+    // top-5 to the exact brute-force top-5 per probe. nprobe=2 of ~40
+    // lists bounds recall away from 1.0 by design; the floor asserts
+    // the inverted lists actually group neighbors (random assignment
+    // would score ~nprobe/nlists ≈ 0.05).
+    val sf = "/root/testdata/sf0.001"
+    def nn(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf)
+        .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = nn("vec_topk")
+    Seq("vec_ivf_topk", "vec_ivf_kmeans").foreach { name =>
+      val approx = nn(name)
+      assert(approx.keySet == exact.keySet, s"$name lost probes")
+      val recall = exact.map { case (p, e) =>
+        approx(p).intersect(e).size.toDouble / e.size
+      }.sum / exact.size
+      info(f"$name recall@5 = $recall%.3f")
+      assert(recall >= 0.5 && recall <= 1.0,
+        s"$name recall@5 $recall out of bounds — inverted lists are not grouping neighbors")
+    }
+  }
+
   test("vec_ann_lsh: candidates verified by exact cosine above threshold") {
     val df = VectorQueries.vecAnnLsh(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
