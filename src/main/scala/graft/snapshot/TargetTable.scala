@@ -142,6 +142,39 @@ final class TargetTable(
     true
   }
 
+  /** Data files per bucket in the current version — the compaction
+    * trigger signal. Driver-side metadata only (≤ numBuckets entries). */
+  def bucketFileCounts: Map[Int, Int] = {
+    require(bucketed, "bucketFileCounts on an unbucketed table")
+    listDir(currentDir)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$BucketCol="))
+      .map { d =>
+        val b = d.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+        b -> listDir(d).count { f =>
+          val n = f.getFileName.toString
+          Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+        }
+      }.toMap
+  }
+
+  /** Small-file compaction: rewrite every bucket holding more than
+    * `maxFilesPerBucket` data files down to one file, carry every other
+    * bucket over by hard link. A wide-parallelism write (or a long run
+    * of streaming merges) leaves each touched bucket with one file per
+    * producing task; at 100 TB that is the classic small-file death —
+    * scans pay per-file open/footer cost, not per-byte. Runs through the
+    * same versioned commit as a merge (atomic swap, idempotent on `v`,
+    * time-travel retains the pre-compaction image). The repartition puts
+    * each needy bucket in ONE task, so the rewrite emits exactly one
+    * file per bucket. Returns the buckets rewritten. */
+  def compact(v: String, maxFilesPerBucket: Int = 4): Seq[Int] = {
+    require(bucketed, "compact on an unbucketed table")
+    val needy = bucketFileCounts.filter(_._2 > maxFilesPerBucket).keys.toSeq.sorted
+    if (needy.nonEmpty)
+      mergeVersion(readBuckets(needy).repartition(needy.size, bucketExpr), needy, v)
+    needy
+  }
+
   /** Bytes in the current version's data files (snapshot/merge size
     * metrics, reference `pkg/metrics/metrics.go:14-79`). */
   def currentSizeBytes: Long = {

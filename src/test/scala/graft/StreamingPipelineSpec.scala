@@ -311,6 +311,36 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "hard-linked files must survive the old version's deletion")
   }
 
+  test("compaction: multi-file buckets rewritten to one file each, data intact") {
+    import graft.cdc.Envelope
+    import graft.merge.ChangeApply
+    val root = Files.createTempDirectory("graft-compact").toString
+    val t = new TargetTable(spark, root, Seq("k"), 4)
+    val rows = (1L to 400L).map(k => (k, s"v$k"))
+    t.writeVersion(rows.toDF("k", "v").repartition(8), "v0")
+    val before = t.bucketFileCounts
+    assert(before.values.exists(_ > 4), s"expected multi-file buckets, got $before")
+
+    val rewritten = t.compact("c1", maxFilesPerBucket = 4)
+    assert(rewritten == before.filter(_._2 > 4).keys.toSeq.sorted)
+    assert(t.bucketFileCounts.values.forall(_ == 1), s"got ${t.bucketFileCounts}")
+    assert(t.read().as[(Long, String)].collect().toSet == rows.toSet)
+    assert(t.compact("c2", maxFilesPerBucket = 4).isEmpty, "second pass must be a no-op")
+
+    // a subsequent merge fragments ONE bucket; compaction rewrites only
+    // it and carries the other single-file buckets over by link
+    val latest = Seq((1L, "U", 10L, "v1b")).toDF("k", Envelope.FlagCol, Envelope.CommitTsCol, "v")
+    val touched = t.touchedBuckets(latest.select("k"))
+    t.mergeVersion(
+      ChangeApply.applyLatest(t.readBuckets(touched), latest, Seq("k")).repartition(8),
+      touched, "v1")
+    assert(t.bucketFileCounts(touched.head) > 1)
+    val again = t.compact("c3", maxFilesPerBucket = 1)
+    assert(again == touched, s"only the fragmented bucket should rewrite, got $again")
+    assert(t.bucketFileCounts.values.forall(_ == 1))
+    assert(t.read().as[(Long, String)].collect().toSet == (rows.toSet - ((1L, "v1")) + ((1L, "v1b"))))
+  }
+
   test("R2: two tables replicate concurrently with per-table status/metrics") {
     import graft.streaming.{ApiServer, GraftStreamingListener, ReplicationJob, ReplicationMetrics, StatusApi}
     import graft.streaming.ReplicationJob.TableJob
