@@ -374,11 +374,15 @@ object DedupQueries {
     // both directions in ONE pass over the pairs (explode, not union —
     // a union would evaluate the whole minhash verify subtree once per
     // branch), cached because every propagation round re-reads it
+    // localCheckpoint (not cache): it truncates LINEAGE, so each
+    // propagation round's logical plan starts at the edge set instead of
+    // re-carrying (and re-optimizing) the whole minhash subtree — the
+    // per-round driver cost stays constant as rounds accumulate
     val edges = pairs.select(explode(array(
         struct(col("doc_a"), col("doc_b")),
         struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
       .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
-      .cache()
+      .localCheckpoint()
     // Convergence bookkeeping: labels only ever DECREASE, so the label
     // sum strictly decreases until fixpoint — one decimal-exact
     // aggregate per round instead of a prev-vs-next join. Seed labels
@@ -390,16 +394,18 @@ object DedupQueries {
       .select(col("doc_a").as("id"), col("doc_a").as("label"))
       .union(edges.select(col("doc_a").as("id"), col("doc_b").as("label")))
       .groupBy(col("id")).agg(min(col("label")).as("label"))
-      .cache()
+      .localCheckpoint()
     var prevSum = labelSum(labels)
     var rounds = 1
     var converged = false
     while (!converged && rounds < 20) {
       val pushed = edges.join(labels.withColumnRenamed("id", "doc_a"), Seq("doc_a"))
         .select(col("doc_b").as("id"), col("label"))
+      // per-round localCheckpoint: without it round N's plan nests all
+      // N-1 previous rounds and the driver re-plans a growing tree
       val next = labels.union(pushed)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint()
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       labels.unpersist()
