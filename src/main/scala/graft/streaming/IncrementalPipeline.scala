@@ -49,7 +49,12 @@ final case class PipelineConfig(
     // default suits the ~GB range; at 100 TB set it explicitly (e.g.
     // 50 000 → 2 GB buckets). The bucket_spec marker pins the choice at
     // table creation — it cannot drift silently afterwards.
-    numBuckets: Int = 256) {
+    numBuckets: Int = 256,
+    // When set, every applied version also renders the DDL/MERGE text
+    // the reference would have executed on that warehouse, appended to
+    // `{targetRoot}/_warehouse_sql/` — a migration audit trail proving
+    // in-engine merges ≡ warehouse statements.
+    warehouseSqlDialect: Option[graft.dialects.WarehouseDialect] = None) {
 
   /** The target is bucketed on the seed PK so merges rewrite only
     * touched buckets. PK columns are fixed for a table's lifetime (the
@@ -156,6 +161,7 @@ final class IncrementalPipeline(
           }
         }
       } finally latest.unpersist()
+      emitWarehouseSql(vId, curDef, defAt, reg, paths)
       target.writeMarker("schema_version", defAt.tableVersion.toString)
       metrics.set(metrics.Names.TableVersion, cfg.tableName, defAt.tableVersion)
       metrics.add(metrics.Names.IncrementLoadedBytes, cfg.tableName, paths.map(fileSize).sum)
@@ -168,6 +174,47 @@ final class IncrementalPipeline(
     val totalBytes = walkCdcBytes()
     metrics.set(metrics.Names.IncrementPendingBytes, cfg.tableName,
       math.max(0L, totalBytes - metrics.get(metrics.Names.IncrementLoadedBytes, cfg.tableName)))
+  }
+
+  /** Render the warehouse statements the reference would have executed
+    * for this version (its `syncExecDDLEvents` → `GenDDLViaColumnsDiff`
+    * ALTERs, then `syncExecDMLEvents` → `GenMergeInto`/DELETE+INSERT,
+    * `replicate/increment.go:249-329`) into
+    * `{targetRoot}/_warehouse_sql/{vId}.sql`. Pure string generation on
+    * the driver — the engine applied the batch itself; this is the
+    * migration-parity audit trail. */
+  private def emitWarehouseSql(
+      vId: String,
+      prev: TableDefinition,
+      curr: TableDefinition,
+      reg: SchemaRegistry,
+      paths: Seq[String]): Unit = cfg.warehouseSqlDialect.foreach { dialect =>
+    import graft.dialects.{SnowflakeDialect, StagingRef}
+    val stmts = Seq.newBuilder[String]
+    if (curr.tableVersion != prev.tableVersion) {
+      val chain = prev +: reg.ddlBetween(prev.tableVersion, curr.tableVersion)
+      chain.sliding(2).foreach {
+        case Seq(a, b) => stmts ++= dialect.alterSql(a.columns, b)
+        case _ =>
+      }
+    }
+    val staging = StagingRef(
+      stageName = s"stage_${cfg.tableName}",
+      dataset = cfg.schemaName,
+      stagingTable = s"increment_${cfg.tableName}")
+    dialect match {
+      // Snowflake merges straight off the stage, one statement per CDC
+      // file (`replicate/increment.go:249-281`); the staging-table
+      // dialects load the batch once and merge once.
+      case SnowflakeDialect =>
+        paths.foreach(p => stmts ++= dialect.mergeSql(curr, staging.copy(filePath =
+          p.substring(p.lastIndexOf('/') + 1))))
+      case _ => stmts ++= dialect.mergeSql(curr, staging)
+    }
+    val dir = java.nio.file.Paths.get(cfg.targetRoot, "_warehouse_sql")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(s"$vId.sql"),
+      stmts.result().mkString("\n\n").getBytes("UTF-8"))
   }
 
   private def walkCdcBytes(): Long = {

@@ -59,7 +59,9 @@ object ReplicationJob {
     val table = cfg.tableName
     if (mode == ExportOnly) {
       status.setStage(table, status.Stage.LoadingSnapshot)
-      SnapshotLoader.writeSnapshotCsv(spark, snapshot, snapshotDir, cfg.seed)
+      // binary dialect follows the target warehouse (hex everywhere,
+      // base64 for bigquery) like `--csv-output-dialect` (cmd/core.go:59-73)
+      SnapshotLoader.writeSnapshotCsv(spark, snapshot, snapshotDir, cfg.seed, cfg.binaryDialect)
       status.setStage(table, status.Stage.Finished)
       return None
     }

@@ -30,7 +30,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
 
   private val defV200 = defV100.copy(
     tableVersion = 200L, query = "ALTER TABLE orders ADD COLUMN o_note varchar",
-    columns = defV100.columns :+ TableCol("4", "o_note", "varchar"))
+    columns = defV100.columns :+ TableCol("4", "o_note", "varchar", precision = "255"))
 
   private def writeFixtures(root: String): Unit = {
     val inc = s"$root/increment"
@@ -148,7 +148,8 @@ class StreamingPipelineSpec extends AnyFunSuite {
       targetRoot = s"$root/target",
       checkpointDir = s"$root/ckpt",
       seed = defV100.copy(tableVersion = 0L),
-      startTso = 10L)
+      startTso = 10L,
+      warehouseSqlDialect = Some(graft.dialects.SnowflakeDialect))
     val q = ReplicationJob.replicateTable(spark, snapshotDf, s"$root/snapshot", cfg).get
     q.processAllAvailable() // v100 consumed at width 3
     // v200 (4 data cols) arrives while the SAME query is live — the
@@ -165,6 +166,16 @@ class StreamingPipelineSpec extends AnyFunSuite {
       (3L, "F", 31.0, None),
       (4L, "O", 40.5, None),
       (5L, "O", 40.0, Some("hello"))))
+    // the audit trail carries the statements the reference would have
+    // executed: a MERGE per applied version, and the ADD COLUMN ALTER
+    // for the v100→v200 DDL step
+    val sqlDir = Paths.get(cfg.targetRoot, "_warehouse_sql")
+    val sqls = scala.util.Using.resource(Files.list(sqlDir)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(p => new String(Files.readAllBytes(p), "UTF-8")).toSeq
+    }
+    assert(sqls.nonEmpty && sqls.forall(_.contains("MERGE INTO orders AS T USING")))
+    assert(sqls.exists(_.contains("ALTER TABLE orders ADD COLUMN o_note VARCHAR(255);")))
   }
 
   test("M5/O1: one micro-batch spanning two schema versions applies in version order") {
