@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators — the steps between "deduplicated documents"
+  * and "training shards" in an LLM data pipeline: benchmark
+  * decontamination, relevance scoring, canonical-corpus selection, and
+  * sequence packing. All DataFrame-declarative; the one driver-side loop
+  * (cluster propagation) is inherited from [[DedupQueries.dedupClusters]].
+  *
+  * Cross-engine float parity: scores avoid transcendentals entirely
+  * (rational idf instead of log) so every arithmetic step is an IEEE
+  * op with identical operand order in Spark and DuckDB, then fixed-point
+  * `floor(x * 2^20)` for the hashed output — the vec_ivf_kmeans recipe.
+  */
+object CurationQueries {
+
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  // --- benchmark decontamination ---------------------------------------
+  // GPT-3-style test-set decontamination: flag training documents that
+  // share any n-gram with a benchmark/eval set. n is corpus-relative
+  // (13 for web scale; 3 here so the small-vocab fixtures actually
+  // collide). The benchmark split is a deterministic doc_id slice
+  // standing in for "the eval sets".
+  private val DecontamN = 3
+  private val BenchMod = 25
+
+  /** Scale shape: benchmark gram sets are tiny next to a 100 TB corpus
+    * (eval suites are fixed-size), so the gram join BROADCASTS the
+    * benchmark side — the corpus is scanned once, shuffle-free, and
+    * per-doc gram explosion happens executor-side after the scan. */
+  def textDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= DecontamN)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(0, size(tk) - $DecontamN), i -> " +
+          s"concat_ws(' ', ${(0 until DecontamN).map(j => s"tk[i + $j]").mkString(", ")}))"))
+        .as("t"))
+    val bench = docs.filter(col("doc_id") % BenchMod === 0)
+      .select(explode(col("t")).as("g")).distinct()
+    docs.filter(col("doc_id") % BenchMod =!= 0)
+      .select(col("doc_id"), explode(col("t")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textDecontaminateSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+${DecontamN - 1}], ' ')
+      |                   for i in range(1, len(toks) - ${DecontamN - 2})]) AS t
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= $DecontamN),
+      |bench AS (SELECT DISTINCT unnest(t) AS g FROM d WHERE doc_id % $BenchMod = 0),
+      |train AS (SELECT doc_id, unnest(t) AS g FROM d WHERE doc_id % $BenchMod != 0)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+      |FROM train JOIN bench USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- BM25 relevance scoring ------------------------------------------
+  // Okapi BM25 with k1=1.2, b=0.75 over a fixed query, with a RATIONAL
+  // idf (N - df + 0.5)/(df + 0.5) instead of its log: same per-term
+  // monotonicity, zero transcendentals, so Spark and DuckDB compute
+  // bit-identical doubles. Score emitted as floor(x * 2^20) fixed-point.
+  private val Bm25Terms = Seq("spark", "merge", "window")
+  private val Bm25K1 = "1.2"
+  private val Bm25B = "0.75"
+
+  /** Scale shape: per-doc tf/len are per-row expressions; the corpus
+    * stats (N, avgdl, per-term df) are ONE aggregate row broadcast back
+    * over the corpus — two scans total, no shuffle beyond the scalar
+    * agg, top-k via ORDER BY LIMIT (partial top-k per partition). */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id") +: toks(col("text")).as("tk") +: Bm25Terms.zipWithIndex.map {
+        case (t, i) => size(filter(toks(col("text")), x => x === t)).as(s"tf$i")
+      }: _*)
+      .withColumn("dl", size(col("tk")).cast("double"))
+      .drop("tk")
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).cast("double").as("sumdl") +:
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df$i")): _*)
+    val scored = base.crossJoin(broadcast(stats))
+    // per-term contribution, operand order mirrored EXACTLY in the oracle
+    val contrib = Bm25Terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(Bm25K1.toDouble) * (lit(1.0) - lit(Bm25B.toDouble) +
+          lit(Bm25B.toDouble) * (col("dl") / (col("sumdl") / col("n")))))
+    }
+    scored
+      .select(col("doc_id"),
+        floor(contrib.reduce(_ + _) * lit(1048576.0)).cast("long").as("score_fp"))
+      .filter(col("score_fp") > 0)
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val textBm25Sql: String = {
+    val tfDefs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf$i"
+    }.mkString(",\n      |    ")
+    val dfDefs = Bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(", ")
+    val contribs = Bm25Terms.indices.map(i =>
+      s"((n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2) / " +
+        s"(tf$i + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * (dl / (sumdl / n))))")
+      .mkString("\n      |    + ")
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |    $tfDefs,
+      |    len(toks)::DOUBLE AS dl
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |        FROM documents)),
+      |stats AS (
+      |  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sumdl, $dfDefs FROM base)
+      |SELECT doc_id, score_fp FROM (
+      |  SELECT doc_id, CAST(floor((
+      |    $contribs
+      |  ) * 1048576.0) AS BIGINT) AS score_fp
+      |  FROM base CROSS JOIN stats)
+      |WHERE score_fp > 0
+      |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // --- canonical corpus after near-dup clustering ------------------------
+  /** The curation payoff of the dedup family: one representative per
+    * near-dup cluster (the min-id member, [[DedupQueries.dedupClusters]])
+    * plus every unclustered doc. In production the cluster labels are
+    * computed once and PERSISTED; recomputing them inline here keeps the
+    * query self-contained for the oracle gate. The final step is an
+    * anti-join against the (tiny relative to corpus) non-representative
+    * set — broadcast-sized at any scale where dup rate is sane. */
+  def corpusCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val demoted = DedupQueries.dedupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    Tables.load(spark, sfDir, "documents")
+      .join(demoted, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusCanonicalSql: String =
+    s"""SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (
+      |  SELECT doc_id FROM (${DedupQueries.dedupClustersSql})
+      |  WHERE doc_id != cluster_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- sequence packing ---------------------------------------------------
+  // Pretraining shard assembly: shard documents by a portable hash,
+  // order deterministically within the shard, and pack consecutive docs
+  // into fixed token-budget bins (concat-and-split packing: a bin is
+  // `budget` tokens of contiguous stream; `bin = start_offset div budget`).
+  private val PackShards = 8
+  private val PackBudget = 128
+
+  /** Scale shape: one shuffle (by shard), per-shard sort feeds a single
+    * running-sum window, bins aggregate map-side after that. Shard count
+    * is the parallelism knob — at 100 TB you run thousands of shards, and
+    * each shard's window sorts only its own partition. */
+  def corpusPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(PackShards)).as("shard"),
+        size(toks(col("text"))).cast("long").as(s"tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .withColumn("offset", sum(col("tokens")).over(w) - col("tokens"))
+      .withColumn("bin", expr(s"offset div $PackBudget"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  val corpusPackSql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % $PackShards AS shard,
+      |    len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS tokens
+      |  FROM documents),
+      |offsets AS (
+      |  SELECT shard, doc_id, tokens,
+      |    CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) - tokens AS off
+      |  FROM docs)
+      |SELECT shard, off // $PackBudget AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+      |  min(doc_id) AS first_doc,
+      |  max(doc_id) AS last_doc
+      |FROM offsets
+      |GROUP BY shard, off // $PackBudget
+      |ORDER BY shard, bin""".stripMargin
+}

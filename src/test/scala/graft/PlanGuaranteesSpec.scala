@@ -103,4 +103,26 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(f.contains("GreaterThanOrEqual(l_quantity,1.0"),
       s"q19 lineitem-side pushdown missing:\n${f.take(3000)}")
   }
+
+  test("curation queries keep their scale shapes") {
+    // decontamination: the benchmark gram set is broadcast — the corpus
+    // side must never shuffle into a sort-merge join
+    val dec = physical(SparkEntry.queries("text_decontaminate")(spark, sf))
+    assert(dec.contains("BroadcastHashJoin") && !dec.contains("SortMergeJoin"),
+      s"text_decontaminate lost its broadcast gram join:\n${dec.take(2000)}")
+    // bm25: corpus stats are a 1-row broadcast back over the corpus, and
+    // top-k is a TakeOrdered, not a global sort
+    val bm = physical(SparkEntry.queries("text_bm25")(spark, sf))
+    assert(bm.contains("TakeOrderedAndProject"),
+      s"text_bm25 plans a full global sort for its top-20:\n${bm.take(2000)}")
+    assert(!bm.contains("SortMergeJoin") && !bm.contains("Window"),
+      s"text_bm25 stats join degenerated:\n${bm.take(2000)}")
+    // packing: exactly one exchange (the shard repartition) feeds the
+    // running-sum window; bins must aggregate without a second shuffle
+    // of the full doc set (partial agg after the window is map-side)
+    val pack = physical(SparkEntry.queries("corpus_pack")(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(pack).size
+    assert(exchanges <= 2, // shard window + final group-by exchange
+      s"corpus_pack plans $exchanges hash exchanges:\n${pack.take(2000)}")
+  }
 }
