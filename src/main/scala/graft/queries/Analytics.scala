@@ -893,6 +893,145 @@ object Analytics {
       |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
 
+  // --- Q2-style: min-cost supplier per part (correlated min → argmin join) ---
+  // The testdata has no partsupp; the supply-cost analog is the cheapest
+  // observed line price per (part, supplier) — a pure `min`, so the
+  // equality probe against the per-part minimum is exact (no float
+  // accumulation). The textbook correlated scalar subquery
+  // (`cost = (SELECT min(cost) … WHERE same part AND region)`)
+  // decorrelates into one per-part aggregate broadcast-joined back on
+  // (partkey, cost): lineitem is scanned once, the pair-grain relation
+  // is cached (read by both the min agg and the probe), and ties keep
+  // every argmin row, exactly like TPC-H Q2.
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+      .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val region = Tables.load(spark, sfDir, "region").filter(col("r_name") === "EUROPE")
+    // nation⋈region: fixed cardinality → hard broadcast; supplier scales
+    // with SF → AQE decides its join side.
+    val eu = Tables.load(spark, sfDir, "supplier")
+      .join(broadcast(nation.join(region, col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val psEu = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("cost"))
+      .join(eu, col("l_suppkey") === col("s_suppkey"))
+      .cache() // read twice: per-part min + argmin probe — one lineitem scan, not two
+    val best = psEu.groupBy(col("l_partkey").as("bp")).agg(min(col("cost")).as("min_cost"))
+    psEu
+      .join(best, col("l_partkey") === col("bp") && col("cost") === col("min_cost"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("s_acctbal"), col("cost").as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+  }
+
+  val q2MinCostSupplierSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |best AS (
+      |  SELECT l_partkey AS bp, min(cost) AS min_cost
+      |  FROM ps JOIN eu ON l_suppkey = s_suppkey GROUP BY 1)
+      |SELECT p_partkey, p_name, s_name, n_name, s_acctbal, cost AS supply_cost
+      |FROM part
+      |JOIN ps ON l_partkey = p_partkey
+      |JOIN eu ON l_suppkey = s_suppkey
+      |JOIN best ON bp = p_partkey AND cost = min_cost
+      |WHERE p_size <= 10 AND p_type = 'LARGE'
+      |ORDER BY s_acctbal DESC, p_partkey, s_name""".stripMargin
+
+  // --- Q11-style: parts above a fraction of total regional value -------
+  // The HAVING-vs-global-scalar-subquery pattern. Per-part values stay
+  // DECIMAL through BOTH the group sums and the grand total (decimal
+  // addition is exact and order-independent, so the total computed from
+  // the cached per-part aggregate equals the oracle's bit-for-bit);
+  // only the final compare/output cast to double. One fact scan: the
+  // per-part aggregate is cached and the 1-row total is broadcast back.
+  def q11ImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val region = Tables.load(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+    val asia = Tables.load(spark, sfDir, "supplier")
+      .join(broadcast(nation.join(region, col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = li.join(asia, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("pv"))
+      .cache() // read twice: grand total + threshold filter
+    val thresh = value.agg((sum(col("pv")).cast(DoubleType) * lit(0.0007)).as("thresh"))
+    value.crossJoin(broadcast(thresh))
+      .filter(col("pv").cast(DoubleType) > col("thresh"))
+      .select(col("l_partkey").as("p_partkey"), col("pv").cast(DoubleType).as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  val q11ImportantPartsSql: String =
+    """WITH val AS (
+      |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS pv
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA' GROUP BY 1),
+      |tot AS (SELECT CAST(sum(pv) AS DOUBLE) * 0.0007 AS thresh FROM val)
+      |SELECT l_partkey AS p_partkey, CAST(pv AS DOUBLE) AS part_value
+      |FROM val, tot WHERE CAST(pv AS DOUBLE) > thresh
+      |ORDER BY part_value DESC, p_partkey""".stripMargin
+
+  // --- Q20-style: suppliers of growing parts (nested IN → two semi joins) ---
+  // The double-nested-IN shape of TPC-H Q20: an inner correlated
+  // aggregate over the fact table gated by a part-name filter, whose
+  // surviving supplier set semi-joins the supplier dimension. The part
+  // filter semi-joins lineitem FIRST (AQE broadcasts the filtered part
+  // keys), the year-conditional sums collapse the fact to (supplier,
+  // part) grain in one shuffle, and the final `IN` is a left-semi join
+  // against the distinct supplier set — no correlated re-execution
+  // anywhere. Decimal sums make the 2× growth compare exact.
+  def q20GrowthSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val redParts = Tables.load(spark, sfDir, "part")
+      .filter(col("p_name").contains("red")).select(col("p_partkey"))
+    val nation = Tables.load(spark, sfDir, "nation")
+    val region = Tables.load(spark, sfDir, "region").filter(col("r_name") === "EUROPE")
+    val q = (y: Int) => sum(when(year(col("l_shipdate")) === y,
+      col("l_quantity").cast(DecimalType(18, 4))).otherwise(lit(0).cast(DecimalType(18, 4))))
+    val grown = li.join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(q(1999).as("q99"), q(1998).as("q98"))
+      .filter(col("q99").cast(DoubleType) > lit(2.0) * col("q98").cast(DoubleType) &&
+        col("q98") > 0)
+      .select(col("l_suppkey")).distinct()
+    Tables.load(spark, sfDir, "supplier")
+      .join(broadcast(nation.join(region, col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(grown, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q20GrowthSuppliersSql: String =
+    """WITH growth AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    sum(CASE WHEN year(l_shipdate)=1999 THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END) AS q99,
+      |    sum(CASE WHEN year(l_shipdate)=1998 THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END) AS q98
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+      |  GROUP BY 1, 2
+      |  HAVING CAST(q99 AS DOUBLE) > 2.0 * CAST(q98 AS DOUBLE) AND q98 > 0)
+      |SELECT s_suppkey, s_name FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT l_suppkey FROM growth)
+      |ORDER BY s_suppkey""".stripMargin
+
   // --- plain pushdown scan (S1 analog): projection+filter reach parquet ---
   def snapshotScan(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.load(spark, sfDir, "orders")

@@ -267,4 +267,30 @@ object TextQueries {
       |FROM (SELECT source, substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
+
+  // --- corpus vocabulary: document frequency + collection frequency ---
+  // The global term table every corpus pipeline needs (IDF tables,
+  // tokenizer vocab audits, stopword discovery). Plan: per-row
+  // tokenize/explode (no shuffle), then ONE hash agg keyed on term with
+  // `count` + `count(DISTINCT doc_id)` — Spark plans the distinct as a
+  // two-level agg ((term, doc) partial grain first), so the shuffle
+  // carries one row per distinct (term, doc) pair, never the raw token
+  // stream. At 100 TB this is the canonical linear vocab build; the
+  // output is vocabulary-sized (tiny).
+  def textVocabDf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
+  val textVocabDfSql: String =
+    """SELECT term, count(DISTINCT doc_id) AS df, CAST(count(*) AS BIGINT) AS cf
+      |FROM (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                                    t -> t != '')) AS term
+      |  FROM documents)
+      |GROUP BY term ORDER BY df DESC, term""".stripMargin
 }
