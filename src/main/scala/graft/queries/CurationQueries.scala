@@ -41,10 +41,19 @@ object CurationQueries {
         s"transform(sequence(0, size(tk) - $DecontamN), i -> " +
           s"concat_ws(' ', ${(0 until DecontamN).map(j => s"tk[i + $j]").mkString(", ")}))"))
         .as("t"))
+    // explode_outer, NOT explode: for a plain explode the optimizer
+    // infers a `size(t) > 0` pre-filter and pushes it below the gram
+    // projection, where alias substitution inlines the token split into
+    // every tk[i] access — re-splitting each document O(grams×n) times
+    // just to evaluate the inferred filter (measured 12→1 s at sf0.1).
+    // No inference happens for outer generate; `size(tk) >= n` already
+    // guarantees ≥1 gram, so the null-row filter is a no-op semantically.
     val bench = docs.filter(col("doc_id") % BenchMod === 0)
-      .select(explode(col("t")).as("g")).distinct()
+      .select(explode_outer(col("t")).as("g"))
+      .filter(col("g").isNotNull).distinct()
     docs.filter(col("doc_id") % BenchMod =!= 0)
-      .select(col("doc_id"), explode(col("t")).as("g"))
+      .select(col("doc_id"), explode_outer(col("t")).as("g"))
+      .filter(col("g").isNotNull)
       .join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
       .orderBy(col("doc_id"))

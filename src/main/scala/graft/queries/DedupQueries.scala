@@ -180,7 +180,13 @@ object DedupQueries {
     docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)
-      .select(col("doc_id"), explode(shingles3(col("t"))).as("shingle"))
+      // explode_outer: a plain explode's inferred non-empty filter is
+      // pushed below the projection and inlines the token split into
+      // every shingle element access (O(shingles×tokens) re-splits per
+      // doc; see CurationQueries.textDecontaminate). size(t) >= n
+      // already guarantees ≥1 shingle, so outer+notNull is identical.
+      .select(col("doc_id"), explode_outer(shingles3(col("t"))).as("shingle"))
+      .filter(col("shingle").isNotNull)
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h"))
   }
@@ -281,7 +287,12 @@ object DedupQueries {
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val withTok = docs
-      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      // explode_outer + notNull: avoids the inferred-filter double
+      // tokenize of a plain explode (same rationale as shingleHashes);
+      // empty docs are dropped by the notNull filter exactly as explode
+      // would have dropped them.
+      .select(col("doc_id"), explode_outer(array_distinct(toks(col("text")))).as("tok"))
+      .filter(col("tok").isNotNull)
       .select(col("doc_id"), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
     // per bit: +1 if set else -1; simhash bit = sign of the vote sum
     val votes = (0 until 32).map { bit =>
@@ -454,7 +465,8 @@ object DedupQueries {
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val docs = Tables.load(spark, sfDir, "documents")
-    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val tf = docs.select(col("doc_id"), explode_outer(toks(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull) // vs explode: skips the inferred-filter double tokenize
       .select(col("doc_id"),
         pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(EmbDims)).as("dim"))
       .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("cnt"))

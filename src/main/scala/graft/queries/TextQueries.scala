@@ -220,12 +220,16 @@ object TextQueries {
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val t = toks(col("text"))
+    // explode_outer (not explode): the inferred non-empty filter of a
+    // plain explode is pushed below the token projection and inlines
+    // the split into every element access — see textDecontaminate.
     val grams = docs
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(transform(
+      .select(col("doc_id"), explode_outer(transform(
         sequence(lit(1), size(col("t")) - 1),
         i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("gram"))
+      .filter(col("gram").isNotNull)
     grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(
@@ -280,7 +284,8 @@ object TextQueries {
   def textVocabDf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     docs.select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+        explode_outer(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
       .orderBy(col("df").desc, col("term"))
