@@ -366,4 +366,107 @@ object VectorQueries {
       |SELECT id_a, id_b, round(sim, 6) AS sim
       |FROM scored WHERE sim >= $SimThreshold ORDER BY id_a, id_b""".stripMargin
   }
+
+  // --- product-quantization ANN (ADC scoring + exact rerank) -----------
+  // The compressed-domain scale path: each vector is encoded as M
+  // subspace code ids against per-subspace codebooks (here sampled by
+  // id stride — the same deterministic bootstrap as IVF's quantizer;
+  // production would train per-subspace k-means with lloydStep's
+  // recipe). Query scoring is asymmetric-distance (ADC): the probe
+  // computes one K-entry distance table per subspace, and each corpus
+  // vector costs M table LOOKUPS on its codes — at 100 TB the scan
+  // reads M ints per vector instead of D floats (16× compression at
+  // M=8, D=64), which is the entire point of PQ. Top candidates are
+  // reranked with exact cosine so the emitted sims are true.
+  //
+  // Plan shape: codebooks are driver-held model state (bounded:
+  // M×K×subDim floats) embedded as literals, so ENCODING is a pure
+  // per-row projection — one corpus scan, no join, no shuffle. Probes
+  // broadcast; candidate top-k and final top-k both run through the
+  // bounded partial-merge TopKAgg. No DuckDB oracle (8 chained argmin
+  // subqueries are not reasonably SQL-expressible) — the driver's
+  // rows-only check applies, and VectorSpec bounds recall@5 against
+  // brute force and verifies the rerank invariant instead.
+  private val PqM = 8 // subspaces
+  private val PqSubDim = Dims / PqM // 8 dims each
+  private val PqCodeStride = 5 // codebook = subvectors of every 5th vector
+  private val PqRefine = 4 // rerank pool = PqRefine × TopK
+
+  /** Squared L2 between two float-array columns (double math, fixed
+    * evaluation order → deterministic). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Dot product of two float-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def vecPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    // codebooks: K stride-sampled rows, sliced into M subvectors each —
+    // driver-held model state (same bounded-collect contract as
+    // trainCentroids), embedded as a per-subspace literal so encoding
+    // never joins.
+    val sampled = vecs.filter(col("vec_id") % PqCodeStride === 0)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0))
+    val codebooks: Seq[Seq[Seq[Float]]] = (0 until PqM).map { m =>
+      sampled.map(e => e.slice(m * PqSubDim, (m + 1) * PqSubDim).toSeq).toSeq
+    }
+    def cb(m: Int): Column = typedLit(codebooks(m))
+    def sub(emb: Column, m: Int): Column = slice(emb, m * PqSubDim + 1, PqSubDim)
+
+    // encode: per subspace, argmin L2 against the codebook (first-min
+    // tie-break via array_position → deterministic), plus the vector's
+    // norm — one extra float per vector keeps COSINE ranking available
+    // in the compressed domain (codes alone only rank dot products).
+    // Pure projection: one corpus scan, no join, no shuffle.
+    val codeCols = (0 until PqM).map { m =>
+      val dists = transform(cb(m), c => l2sq(sub(col("embedding"), m), c))
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
+    }
+    val encoded = vecs.select(
+      col("vec_id") +: sqrt(dot(col("embedding"), col("embedding"))).as("vnorm") +: codeCols: _*)
+
+    // probes: one K-entry ADC dot-product table per subspace, then
+    // broadcast against the encoded corpus; approx cosine = M table
+    // lookups divided by the stored corpus-vector norm (the probe's own
+    // norm is constant per probe group and cannot change its ranking).
+    val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+    val withTables = probes.select(
+      col("probe_id") +: col("pemb") +:
+        (0 until PqM).map(m =>
+          transform(cb(m), c => dot(sub(col("pemb"), m), c)).as(s"dt$m")): _*)
+    val approx = (0 until PqM)
+      .map(m => element_at(col(s"dt$m"), col(s"c$m") + 1))
+      .reduce(_ + _) / col("vnorm")
+    val candK = udaf(new TopKAgg(TopK * PqRefine))
+    val cands = encoded.join(broadcast(withTables), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), approx.as("approx_cos"), col("vec_id").as("id"))
+      .groupBy(col("probe_id"))
+      .agg(candK(col("approx_cos"), col("id")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("vec_id"))
+
+    // exact rerank of the bounded candidate pool
+    val topk = udaf(new TopKAgg(TopK))
+    cands
+      .join(vecs, Seq("vec_id"))
+      .join(probes, Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("id"),
+        cosine(col("pemb"), col("embedding")).as("sim"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.sim"), 6).as("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
 }

