@@ -199,6 +199,48 @@ object CurationQueries {
       .orderBy(col("shard"), col("bin"))
   }
 
+  // --- exact-quota stratified sampling ---------------------------------
+  // "Exactly n documents per source, reproducibly" — the mixture query's
+  // rate-based cousin for when the recipe demands exact counts. Rank
+  // within each source by a doc_id-derived hash (deterministic, replay-
+  // stable, cross-engine) and keep the first `SampleQuota`.
+  //
+  // Scale shape: NO per-group window sort — the per-source top-n runs
+  // through the bounded partial-merge TopKAgg (each partition keeps at
+  // most n candidates, the exchange carries partitions × n rows, the
+  // merge is n-bounded), so a source with 10^10 docs costs the same
+  // shuffle as one with 10^4. The hash order also makes the sample a
+  // uniform draw regardless of how doc_ids cluster per source.
+  private val SampleQuota = 40
+
+  def corpusSampleQuota(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TopKAgg
+    val docs = Tables.load(spark, sfDir, "documents")
+    // ascending hash order = descending negated hash for the max-k agg;
+    // ties (same 32-bit prefix) break by doc_id asc — TopKAgg's own
+    // tie-break, mirrored in the oracle's ORDER BY.
+    val score = -conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val topq = udaf(new TopKAgg(SampleQuota))
+    docs.select(col("source"), score.as("s"), col("doc_id"))
+      .groupBy(col("source"))
+      .agg(topq(col("s"), col("doc_id")).as("picked"))
+      .select(col("source"), posexplode(col("picked")).as(Seq("pos", "p")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("doc_id"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val corpusSampleQuotaSql: String =
+    s"""SELECT source, CAST(rn AS INT) AS rank, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+      |               doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= $SampleQuota
+      |ORDER BY source, rank""".stripMargin
+
   val corpusPackSql: String =
     s"""WITH docs AS (
       |  SELECT doc_id,
