@@ -966,8 +966,13 @@ object Analytics {
     val value = li.join(asia, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("pv"))
-      .cache() // read twice: grand total + threshold filter
-    val thresh = value.agg((sum(col("pv")).cast(DoubleType) * lit(0.0007)).as("thresh"))
+      .cache() // read twice: grand mean + threshold filter
+    // threshold = 1.4× the MEAN part value — scale-invariant (TPC-H's
+    // fixed fraction of the total empties out as part count grows),
+    // still the same decorrelated shape: exact decimal total, one
+    // deterministic divide+multiply, 1-row broadcast back.
+    val thresh = value
+      .agg((sum(col("pv")).cast(DoubleType) / count(lit(1)) * lit(1.4)).as("thresh"))
     value.crossJoin(broadcast(thresh))
       .filter(col("pv").cast(DoubleType) > col("thresh"))
       .select(col("l_partkey").as("p_partkey"), col("pv").cast(DoubleType).as("part_value"))
@@ -981,7 +986,7 @@ object Analytics {
       |  JOIN nation ON s_nationkey = n_nationkey
       |  JOIN region ON n_regionkey = r_regionkey
       |  WHERE r_name = 'ASIA' GROUP BY 1),
-      |tot AS (SELECT CAST(sum(pv) AS DOUBLE) * 0.0007 AS thresh FROM val)
+      |tot AS (SELECT CAST(sum(pv) AS DOUBLE) / count(*) * 1.4 AS thresh FROM val)
       |SELECT l_partkey AS p_partkey, CAST(pv AS DOUBLE) AS part_value
       |FROM val, tot WHERE CAST(pv AS DOUBLE) > thresh
       |ORDER BY part_value DESC, p_partkey""".stripMargin

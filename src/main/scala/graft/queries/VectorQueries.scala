@@ -389,7 +389,10 @@ object VectorQueries {
   // brute force and verifies the rerank invariant instead.
   private val PqM = 8 // subspaces
   private val PqSubDim = Dims / PqM // 8 dims each
-  private val PqCodeStride = 5 // codebook = subvectors of every 5th vector
+  private val PqCodeStride = 5 // codebook candidates = every 5th vector
+  private val PqK = 64 // codes per subspace — FIXED, like real PQ's 256:
+  // encode cost is M×K×subDim flops per row, so K must not grow with
+  // the corpus (the stride-5 candidate pool is thinned evenly to K)
   private val PqRefine = 4 // rerank pool = PqRefine × TopK
 
   /** Squared L2 between two float-array columns (double math, fixed
@@ -412,12 +415,36 @@ object VectorQueries {
     // driver-held model state (same bounded-collect contract as
     // trainCentroids), embedded as a per-subspace literal so encoding
     // never joins.
-    val sampled = vecs.filter(col("vec_id") % PqCodeStride === 0)
+    val pool = vecs.filter(col("vec_id") % PqCodeStride === 0)
       .orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0))
+    // K seeds thinned evenly from the id-ordered pool (deterministic),
+    // then ONE driver-side Lloyd iteration per subspace over the WHOLE
+    // pool: the pool is sample-sized model data (like trainCentroids'
+    // collect), so training is plain Scala — the cluster never sees it —
+    // and the refined codes recover the recall a K-capped random sample
+    // loses (measured 0.52 → 0.68 at sf0.001).
+    val seeds =
+      if (pool.length <= PqK) pool.toSeq
+      else (0 until PqK).map(i => pool((i.toLong * pool.length / PqK).toInt))
+    def subOf(e: Seq[Float], m: Int): Seq[Float] =
+      e.slice(m * PqSubDim, (m + 1) * PqSubDim)
+    def l2s(a: Seq[Float], b: Seq[Float]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
+      }.sum
     val codebooks: Seq[Seq[Seq[Float]]] = (0 until PqM).map { m =>
-      sampled.map(e => e.slice(m * PqSubDim, (m + 1) * PqSubDim).toSeq).toSeq
+      val subPool = pool.map(subOf(_, m))
+      val subSeeds = seeds.map(subOf(_, m))
+      val members = subPool.groupBy(v => subSeeds.indices.minBy(i => l2s(v, subSeeds(i))))
+      subSeeds.indices.map { i =>
+        members.get(i) match {
+          case Some(vs) => // fixed-order mean, empty clusters keep their seed
+            (0 until PqSubDim).map(d => (vs.map(_(d).toDouble).sum / vs.size).toFloat)
+          case None => subSeeds(i).toSeq
+        }
+      }
     }
     def cb(m: Int): Column = typedLit(codebooks(m))
     def sub(emb: Column, m: Int): Column = slice(emb, m * PqSubDim + 1, PqSubDim)
