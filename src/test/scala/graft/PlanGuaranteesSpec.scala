@@ -104,6 +104,56 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"q19 lineitem-side pushdown missing:\n${f.take(3000)}")
   }
 
+  test("round-3 decorrelations keep their scale shapes") {
+    // q2: the correlated argmin must stay ONE cached pair-grain relation
+    // (one lineitem scan) probed on equality — no window, no re-derive
+    val q2 = physical(SparkEntry.queries("q2_min_cost_supplier")(spark, sf))
+    assert(!q2.contains("Window"), s"q2 regressed to a per-part window:\n${q2.take(2000)}")
+    assert(q2.contains("InMemoryTableScan"),
+      s"q2 re-derives the pair-grain relation from lineitem:\n${q2.take(2000)}")
+    spark.catalog.clearCache()
+    // q11: global threshold is a 1-row broadcast over the CACHED per-part
+    // aggregate — one fact scan, no window
+    val q11 = physical(SparkEntry.queries("q11_important_parts")(spark, sf))
+    assert(!q11.contains("Window") && q11.contains("InMemoryTableScan"),
+      s"q11 lost its cached single-scan shape:\n${q11.take(2000)}")
+    spark.catalog.clearCache()
+    // q20: both INs must stay semi joins (part gate + supplier gate)
+    val q20 = physical(SparkEntry.queries("q20_growth_suppliers")(spark, sf))
+    assert("LeftSemi".r.findAllIn(q20).size >= 2,
+      s"q20 lost a semi join:\n${q20.take(2000)}")
+  }
+
+  test("quota sampling and vocabulary avoid per-group windows") {
+    // exact-quota sampling runs through the bounded TopKAgg — a
+    // row_number window would sort every group through one partition
+    val quota = physical(SparkEntry.queries("corpus_sample_quota")(spark, sf))
+    assert(!quota.contains("Window"),
+      s"corpus_sample_quota regressed to a window rank:\n${quota.take(2000)}")
+    // vocab: count(DISTINCT doc_id) must plan as a two-level hash agg
+    // (partial on (term, doc)), never an Expand or a sort-based agg
+    val vocab = physical(SparkEntry.queries("text_vocab_df")(spark, sf))
+    assert(!vocab.contains("SortAggregate"),
+      s"text_vocab_df fell back to sort aggregation:\n${vocab.take(2000)}")
+  }
+
+  test("exploded token pipelines do not re-tokenize in pushed filters") {
+    // the explode_outer contract: a plain explode's inferred size()>0
+    // filter inlines the tokenizer into every element access (the 20 s
+    // text_decontaminate regression). The scan-level Filter must not
+    // contain the gram-building transform.
+    // outer generate renders as `Generate explode(...), [...], true, [...]`
+    // — the `true` positional flag IS the outer marker
+    val outerGen = """Generate explode\([^\n]*\btrue\b""".r
+    Seq("text_decontaminate", "text_repetition", "text_vocab_df",
+        "dedup_minhash_lsh").foreach { name =>
+      val plan = physical(SparkEntry.queries(name)(spark, sf))
+      spark.catalog.clearCache()
+      assert(outerGen.findFirstIn(plan).isDefined,
+        s"$name lost its outer generate:\n${plan.take(2000)}")
+    }
+  }
+
   test("curation queries keep their scale shapes") {
     // decontamination: the benchmark gram set is broadcast — the corpus
     // side must never shuffle into a sort-merge join
