@@ -42,7 +42,7 @@ object ChangeApply {
       tsCol: String = Envelope.CommitTsCol): DataFrame = {
     require(pks.nonEmpty, "dedup requires at least one key column")
     val valueCols = batch.columns.filterNot(pks.contains)
-    val ordered = struct((tsCol +: valueCols.filterNot(_ == tsCol)).map(col): _*)
+    val ordered = struct((tsCol +: valueCols.toSeq.filterNot(_ == tsCol)).map(col): _*)
     batch
       .groupBy(pks.map(col): _*)
       .agg(max(ordered).as("_latest"))

@@ -400,7 +400,7 @@ object DedupQueries {
     // with the first neighbor-min round directly (identity ∪ neighbors),
     // skipping the no-op identity round.
     def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+      l.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
     var labels = edges
       .select(col("doc_a").as("id"), col("doc_a").as("label"))
       .union(edges.select(col("doc_a").as("id"), col("doc_b").as("label")))
