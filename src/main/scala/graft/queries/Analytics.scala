@@ -1037,6 +1037,41 @@ object Analytics {
       |WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT l_suppkey FROM growth)
       |ORDER BY s_suppkey""".stripMargin
 
+  // --- range join: events attributed to incident windows ---------------
+  // Point-in-interval with NO equi key — the shape Spark would plan as
+  // a BroadcastNestedLoopJoin (O(points × ranges)). RangeJoin bins the
+  // time axis (1 h bins over 6 h windows), so the plan is a plain hash
+  // join on the bin id with the exact bounds as a residual filter.
+  // Windows are event-anchored (every 499th event opens a 6 h window),
+  // which keeps BOTH sides in the raw ns-long domain — no timestamp
+  // conversion anywhere on the Spark side; the oracle mirrors with
+  // native ns timestamps and an INTERVAL bound (both exact).
+  private val RangeAnchorMod = 499
+  private val RangeWindowNs = 6L * 3600L * 1000000000L
+  private val RangeBinNs = 3600L * 1000000000L
+
+  def rangeJoinEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val points = ev.select(col("event_id"), col("ts"), col("value"))
+    val ranges = ev.filter(col("event_id") % RangeAnchorMod === 0)
+      .select(col("event_id").as("range_id"), col("ts").as("start_ns"),
+        (col("ts") + lit(RangeWindowNs)).as("end_ns"))
+    graft.merge.RangeJoin
+      .pointInInterval(points, ranges, "ts", "start_ns", "end_ns", RangeBinNs)
+      .groupBy(col("range_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("range_id"))
+  }
+
+  val rangeJoinEventsSql: String =
+    s"""WITH ranges AS (
+      |  SELECT event_id AS range_id, ts AS s, ts + INTERVAL 6 HOUR AS e
+      |  FROM events WHERE event_id % $RangeAnchorMod = 0)
+      |SELECT range_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM ranges JOIN events ev ON ev.ts >= s AND ev.ts <= e
+      |GROUP BY range_id ORDER BY range_id""".stripMargin
+
   // --- plain pushdown scan (S1 analog): projection+filter reach parquet ---
   def snapshotScan(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.load(spark, sfDir, "orders")
