@@ -41,6 +41,11 @@ final case class PipelineConfig(
     binaryDialect: String = "hex",
     maxFilesPerTrigger: Int = 1000,
     triggerMs: Long = 12000, // flushInterval/5 analog (cmd/core.go:284)
+    // catch-up-and-stop: Trigger.AvailableNow drains every pending CDC
+    // file (still in maxFilesPerTrigger-sized batches, same checkpoint)
+    // and terminates — the scheduled-batch cousin of the reference's
+    // always-on loop, for cron-style replication without a resident job
+    availableNow: Boolean = false,
     // PK-hash buckets for the partition-scoped merge. SIZING RULE: a
     // merge rewrites every bucket containing a touched key, so buckets
     // must be ≫ distinct keys per batch (or rewrites approach O(table))
@@ -92,7 +97,9 @@ final class IncrementalPipeline(
     raw.writeStream
       .queryName(s"graft:${cfg.schemaName}.${cfg.tableName}")
       .option("checkpointLocation", cfg.checkpointDir)
-      .trigger(Trigger.ProcessingTime(s"${cfg.triggerMs} milliseconds"))
+      .trigger(
+        if (cfg.availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(s"${cfg.triggerMs} milliseconds"))
       .foreachBatch((batch: DataFrame, batchId: Long) => processBatch(batch, batchId))
       .start()
   }

@@ -138,6 +138,42 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "TRUNCATE must wipe pre-truncate rows; post-truncate insert applies")
   }
 
+  test("AvailableNow drains pending files, self-terminates, resumes incrementally") {
+    val root = Files.createTempDirectory("graft-availnow").toString
+    writeFixtures(root)
+    val cfg = PipelineConfig(
+      incrementRoot = s"$root/increment",
+      schemaName = "tpch", tableName = "orders",
+      targetRoot = s"$root/target",
+      checkpointDir = s"$root/ckpt",
+      seed = defV100.copy(tableVersion = 0L),
+      startTso = 10L,
+      availableNow = true)
+
+    // seed the target with the snapshot (the snapshot stage's job in full mode)
+    cfg.targetTable(spark).writeVersion(snapshotDf, "snapshot")
+
+    // run 1: drains both pending CDC files and STOPS ON ITS OWN
+    val q = new IncrementalPipeline(spark, cfg).start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val target = new TargetTable(spark, cfg.targetRoot)
+    val got1 = target.read().as[(Long, String, Double)].collect().toSet
+    assert(got1 == Set((1L, "F", 11.0), (3L, "F", 31.0), (4L, "O", 40.5)),
+      s"drain must apply all pending changes: $got1")
+
+    // run 2 (the next cron tick): only the newly arrived file processes,
+    // from the same checkpoint
+    val key = PathCodec.DmlPathKey("tpch", "orders", 100L, 0L, "2024-01-01")
+    Files.writeString(
+      Paths.get(PathCodec.dmlPath(s"$root/increment", key, 3L)),
+      """"I","orders","tpch","15",6,"O",60.0
+        |""".stripMargin)
+    val q2 = new IncrementalPipeline(spark, cfg).start()
+    assert(q2.awaitTermination(120000), "resumed AvailableNow query must self-terminate")
+    val got2 = target.read().as[(Long, String, Double)].collect().toSet
+    assert(got2 == got1 + ((6L, "O", 60.0)), s"second drain applies only new data: $got2")
+  }
+
   test("M5: DDL ADD COLUMN applies in-stream, no restart") {
     val root = Files.createTempDirectory("graft-instream").toString
     writeFixtures(root)
