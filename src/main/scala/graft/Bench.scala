@@ -13,8 +13,24 @@ object Bench {
       try Tables.load(spark, sfDir, t).limit(1).count()
       catch { case _: Throwable => () }
     }
-    spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
-      .groupBy("k").sum("v").collect()
+    // exercise each major execution template once — hash agg, broadcast
+    // and shuffle joins, window, generate, cache — so codegen scaffolding
+    // and the C2 compiler warm on throwaway data instead of inflating
+    // whichever timed query happens to hit each template first (measured
+    // first-hit penalties of 3-12 s on a fresh JVM)
+    locally {
+      import org.apache.spark.sql.functions.broadcast
+      val a = spark.range(100000).selectExpr("id % 1000 AS k", "id AS v")
+      val b = spark.range(1000).selectExpr("id AS k", "id AS name")
+      a.groupBy("k").sum("v").count()
+      a.join(broadcast(b), "k").count()
+      a.join(b, "k").count()
+      a.selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY v) AS r").count()
+      a.selectExpr("explode(sequence(0, 3)) AS e").count()
+      val c = a.cache(); c.count(); c.count()
+      spark.catalog.clearCache()
+      System.gc()
+    }
     // A failed query must never masquerade as a fast one: failures are
     // excluded from the timing map and reported by name in "errors".
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -27,6 +43,13 @@ object Bench {
         // drop intra-query caches so one query's retained blocks can't
         // GC-pressure the next (measured multi-second timing swings)
         spark.catalog.clearCache()
+        // force the ContextCleaner's hand: broadcasts and shuffle state
+        // are weak-ref-cleaned, and with a large pretouched heap GC may
+        // not run for many queries — accumulated state then bleeds
+        // multi-second noise into later timings (measured ±30% run-to-
+        // run totals). An explicit GC per query costs ~50 ms and pins
+        // each query's timing to a clean block manager.
+        System.gc()
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
