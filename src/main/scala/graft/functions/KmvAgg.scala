@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded K-minimum-values distinct sketch: keeps the `k` smallest
+  * DISTINCT hash values seen, sorted ascending.
+  *
+  * This is the 100 TB distinct-count tool: state is ≤ k longs per group
+  * no matter how many rows flow in, the partial buffers merge
+  * associatively (sorted-distinct merge, re-bounded at k), so the
+  * exchange carries `partitions × groups × k` longs instead of the
+  * distinct value set itself. The estimator on top ((k-1)/h_k over
+  * 60-bit-normalized hashes) is deterministic — unlike HLL-based
+  * `approx_count_distinct`, two engines hashing with the same md5
+  * prefix compute the IDENTICAL estimate, so the result is fully
+  * oracle-checkable.
+  *
+  * Duplicate inputs (same hash) are dropped on insert — the sketch is a
+  * distinct set by construction, which is what lets callers feed raw
+  * rows without an exact-distinct shuffle first.
+  */
+class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  override def zero: Seq[Long] = Nil
+
+  override def reduce(buf: Seq[Long], in: Long): Seq[Long] =
+    if (buf.lengthCompare(k) >= 0 && in >= buf.last) buf
+    else {
+      val (lo, hi) = buf.span(_ < in)
+      if (hi.headOption.contains(in)) buf
+      else (lo :+ in) ++ hi.take(k - lo.length - 1)
+    }
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    var j = 0
+    while (out.length < k && (i < a.length || j < b.length)) {
+      val next =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val v = a(i); i += 1; v }
+        else { val v = b(j); j += 1; v }
+      if (out.isEmpty || out.last != next) out += next
+    }
+    out.toSeq
+  }
+
+  override def finish(r: Seq[Long]): Seq[Long] = r
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}

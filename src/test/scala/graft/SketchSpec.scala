@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.KmvAgg
+import graft.queries.SketchQueries
+
+/** KmvAgg aggregator semantics (bounded, distinct, merge-associative)
+  * and the sketch queries' accuracy against exact answers — the oracle
+  * proves both engines compute the same ESTIMATE; this spec proves the
+  * estimate is close to the TRUTH. */
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build(4, "sketch-spec")
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  // --- KmvAgg unit behavior --------------------------------------------
+
+  test("KmvAgg keeps the k smallest distinct values, sorted") {
+    val agg = new KmvAgg(4)
+    val buf = Seq(9L, 5L, 7L, 9L, 1L, 5L, 3L, 8L, 1L)
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf == Seq(1L, 3L, 5L, 7L))
+  }
+
+  test("KmvAgg merge is a bounded sorted-distinct merge") {
+    val agg = new KmvAgg(4)
+    val a = Seq(1L, 4L, 6L, 9L)
+    val b = Seq(2L, 4L, 5L, 9L)
+    assert(agg.merge(a, b) == Seq(1L, 2L, 4L, 5L))
+    assert(agg.merge(agg.zero, a) == a)
+    assert(agg.merge(a, agg.zero) == a)
+    // associativity on a concrete triple
+    val c = Seq(0L, 3L)
+    assert(agg.merge(agg.merge(a, b), c) == agg.merge(a, agg.merge(b, c)))
+  }
+
+  test("KmvAgg reduce ignores values above a full buffer's max") {
+    val agg = new KmvAgg(3)
+    val full = Seq(1L, 2L, 3L)
+    assert(agg.reduce(full, 10L) eq full)
+    assert(agg.reduce(full, 2L) eq full) // duplicate of a kept value
+  }
+
+  // --- estimate-vs-truth accuracy --------------------------------------
+
+  test("KMV distinct estimate is within 30% of the exact count") {
+    val est = SketchQueries.sketchDistinctKmv(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, nd) =>
+      // k=64 → σ ≈ 1/sqrt(k-2) ≈ 12.7%; 30% is > 2σ
+      assert(math.abs(est(t) - nd) <= 0.30 * nd,
+        s"type $t: est ${est(t)} vs exact $nd")
+      // estimator path must actually engage at this scale
+      assert(nd > 64, s"type $t has only $nd distinct users — exact path")
+    }
+  }
+
+  test("CMS estimates dominate true counts and stay within the width bound") {
+    val rows = SketchQueries.sketchHeavyHitters(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val n = Tables.load(spark, sfDir, "events").count()
+    rows.foreach { r =>
+      val (est, truth) = (r.getLong(1), r.getLong(2))
+      assert(est >= truth, s"user ${r.getLong(0)}: est $est < true $truth")
+      // expected overestimate per row is N/w; min over 4 rows stays
+      // well under a few multiples of it on non-adversarial data
+      assert(est - truth <= 8 * n / 256,
+        s"user ${r.getLong(0)}: est $est vs true $truth (n=$n)")
+    }
+  }
+
+  test("hash-sampled quantiles track exact quantiles") {
+    val sampled = SketchQueries.sketchSampleQuantile(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(4))).toMap
+    val exact = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(sampled.keySet == exact.keySet)
+    exact.foreach { case (t, (p50, p95, n)) =>
+      val (s50, s95, estTotal) = sampled(t)
+      val spread = p95 - p50
+      assert(math.abs(s50 - p50) <= 0.25 * spread, s"$t p50: $s50 vs $p50")
+      assert(math.abs(s95 - p95) <= 0.25 * spread, s"$t p95: $s95 vs $p95")
+      // 1-in-20 Bernoulli-by-hash sample: est_total within 30% of n
+      assert(math.abs(estTotal.toDouble - n) <= 0.30 * n, s"$t total: $estTotal vs $n")
+    }
+  }
+}
