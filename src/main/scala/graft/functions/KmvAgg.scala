@@ -21,6 +21,28 @@ import org.apache.spark.sql.expressions.Aggregator
   * distinct set by construction, which is what lets callers feed raw
   * rows without an exact-distinct shuffle first.
   */
+object Kmv {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** 2^60 — a 15-hex-char md5 prefix normalizes to (0,1) by this divisor. */
+  val Hash60 = 1152921504606846976.0
+
+  /** 60-bit uniform hash of any key column (md5 hex prefix) — the same
+    * construction DuckDB reproduces bit-for-bit, and the same hash for
+    * the batch and streaming KMV paths so both compute one estimate. */
+  def keyHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** KMV sketch array → distinct estimate (exact below capacity k). */
+  def estimate(sketch: Column, k: Int): Column =
+    round(
+      when(size(sketch) < k, size(sketch).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (element_at(sketch, k).cast("double") / lit(Hash60))),
+      6)
+}
+
 class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   override def zero: Seq[Long] = Nil
 

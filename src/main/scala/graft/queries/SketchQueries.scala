@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.KmvAgg
+import graft.functions.{Kmv, KmvAgg}
 
 /** Deterministic sketch operators — the bounded-state estimators a
   * 100 TB pipeline reaches for when exact answers cost a full shuffle of
@@ -38,8 +38,6 @@ object SketchQueries {
 
   // --- KMV distinct-count sketch ---------------------------------------
   private val KmvK = 64
-  // 2^60 — a 15-hex-char md5 prefix normalizes to (0,1) by this divisor.
-  private val Hash60 = 1152921504606846976.0
 
   /** Estimated distinct users per event_type through a k=64 KMV sketch.
     * Groups with fewer than k distinct hashes report the exact count
@@ -47,17 +45,11 @@ object SketchQueries {
   def sketchDistinctKmv(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     val kmv = udaf(new KmvAgg(KmvK))
-    val hv = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
-    ev.select(col("event_type"), hv.as("hv"))
+    ev.select(col("event_type"), Kmv.keyHash(col("user_id")).as("hv"))
       .groupBy(col("event_type"))
       .agg(kmv(col("hv")).as("ks"))
       .select(col("event_type"),
-        round(
-          when(size(col("ks")) < KmvK, size(col("ks")).cast("double"))
-            .otherwise(lit((KmvK - 1).toDouble) /
-              (element_at(col("ks"), KmvK).cast("double") / lit(Hash60))),
-          6).as("est_distinct"))
+        Kmv.estimate(col("ks"), KmvK).as("est_distinct"))
       .orderBy(col("event_type"))
   }
 
@@ -76,7 +68,7 @@ object SketchQueries {
       |  FROM h)
       |SELECT event_type,
       |  round(CASE WHEN nd < $KmvK THEN CAST(nd AS DOUBLE)
-      |    ELSE ${KmvK - 1}.0 / (CAST(hv AS DOUBLE) / $Hash60) END, 6) AS est_distinct
+      |    ELSE ${KmvK - 1}.0 / (CAST(hv AS DOUBLE) / ${Kmv.Hash60}) END, 6) AS est_distinct
       |FROM r WHERE rn = least(nd, $KmvK)
       |ORDER BY event_type""".stripMargin
 
