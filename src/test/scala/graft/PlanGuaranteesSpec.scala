@@ -175,4 +175,20 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(exchanges <= 2, // shard window + final group-by exchange
       s"corpus_pack plans $exchanges hash exchanges:\n${pack.take(2000)}")
   }
+
+  test("sketch queries keep bounded-state plans") {
+    // KMV: the oracle ranks the distinct set with a window — the engine
+    // must never; the bounded aggregator (ObjectHashAggregate, partial
+    // merge) is the whole scale story
+    val kmv = physical(SparkEntry.queries("sketch_distinct_kmv")(spark, sf))
+    assert(!kmv.contains("Window"),
+      s"sketch_distinct_kmv ranks the distinct set with a window:\n${kmv.take(2000)}")
+    assert(kmv.contains("ObjectHashAggregate"),
+      s"sketch_distinct_kmv lost its partial-merge aggregation:\n${kmv.take(2000)}")
+    // CMS: the d×w sketch and the probe list are always broadcastable —
+    // a sort-merge join would shuffle the probe lookups for nothing
+    val cms = physical(SparkEntry.queries("sketch_heavy_hitters")(spark, sf))
+    assert(cms.contains("BroadcastHashJoin") && !cms.contains("SortMergeJoin"),
+      s"sketch_heavy_hitters lost its broadcast lookups:\n${cms.take(2000)}")
+  }
 }
