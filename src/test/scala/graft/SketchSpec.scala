@@ -45,6 +45,23 @@ class SketchSpec extends AnyFunSuite {
     assert(agg.reduce(full, 2L) eq full) // duplicate of a kept value
   }
 
+  test("property: KmvAgg ≡ brute-force k-smallest-distinct under any split") {
+    val rnd = new scala.util.Random(42)
+    val agg = new KmvAgg(8)
+    (1 to 200).foreach { _ =>
+      // heavy duplication on purpose: values from a small domain
+      val xs = Seq.fill(rnd.nextInt(60))(rnd.nextInt(30).toLong)
+      val expected = xs.distinct.sorted.take(8)
+      // reduce-all
+      assert(xs.foldLeft(agg.zero)(agg.reduce) == expected)
+      // arbitrary split, partial reduce, then merge — the distributed path
+      val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else rnd.nextInt(xs.length + 1))
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == expected, s"split path diverged on $xs")
+    }
+  }
+
   // --- estimate-vs-truth accuracy --------------------------------------
 
   test("KMV distinct estimate is within 30% of the exact count") {
