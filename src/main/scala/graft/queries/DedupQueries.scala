@@ -201,18 +201,23 @@ object DedupQueries {
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val sh = shingleHashes(docs).cache()
-    // all band keys in ONE pass over the signature (explode of an array
-    // of structs — no per-band union recomputing the signature)
+  /** (doc_id, band, bkey) — all band keys in ONE pass over the signature
+    * (explode of an array of structs — no per-band union recomputing the
+    * signature). */
+  private def bandKeys(sh: DataFrame): DataFrame = {
     val bandArr = array((0 until MinhashK / BandRows).map { bandIdx =>
       val cols = (0 until BandRows).map(r => col(s"mh${bandIdx * BandRows + r}"))
       struct(lit(bandIdx).as("band"), concat_ws("_", cols: _*).as("bkey"))
     }: _*)
-    val bands = signatures(sh)
+    signatures(sh)
       .select(col("doc_id"), explode(bandArr).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sh = shingleHashes(docs).cache()
+    val bands = bandKeys(sh)
       .cache() // read 3x (oversized agg + self-join sides); uncached the
                // signature hash-agg over every shingle reruns each time
     // skew guard: one degenerate band key (boilerplate shared by a huge
@@ -281,6 +286,105 @@ object DedupQueries {
       |      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
       |  FROM cand JOIN hsets a ON cand.doc_a = a.doc_id JOIN hsets b ON cand.doc_b = b.doc_id)
       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --- incremental (new-batch-vs-corpus) near-dup ----------------------
+  // The continuous-ingest shape: a NEW batch of documents is LSH-checked
+  // against the EXISTING corpus without re-deduping the corpus against
+  // itself. The batch here is one source ('src0', 5% of rows); in the
+  // pipeline it is whatever the last micro-batch/backfill landed.
+  //
+  // Scale design: the corpus never self-joins and never shuffles — its
+  // band keys stream once into a BROADCAST hash join against the (small)
+  // batch's band keys, so cost is O(corpus scan + candidates) per
+  // increment instead of O(corpus²) re-dedup. The oversized-bucket cap
+  // runs on the corpus side (where the mass sits); each duplicated new
+  // doc reports its best corpus match through one max(struct) hash-agg
+  // (no per-doc window).
+  private val IncrementalSource = "src0"
+
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val newIds = docs.filter(col("source") === IncrementalSource).select(col("doc_id"))
+    val sh = shingleHashes(docs).cache()
+    val bands = bandKeys(sh).cache()
+    val batchBands = bands.join(broadcast(newIds), Seq("doc_id"))
+    val corpusBands = bands.join(broadcast(newIds), Seq("doc_id"), "left_anti")
+    val oversized = corpusBands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
+      .select(col("band"), col("bkey"))
+    val cappedCorpus = corpusBands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+    val candidates = cappedCorpus
+      .join(broadcast(batchBands.select(col("band"), col("bkey"), col("doc_id").as("new_id"))),
+        Seq("band", "bkey"))
+      .select(col("new_id"), col("doc_id").as("dup_of"))
+      .distinct()
+    val hsets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    candidates
+      .join(hsets.select(col("doc_id").as("new_id"), col("hs").as("ha")), Seq("new_id"))
+      .join(hsets.select(col("doc_id").as("dup_of"), col("hs").as("hb")), Seq("dup_of"))
+      .select(col("new_id"), col("dup_of"),
+        size(array_intersect(col("ha"), col("hb"))).as("inter"),
+        size(col("ha")).as("na"), size(col("hb")).as("nb"))
+      .select(col("new_id"), col("dup_of"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      // best corpus match per new doc: maximize jaccard, break ties on
+      // the LOWEST corpus id — max(struct) keeps it one bounded hash-agg
+      .groupBy(col("new_id"))
+      .agg(max(struct(col("jaccard"), (-col("dup_of")).as("nid"))).as("best"))
+      .select(col("new_id").as("new_doc_id"), (-col("best.nid")).as("dup_of"),
+        col("best.jaccard").as("jaccard"))
+      .orderBy(col("new_doc_id"))
+  }
+
+  val dedupIncrementalSql: String = {
+    val minExprs = HashParams.zipWithIndex
+      .map { case ((a, b), i) => s"min((h * $a + $b) % $Prime) AS mh$i" }
+      .mkString(",\n      |    ")
+    val bandSelects = (0 until MinhashK / BandRows).map { bandIdx =>
+      val cols = (0 until BandRows).map(r => s"mh${bandIdx * BandRows + r}")
+      s"SELECT doc_id, $bandIdx AS band, concat_ws('_', ${cols.mkString(", ")}) AS bkey FROM sig"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH shingles AS (
+      |  SELECT DISTINCT doc_id, tok || ' ' || nxt1 || ' ' || nxt2 AS shingle FROM (
+      |    SELECT doc_id, tok,
+      |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt1,
+      |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt2
+      |    FROM (
+      |      SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+      |        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
+      |        LATERAL (SELECT unnest(t) AS tok, generate_subscripts(t, 1) AS pos) u))
+      |  WHERE nxt2 IS NOT NULL),
+      |sh AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM shingles),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $minExprs
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |newids AS (SELECT doc_id FROM documents WHERE source = '$IncrementalSource'),
+      |batch AS (SELECT b.* FROM bands b WHERE b.doc_id IN (SELECT doc_id FROM newids)),
+      |corpus AS (SELECT b.* FROM bands b WHERE b.doc_id NOT IN (SELECT doc_id FROM newids)),
+      |capped AS (
+      |  SELECT doc_id, band, bkey FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM corpus)
+      |  WHERE bsz <= $MinhashBucketCap),
+      |cand AS (
+      |  SELECT DISTINCT batch.doc_id AS new_id, c.doc_id AS dup_of
+      |  FROM batch JOIN capped c ON batch.band = c.band AND batch.bkey = c.bkey),
+      |hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM sh GROUP BY doc_id),
+      |verified AS (
+      |  SELECT new_id, dup_of, jaccard FROM (
+      |    SELECT new_id, dup_of,
+      |      len(list_intersect(a.hs, b.hs))::DOUBLE
+      |        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+      |    FROM cand JOIN hsets a ON cand.new_id = a.doc_id JOIN hsets b ON cand.dup_of = b.doc_id)
+      |  WHERE jaccard >= 0.5)
+      |SELECT new_id AS new_doc_id, dup_of, jaccard FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, dup_of) AS rn
+      |  FROM verified)
+      |WHERE rn = 1 ORDER BY new_doc_id""".stripMargin
   }
 
   // --- SimHash near-dup: 32-bit simhash + banded hamming candidates ---

@@ -39,7 +39,7 @@ class PlanGuaranteesSpec extends AnyFunSuite {
 
   test("candidate-join dedup queries never plan a cartesian product") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_embedding", "vec_ann_lsh").foreach { name =>
+        "dedup_embedding", "dedup_incremental", "vec_ann_lsh").foreach { name =>
       val plan = physical(SparkEntry.queries(name)(spark, sf))
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degenerated to an all-pairs join:\n${plan.take(2000)}")
@@ -190,5 +190,15 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     val cms = physical(SparkEntry.queries("sketch_heavy_hitters")(spark, sf))
     assert(cms.contains("BroadcastHashJoin") && !cms.contains("SortMergeJoin"),
       s"sketch_heavy_hitters lost its broadcast lookups:\n${cms.take(2000)}")
+  }
+
+  test("incremental dedup broadcasts the batch side — the corpus must not window") {
+    // the whole point: O(corpus scan), never a corpus self-join or a
+    // per-doc window over it
+    val plan = physical(SparkEntry.queries("dedup_incremental")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dedup_incremental lost its broadcast batch join:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      s"dedup_incremental ranks matches with a window:\n${plan.take(2000)}")
   }
 }
