@@ -25,6 +25,7 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VectorFunctions.register(spark)
+    graft.functions.Kmv.register(spark)
     spark
   }
 }

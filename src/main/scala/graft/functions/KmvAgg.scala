@@ -41,6 +41,25 @@ object Kmv {
         .otherwise(lit((k - 1).toDouble) /
           (element_at(sketch, k).cast("double") / lit(Hash60))),
       6)
+
+  /** Default SQL-surface capacity — σ ≈ 1/√(k−2) ≈ 12.7 %. */
+  val DefaultK = 64
+
+  /** SQL surface: `kmv_sketch(hash)` (aggregate, k=64) and
+    * `kmv_estimate(sketch)` — so pure-SQL sessions can run
+    * `SELECT kmv_estimate(kmv_sketch(h)) FROM …` with the same bounded
+    * state as the DataFrame path. The scalar estimator repeats
+    * [[estimate]]'s arithmetic on plain doubles — identical IEEE ops,
+    * identical result. Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("kmv_sketch", udaf(new KmvAgg(DefaultK)))
+    spark.udf.register("kmv_estimate", (sketch: Seq[Long]) =>
+      if (sketch.length < DefaultK)
+        BigDecimal(sketch.length.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else
+        BigDecimal((DefaultK - 1).toDouble / (sketch(DefaultK - 1).toDouble / Hash60))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
 
 class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {

@@ -62,6 +62,20 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL surface kmv_sketch/kmv_estimate matches the DataFrame path") {
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("ev_kmv")
+    val sql = spark.sql(
+      """SELECT event_type,
+        |  kmv_estimate(kmv_sketch(
+        |    CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
+        |  )) AS est_distinct
+        |FROM ev_kmv GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val df = SketchQueries.sketchDistinctKmv(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sql == df, s"SQL $sql vs DataFrame $df")
+  }
+
   // --- estimate-vs-truth accuracy --------------------------------------
 
   test("KMV distinct estimate is within 30% of the exact count") {
