@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Kmv, KmvAgg}
+import graft.functions.{Cms, Kmv, KmvAgg}
 
 /** Deterministic sketch operators — the bounded-state estimators a
   * 100 TB pipeline reaches for when exact answers cost a full shuffle of
@@ -73,13 +73,11 @@ object SketchQueries {
       |ORDER BY event_type""".stripMargin
 
   // --- Count-Min heavy-hitter estimates --------------------------------
-  private val CmsDepth = 4
-  private val CmsWidth = 256L
+  private val CmsDepth = Cms.DefaultDepth
+  private val CmsWidth = Cms.DefaultWidth
   private val CmsProbes = 20
 
-  private def cmsBucket(j: Column, u: Column): Column =
-    pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), u.cast("string"))), 1, 8),
-      16, 10).cast("long"), lit(CmsWidth))
+  private def cmsBucket(j: Column, u: Column): Column = Cms.bucket(j, u)
 
   /** Event counts for a probe set of users estimated from a 4×256
     * Count-Min sketch, with the true counts alongside (est ≥ true by

@@ -6,8 +6,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Kmv, KmvAgg}
-import graft.streaming.StreamDistinct
+import graft.functions.{Cms, Kmv, KmvAgg}
+import graft.streaming.{StreamDistinct, StreamFrequency}
 
 /** Windowed streaming distinct-count via the bounded KMV sketch: state
   * merges across micro-batches, windows emit on watermark close, and
@@ -61,5 +61,51 @@ class StreamDistinctSpec extends AnyFunSuite {
       s"stream $streamEst must equal batch $batchEst over the same rows")
     assert(math.abs(streamEst - 150.0) <= 0.30 * 150.0,
       s"estimate $streamEst vs true 150")
+  }
+
+  test("streaming CMS sketch equals the batch-built sketch over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sk = StreamFrequency.sketchPerWindow(
+      input.toDF(), "ts", "user_id", windowLen = "1 hour", watermark = "2 hours")
+    val q = sk.writeStream
+      .format("memory").queryName("stream_cms").outputMode("append")
+      .start()
+
+    // window [10:00,11:00): user 7 appears 30×, users 100..149 once each,
+    // split across two micro-batches
+    val batch1 = (1 to 15).map(i => ev(10, i % 60, 7L)) ++
+      (100L until 125L).map(u => ev(10, (u % 60).toInt, u))
+    val batch2 = (1 to 15).map(i => ev(10, (i + 20) % 60, 7L)) ++
+      (125L until 150L).map(u => ev(10, (u % 60).toInt, u))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    input.addData(ev(14, 0, 9999)) // advance watermark, close the window
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stream_cms")
+      .select("j", "b", "c").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // batch-built sketch over the identical rows
+    val rows = (batch1 ++ batch2).map(e => (e.ts, e.user_id)).toDF("ts", "user_id")
+    val batchSketch = rows
+      .select(Cms.rows(col("user_id")).as("j"), col("user_id").as("k"))
+      .select(col("j"), Cms.bucket(col("j"), col("k")).as("b"))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batchSketch,
+      s"stream sketch diverged: ${streamed.size} vs ${batchSketch.size} cells")
+
+    // point estimate for the heavy key from the emitted sketch
+    val est7 = (0 until Cms.DefaultDepth).map { j =>
+      val b = rows.sparkSession.range(1)
+        .select(Cms.bucket(lit(j), lit(7L)).as("b")).head().getLong(0)
+      streamed.getOrElse((j, b), 0L)
+    }.min
+    assert(est7 >= 30, s"CMS estimate $est7 must dominate the true count 30")
   }
 }
