@@ -90,13 +90,8 @@ object SketchQueries {
       .select(col("j"), cmsBucket(col("j"), col("user_id")).as("b"))
       .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
     val probes = spark.range(0, CmsProbes).select(col("id").as("user_id"))
-    val pb = probes
-      .select(col("user_id"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
-      .select(col("user_id"), col("j"), cmsBucket(col("j"), col("user_id")).as("b"))
     // the sketch is ≤ d×w rows by construction — always broadcastable
-    val est = pb.join(broadcast(sketch), Seq("j", "b"), "left")
-      .groupBy(col("user_id"))
-      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+    val est = Cms.estimate(sketch, probes, "user_id")
     val truth = ev.join(broadcast(probes), Seq("user_id"), "left_semi")
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
     est.join(truth, Seq("user_id"), "left")

@@ -100,12 +100,12 @@ class StreamDistinctSpec extends AnyFunSuite {
     assert(streamed == batchSketch,
       s"stream sketch diverged: ${streamed.size} vs ${batchSketch.size} cells")
 
-    // point estimate for the heavy key from the emitted sketch
-    val est7 = (0 until Cms.DefaultDepth).map { j =>
-      val b = rows.sparkSession.range(1)
-        .select(Cms.bucket(lit(j), lit(7L)).as("b")).head().getLong(0)
-      streamed.getOrElse((j, b), 0L)
-    }.min
-    assert(est7 >= 30, s"CMS estimate $est7 must dominate the true count 30")
+    // point estimates from the emitted sketch via the probe helper:
+    // the heavy key dominates its true count, an absent key reads 0
+    val probes = Seq(7L, 424242L).toDF("user_id")
+    val ests = Cms.estimate(spark.table("stream_cms").drop("win_start"), probes, "user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ests(7L) >= 30, s"CMS estimate ${ests(7L)} must dominate the true count 30")
+    assert(ests(424242L) == 0L, s"absent key must estimate 0: ${ests(424242L)}")
   }
 }
