@@ -369,31 +369,31 @@ object VectorQueries {
 
   // --- product-quantization ANN (ADC scoring + exact rerank) -----------
   // The compressed-domain scale path: each vector is encoded as M
-  // subspace code ids against per-subspace codebooks (here sampled by
-  // id stride — the same deterministic bootstrap as IVF's quantizer;
-  // production would train per-subspace k-means with lloydStep's
-  // recipe). Query scoring is asymmetric-distance (ADC): the probe
-  // computes one K-entry distance table per subspace, and each corpus
-  // vector costs M table LOOKUPS on its codes — at 100 TB the scan
-  // reads M ints per vector instead of D floats (16× compression at
-  // M=8, D=64), which is the entire point of PQ. Top candidates are
-  // reranked with exact cosine so the emitted sims are true.
+  // subspace code ids against per-subspace codebooks (trained on the
+  // driver over an ABSOLUTE-size sample — see pqCodebooks). Query
+  // scoring is asymmetric-distance (ADC): the probe computes one
+  // K-entry distance table per subspace, and each corpus vector costs M
+  // table LOOKUPS on its codes — at 100 TB the scan reads M ints per
+  // vector instead of D floats (16× compression at M=8, D=64), which is
+  // the entire point of PQ. Top candidates are reranked with exact
+  // cosine so the emitted sims are true.
   //
   // Plan shape: codebooks are driver-held model state (bounded:
   // M×K×subDim floats) embedded as literals, so ENCODING is a pure
   // per-row projection — one corpus scan, no join, no shuffle. Probes
   // broadcast; candidate top-k and final top-k both run through the
-  // bounded partial-merge TopKAgg. No DuckDB oracle (8 chained argmin
-  // subqueries are not reasonably SQL-expressible) — the driver's
-  // rows-only check applies, and VectorSpec bounds recall@5 against
-  // brute force and verifies the rerank invariant instead.
+  // bounded partial-merge TopKAgg. The DuckDB oracle is GENERATED from
+  // the trained codebooks (vecPqTopkSqlOpt) with every arithmetic chain
+  // mirrored left-associated, so the driver hash-checks the full
+  // encode→ADC→rerank pipeline; VectorSpec additionally bounds recall@5
+  // against brute force.
   private val PqM = 8 // subspaces
   private val PqSubDim = Dims / PqM // 8 dims each
-  private val PqCodeStride = 5 // codebook candidates = every 5th vector
   private val PqK = 64 // codes per subspace — FIXED, like real PQ's 256:
   // encode cost is M×K×subDim flops per row, so K must not grow with
-  // the corpus (the stride-5 candidate pool is thinned evenly to K)
+  // the corpus
   private val PqRefine = 4 // rerank pool = PqRefine × TopK
+  private val PqPoolTarget = 4096 // training-pool size — ABSOLUTE, not ∝N
 
   /** Squared L2 between two float-array columns (double math, fixed
     * evaluation order → deterministic). */
@@ -408,23 +408,40 @@ object VectorQueries {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def vecPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    VectorFunctions.register(spark)
-    val vecs = Tables.load(spark, sfDir, "embeddings")
-    // codebooks: K stride-sampled rows, sliced into M subvectors each —
-    // driver-held model state (same bounded-collect contract as
-    // trainCentroids), embedded as a per-subspace literal so encoding
-    // never joins.
-    val pool = vecs.filter(col("vec_id") % PqCodeStride === 0)
+  /** Trained per-subspace PQ codebooks for the corpus at `sfDir` —
+    * driver-held model state, memoized so [[vecPqTopkSqlOpt]] can emit a
+    * DuckDB oracle embedding EXACTLY the codebooks the query ran with.
+    *
+    * The training pool is an absolute-size deterministic sample: a
+    * hash-mod filter whose modulus is derived from a cheap `count()` so
+    * the pool targets ~[[PqPoolTarget]] rows at ANY corpus size. Unlike
+    * a stride sample (N/stride rows — linear in N, a driver OOM at
+    * 100 TB), the collect here is O(1) in the corpus: ~4–8 k rows
+    * whether the table holds 50 k or 50 B vectors. Training is then
+    * plain driver-side Scala over sample-sized model data — the cluster
+    * never sees the Lloyd iteration, only the final M×K×subDim floats
+    * broadcast as literals. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Float]]]]()
+  @volatile private var pqLastDir: Option[String] = None
+
+  private[graft] def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Float]]] = {
+    val cbs = pqCache.computeIfAbsent(
+      sfDir, _ => trainPqCodebooks(Tables.load(spark, sfDir, "embeddings")))
+    pqLastDir = Some(sfDir)
+    cbs
+  }
+
+  private def trainPqCodebooks(vecs: DataFrame): Seq[Seq[Seq[Float]]] = {
+    val n = vecs.count()
+    val poolMod = math.max(1L, n / PqPoolTarget)
+    val pool = vecs
+      .filter(pmod(xxhash64(col("vec_id")), lit(poolMod)) === 0)
       .orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0))
     // K seeds thinned evenly from the id-ordered pool (deterministic),
-    // then ONE driver-side Lloyd iteration per subspace over the WHOLE
-    // pool: the pool is sample-sized model data (like trainCentroids'
-    // collect), so training is plain Scala — the cluster never sees it —
-    // and the refined codes recover the recall a K-capped random sample
-    // loses (measured 0.52 → 0.68 at sf0.001).
+    // then ONE driver-side Lloyd iteration per subspace over the pool.
     val seeds =
       if (pool.length <= PqK) pool.toSeq
       else (0 until PqK).map(i => pool((i.toLong * pool.length / PqK).toInt))
@@ -434,7 +451,7 @@ object VectorQueries {
       a.iterator.zip(b.iterator).map { case (x, y) =>
         (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
       }.sum
-    val codebooks: Seq[Seq[Seq[Float]]] = (0 until PqM).map { m =>
+    (0 until PqM).map { m =>
       val subPool = pool.map(subOf(_, m))
       val subSeeds = seeds.map(subOf(_, m))
       val members = subPool.groupBy(v => subSeeds.indices.minBy(i => l2s(v, subSeeds(i))))
@@ -446,6 +463,12 @@ object VectorQueries {
         }
       }
     }
+  }
+
+  def vecPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val codebooks = pqCodebooks(spark, sfDir)
     def cb(m: Int): Column = typedLit(codebooks(m))
     def sub(emb: Column, m: Int): Column = slice(emb, m * PqSubDim + 1, PqSubDim)
 
@@ -496,4 +519,88 @@ object VectorQueries {
         col("n.id").as("neighbor_id"), round(col("n.sim"), 6).as("sim"))
       .orderBy(col("probe_id"), col("rank"))
   }
+
+  // --- generated DuckDB oracle for vec_pq_topk -------------------------
+  // Bit-exact mirroring strategy: every double chain the Spark side
+  // builds with `aggregate(..., lit(0.0), acc + v)` (a LEFT fold in
+  // element order) is emitted as a left-associated `0.0 + t1 + t2 + …`
+  // SQL chain; the ADC sum mirrors `reduce(_ + _)` (no 0.0 seed); argmin
+  // is `array_position(d, array_min(d))` on both engines (first-min
+  // tie-break); codebook floats are emitted as E-notation literals
+  // (DuckDB parses E-notation as DOUBLE, never DECIMAL) whose text
+  // round-trips to the exact widened-float double Spark computes with.
+  // Identical inputs + identical IEEE op order = identical bits, so the
+  // candidate sets and final ranking agree exactly.
+
+  /** DuckDB DOUBLE literal carrying the exact value of float `f`. */
+  private def dlit(f: Float): String = {
+    val s = f.toDouble.toString
+    if (s.contains('E') || s.contains('e')) s else s + "E0"
+  }
+
+  private def cbLit(cb: Seq[Seq[Float]]): String =
+    cb.map(_.map(dlit).mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  private def pqSql(cbs: Seq[Seq[Seq[Float]]]): String = {
+    def x(c: String, i: Int) = s"CAST(list_extract($c, $i) AS DOUBLE)"
+    val normExpr = "sqrt(" + (1 to Dims).foldLeft("0.0") { (acc, i) =>
+      s"$acc + ${x("embedding", i)}*${x("embedding", i)}"
+    } + ")"
+    def distList(m: Int): String = {
+      val body = (1 to PqSubDim).foldLeft("0.0") { (acc, d) =>
+        val xi = x("embedding", m * PqSubDim + d)
+        s"$acc + ($xi - c[$d])*($xi - c[$d])"
+      }
+      s"list_transform(${cbLit(cbs(m))}, c -> $body)"
+    }
+    def dtList(m: Int): String = {
+      val body = (1 to PqSubDim).foldLeft("0.0") { (acc, d) =>
+        s"$acc + ${x("pemb", m * PqSubDim + d)} * c[$d]"
+      }
+      s"list_transform(${cbLit(cbs(m))}, c -> $body)"
+    }
+    val ms = 0 until PqM
+    s"""WITH enc0 AS (
+      |  SELECT vec_id, $normExpr AS vnorm,
+      |    ${ms.map(m => s"${distList(m)} AS d$m").mkString(",\n    ")}
+      |  FROM embeddings),
+      |enc AS (
+      |  SELECT vec_id, vnorm,
+      |    ${ms.map(m => s"CAST(list_position(d$m, list_min(d$m)) - 1 AS INTEGER) AS c$m").mkString(",\n    ")}
+      |  FROM enc0),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding AS pemb FROM embeddings
+      |  WHERE vec_id % $ProbeStride = 0),
+      |pt AS (
+      |  SELECT probe_id,
+      |    ${ms.map(m => s"${dtList(m)} AS dt$m").mkString(",\n    ")}
+      |  FROM probes),
+      |approx AS (
+      |  SELECT pt.probe_id, e.vec_id,
+      |    (${ms.map(m => s"list_extract(dt$m, c$m + 1)").mkString(" + ")}) / e.vnorm AS approx_cos
+      |  FROM pt JOIN enc e ON e.vec_id != pt.probe_id),
+      |cand AS (
+      |  SELECT probe_id, vec_id FROM (
+      |    SELECT probe_id, vec_id,
+      |      row_number() OVER (PARTITION BY probe_id ORDER BY approx_cos DESC, vec_id) AS rn
+      |    FROM approx) WHERE rn <= ${TopK * PqRefine}),
+      |rer AS (
+      |  SELECT c.probe_id, c.vec_id,
+      |    list_cosine_similarity(CAST(p.pemb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+      |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+      |       JOIN probes p ON c.probe_id = p.probe_id),
+      |ranked AS (
+      |  SELECT probe_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM rer)
+      |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim,6) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** The generated `vec_pq_topk` oracle — defined once the query has
+    * trained for some sfDir (Verify runs every query BEFORE dumping
+    * `oracleSql`, so the key is always present in `oracle_sql.json`;
+    * a fresh JVM that never ran the query degrades to the driver's
+    * rows-only check, never to a wrong oracle). */
+  def vecPqTopkSqlOpt: Option[String] =
+    pqLastDir.flatMap(d => Option(pqCache.get(d))).map(pqSql)
 }
