@@ -46,19 +46,26 @@ object Kmv {
   val DefaultK = 64
 
   /** SQL surface: `kmv_sketch(hash)` (aggregate, k=64) and
-    * `kmv_estimate(sketch)` — so pure-SQL sessions can run
-    * `SELECT kmv_estimate(kmv_sketch(h)) FROM …` with the same bounded
-    * state as the DataFrame path. The scalar estimator repeats
+    * `kmv_estimate(sketch, k)` — so pure-SQL sessions can run
+    * `SELECT kmv_estimate(kmv_sketch(h), 64) FROM …` with the same
+    * bounded state as the DataFrame path. `k` must be the capacity the
+    * sketch was BUILT with (64 for `kmv_sketch`): a sketch longer than
+    * `k` proves a capacity mismatch and fails loudly instead of
+    * silently misestimating. The scalar estimator repeats
     * [[estimate]]'s arithmetic on plain doubles — identical IEEE ops,
     * identical result. Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("kmv_sketch", udaf(new KmvAgg(DefaultK)))
-    spark.udf.register("kmv_estimate", (sketch: Seq[Long]) =>
-      if (sketch.length < DefaultK)
+    spark.udf.register("kmv_estimate", (sketch: Seq[Long], k: Int) => {
+      require(sketch.length <= k,
+        s"kmv_estimate: sketch holds ${sketch.length} values > k=$k — " +
+          "it was built with a larger capacity; pass the build-time k")
+      if (sketch.length < k)
         BigDecimal(sketch.length.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       else
-        BigDecimal((DefaultK - 1).toDouble / (sketch(DefaultK - 1).toDouble / Hash60))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        BigDecimal((k - 1).toDouble / (sketch(k - 1).toDouble / Hash60))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    })
   }
 }
 

@@ -25,15 +25,37 @@ object PiiRedact {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
   val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  // 8+ digit runs allowing (), -, space and an optional leading +;
-  // anchored on digits at both ends so trailing punctuation survives
-  val PhoneRe = "\\+?[0-9][0-9() \\-]{6,}[0-9]"
+  // Two phone shapes, both with BOUNDED digit counts so dates,
+  // timestamps, and long numeric ids pass through:
+  //  - international: '+' then 7–15 digits, ≤2 separator chars between
+  //    ("+44 20 7946 0958", "+1 (415) 555-0199");
+  //  - domestic: 3 + 3-4 + 4 digit groups = 10–11 digits total
+  //    ("(555) 123-4567", "020 7946 0958", "5551234567"); the \b
+  //    anchors keep it from firing inside longer digit runs (a 13-digit
+  //    epoch-millis never matches) and an 8-digit ISO date ("2024-01-01")
+  //    can't satisfy the 3/3-4/4 group structure.
+  val PhoneRe =
+    "\\+[0-9]([() \\-]{0,2}[0-9]){6,14}\\b|\\(?\\b[0-9]{3}\\)?[ -]?[0-9]{3,4}[ -]?[0-9]{4}\\b"
 
   private val ordered = Seq(
     "email" -> EmailRe,
     "ssn" -> SsnRe,
     "ipv4" -> Ipv4Re,
     "phone" -> PhoneRe)
+
+  /** DuckDB mirror of [[redact]]: the same nested global
+    * `regexp_replace` chain in the same precedence order (the patterns
+    * are common-subset Java-regex/RE2, so behavior is identical). */
+  def redactSql(expr: String): String =
+    ordered.foldLeft(expr) { case (e, (name, re)) =>
+      s"regexp_replace($e, '$re', '[${name.toUpperCase}]', 'g')"
+    }
+
+  /** DuckDB mirror of [[counts]] (non-overlapping match counts). */
+  def countSqls(expr: String): Seq[(String, String)] =
+    ordered.map { case (name, re) =>
+      s"n_$name" -> s"CAST(len(regexp_extract_all($expr, '$re')) AS INTEGER)"
+    }
 
   /** The text column with every PII category replaced by `[CATEGORY]`. */
   def redact(text: Column): Column =

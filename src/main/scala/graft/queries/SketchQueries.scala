@@ -45,7 +45,8 @@ object SketchQueries {
   def sketchDistinctKmv(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     val kmv = udaf(new KmvAgg(KmvK))
-    ev.select(col("event_type"), Kmv.keyHash(col("user_id")).as("hv"))
+    ev.filter(col("user_id").isNotNull) // null-key drop = COUNT(DISTINCT) semantics
+      .select(col("event_type"), Kmv.keyHash(col("user_id")).as("hv"))
       .groupBy(col("event_type"))
       .agg(kmv(col("hv")).as("ks"))
       .select(col("event_type"),
@@ -60,7 +61,7 @@ object SketchQueries {
     s"""WITH h AS (
       |  SELECT DISTINCT event_type,
       |    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL),
       |r AS (
       |  SELECT event_type, hv,
       |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,

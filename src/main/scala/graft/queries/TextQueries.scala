@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PiiRedact
 
 /** Text-analysis operators for the LLM-data-pipeline surface (BASELINE
   * north star): token counting, quality scoring, language ID, document
@@ -298,4 +299,48 @@ object TextQueries {
       |                                    t -> t != '')) AS term
       |  FROM documents)
       |GROUP BY term ORDER BY df DESC, term""".stripMargin
+
+  // --- PII redaction over the corpus (graft.functions.PiiRedact) -------
+  // The fixture corpus is deliberately clean, so the gate SYNTHESIZES
+  // deterministic PII onto every 7th document (an email from `source`,
+  // an SSN/IPv4/phone derived from `doc_id`) with the identical string
+  // construction on the DuckDB side; the remaining rows exercise the
+  // pass-through path. Redaction itself is per-row regexp_replace /
+  // regexp_count — codegen'd, shuffle-free, linear at 100 TB. The
+  // patterns are the common Java-regex/RE2 subset, so the oracle runs
+  // them verbatim.
+  def textPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val id = col("doc_id")
+    def grp(m: Int, w: Int): Column = lpad((id % m).cast("string"), w, "0")
+    val withPii = docs.select(id,
+      when(id % 7 === 0,
+        concat(col("text"),
+          lit(" contact "), col("source"), lit("@example.com ssn "),
+          grp(1000, 3), lit("-"), grp(100, 2), lit("-"), grp(10000, 4),
+          lit(" ip 10.0."), (id % 256).cast("string"),
+          lit(".7 call +1 (415) 555-"), grp(10000, 4)))
+        .otherwise(col("text")).as("text"))
+    PiiRedact(withPii, "text").orderBy(id)
+  }
+
+  val textPiiRedactSql: String = {
+    val counts = PiiRedact.countSqls("text")
+      .map { case (name, e) => s"$e AS $name" }.mkString(",\n  ")
+    s"""WITH synth AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN
+      |      text || ' contact ' || source || '@example.com ssn ' ||
+      |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |      ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |      '.7 call +1 (415) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  $counts,
+      |  ${PiiRedact.redactSql("text")} AS text
+      |FROM synth ORDER BY doc_id""".stripMargin
+  }
 }

@@ -38,6 +38,10 @@ object StreamDistinct {
       k: Int = 64): DataFrame = {
     val kmv = udaf(new KmvAgg(k))
     stream
+      // null keys hash to null and would hit the aggregator's primitive
+      // Long input encoder; dropping them matches COUNT(DISTINCT key)'s
+      // null semantics
+      .filter(col(keyCol).isNotNull)
       .select(col(tsCol), col(groupCol), Kmv.keyHash(col(keyCol)).as("hv"))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen).as("w"), col(groupCol))

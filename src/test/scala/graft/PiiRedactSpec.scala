@@ -27,10 +27,9 @@ class PiiRedactSpec extends AnyFunSuite {
       "server at 10.0.255.1 responded",
       "call +1 (415) 555-0199 now")
     assert(out(0) == ("contact [EMAIL] for details", 1, 0, 0, 0))
-    // counts are per-pattern on the RAW text: the looser phone pattern
-    // also matches the 9-digit SSN shape (documented overlap) — the
-    // redacted text is what proves SSN precedence won
-    assert(out(1) == ("ssn [SSN] on file", 0, 1, 0, 1))
+    // the digit-bounded phone pattern no longer overlaps the 3-2-4 SSN
+    // shape, so the raw-text phone count stays zero here
+    assert(out(1) == ("ssn [SSN] on file", 0, 1, 0, 0))
     assert(out(2) == ("server at [IPV4] responded", 0, 0, 1, 0))
     assert(out(3) == ("call [PHONE] now", 0, 0, 0, 1))
   }
@@ -58,5 +57,28 @@ class PiiRedactSpec extends AnyFunSuite {
     out.zip(texts).foreach { case (got, want) =>
       assert(got == ((want, 0, 0, 0, 0)), s"expected passthrough for: $want")
     }
+  }
+
+  test("dates, timestamps, and long numeric ids are NOT phones") {
+    // the bounded digit counts (7-15 int'l, 10-11 domestic in 3/3-4/4
+    // groups) keep date- and id-shaped digit runs out of [PHONE]
+    val texts = Seq(
+      "released 2024-01-01 and patched 2024-12-31", // ISO dates
+      "at 2024-01-01 10:30 the job ran", // date + clock time
+      "epoch 1712345678901 ms", // 13-digit epoch millis
+      "tracking 20240101123456 done", // 14-digit contiguous id
+      "invoice 12345678 paid") // 8-digit id
+    val out = run(texts: _*)
+    out.zip(texts).foreach { case (got, want) =>
+      assert(got == ((want, 0, 0, 0, 0)), s"expected passthrough for: $want")
+    }
+  }
+
+  test("bounded phone shapes still redact") {
+    val out = run(
+      "uk +44 20 7946 0958 ok",
+      "us (555) 123-4567 ok",
+      "bare 5551234567 ok")
+    out.foreach(o => assert(o._1.contains("[PHONE]") && o._5 == 1, o))
   }
 }

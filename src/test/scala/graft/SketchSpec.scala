@@ -68,12 +68,26 @@ class SketchSpec extends AnyFunSuite {
       """SELECT event_type,
         |  kmv_estimate(kmv_sketch(
         |    CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
-        |  )) AS est_distinct
+        |  ), 64) AS est_distinct
         |FROM ev_kmv GROUP BY event_type ORDER BY event_type""".stripMargin)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val df = SketchQueries.sketchDistinctKmv(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(sql == df, s"SQL $sql vs DataFrame $df")
+  }
+
+  test("kmv_estimate rejects a capacity mismatch loudly") {
+    // a full k=64 sketch passed with a smaller k must throw, not return
+    // a silently-wrong estimate (the sketch length exceeds the claimed
+    // capacity — proof the caller's k is not the build-time k)
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("ev_kmv_bad")
+    val err = intercept[Exception] {
+      spark.sql(
+        """SELECT kmv_estimate(kmv_sketch(
+          |  CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
+          |), 32) FROM ev_kmv_bad""".stripMargin).collect()
+    }
+    assert(err.getMessage != null)
   }
 
   // --- estimate-vs-truth accuracy --------------------------------------

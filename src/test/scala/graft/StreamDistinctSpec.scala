@@ -63,6 +63,31 @@ class StreamDistinctSpec extends AnyFunSuite {
       s"estimate $streamEst vs true 150")
   }
 
+  case class EvN(ts: Timestamp, user_id: Option[Long], event_type: String)
+
+  test("null keys are dropped — COUNT(DISTINCT) semantics, no encoder crash") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EvN]
+    val est = StreamDistinct.distinctPerWindow(
+      input.toDF(), "ts", "user_id", "event_type",
+      windowLen = "1 hour", watermark = "2 hours", k = 64)
+    val q = est.writeStream
+      .format("memory").queryName("stream_kmv_null").outputMode("append")
+      .start()
+    val rows = (0L until 40L).map(u =>
+      EvN(Timestamp.valueOf(f"2024-01-01 10:${u % 60}%02d:00"), Some(u), "click")) ++
+      Seq.fill(5)(EvN(Timestamp.valueOf("2024-01-01 10:30:00"), None, "click"))
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    input.addData(EvN(Timestamp.valueOf("2024-01-01 14:00:00"), Some(9999L), "click"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("stream_kmv_null").collect()
+    assert(out.length == 1, out.toSeq.toString)
+    // 40 distinct NON-null keys, below k → the estimate is exact
+    assert(out.head.getDouble(2) == 40.0, s"expected exact 40: ${out.toSeq}")
+  }
+
   test("streaming CMS sketch equals the batch-built sketch over the same rows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
