@@ -101,6 +101,33 @@ trait CdcTransport {
   def post(path: String, jsonBody: String): (Int, String)
 }
 
+/** Production [[CdcTransport]]: the real HTTP hop the reference makes
+  * (`client.Do(httpReq)`, `pkg/cdc/connector.go:78-90`) over the JDK
+  * `java.net.http.HttpClient`. `serverUrl` mirrors the reference's
+  * `http://{cdcHost}:{cdcPort}` (`connector.go:44`); the path is joined
+  * the same way `url.JoinPath` does. */
+final class HttpCdcTransport(
+    serverUrl: String,
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+  extends CdcTransport {
+
+  private val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(timeout).build()
+
+  override def post(path: String, jsonBody: String): (Int, String) = {
+    val base = if (serverUrl.endsWith("/")) serverUrl else serverUrl + "/"
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(base + path))
+      .timeout(timeout)
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        jsonBody, java.nio.charset.StandardCharsets.UTF_8))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+}
+
 /** Changefeed provisioning client (`CreateChangefeed`,
   * `pkg/cdc/connector.go:53-100`): POST the spec, require HTTP 200, pull
   * the changefeed id out of the response. */

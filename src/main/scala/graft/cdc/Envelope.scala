@@ -62,27 +62,61 @@ object Envelope {
     * doesn't carry and kill the query; here each table version parses
     * with its own width inside `foreachBatch`.
     *
-    * FAILFAST: a malformed line — e.g. a quoted field containing a
-    * newline, split in two by the line-oriented source — fails the batch
-    * loudly; PERMISSIVE would silently null-pad both halves and merge
-    * garbage rows into the target. */
-  def parseLines(lines: DataFrame, nDataCols: Int): DataFrame = {
-    val parsed = lines
+    * Quoted fields containing a NEWLINE cannot arrive intact through a
+    * line source — the pipeline detects such files via
+    * [[quoteUnbalanced]] and routes them to [[parseFiles]] instead of
+    * this path. If a split half still reaches here, FAILFAST (or the
+    * envelope guard on a null-padded half) fails the batch loudly;
+    * PERMISSIVE would silently merge garbage rows into the target. */
+  def parseLines(lines: DataFrame, nDataCols: Int): DataFrame =
+    envelopeGuard(lines
       .select(from_csv(col("value"), rawSchemaFor(nDataCols),
         csvOptions + ("mode" -> "FAILFAST")).as("_r"))
-      .select(col("_r.*"))
-    // FAILFAST only catches structurally malformed records; a HALF-row
-    // (e.g. the tail of a quoted newline split by the line source)
-    // parses as a short row null-padded to width. Any row whose
-    // envelope is invalid — flag not I/U/D or commit-ts missing — is
-    // corruption, and raise_error fails the batch loudly instead of
-    // letting the garbage half merge. Expressed as a filter so the
-    // optimizer cannot prune the check away.
+      .select(col("_r.*")))
+
+  /** FAILFAST only catches structurally malformed records; a HALF-row
+    * (e.g. the tail of a quoted newline split by the line source)
+    * parses as a short row null-padded to width. Any row whose
+    * envelope is invalid — flag not I/U/D or commit-ts missing — is
+    * corruption, and raise_error fails the batch loudly instead of
+    * letting the garbage half merge. Expressed as a filter so the
+    * optimizer cannot prune the check away. */
+  private def envelopeGuard(parsed: DataFrame): DataFrame = {
     val valid = col("_c0").isin(Insert, Update, Delete) && col("_c3").isNotNull
     parsed.filter(when(valid, lit(true)).otherwise(raise_error(concat(
       lit("malformed CDC line (envelope invalid): flag="), coalesce(col("_c0"), lit("null")),
       lit(" commit_ts="), coalesce(col("_c3"), lit("null"))))))
   }
+
+  /** True for a physical line carrying an ODD number of unescaped
+    * quotes — the bracketing halves of a quoted field whose value
+    * contains a newline, split in two by the line-oriented source. Exact
+    * under the backslash-escape dialect: literal `\\` pairs are removed
+    * first so a trailing escaped backslash cannot mask a real quote,
+    * then escaped quotes `\"` are removed, then remaining `"` are
+    * counted. Interior lines of such a record may look balanced, but the
+    * two bracketing halves never do — so ANY odd line marks its FILE as
+    * needing the multi-line repair read ([[parseFiles]]). */
+  def quoteUnbalanced(value: Column): Column = {
+    val noBackslashPairs = regexp_replace(value, "\\\\\\\\", "")
+    val noEscapedQuotes = regexp_replace(noBackslashPairs, "\\\\\"", "")
+    (length(noEscapedQuotes) -
+      length(regexp_replace(noEscapedQuotes, "\"", ""))) % 2 === 1
+  }
+
+  /** The quoted-newline repair path: re-read specific CDC files as
+    * whole-record CSV (`multiLine`), producing the same positional
+    * `_c{i}` shape as [[parseLines]]. The line stream remains the
+    * discovery + checkpoint mechanism; the files re-read here are
+    * immutable once visible (TiCDC writes a CDC file completely before
+    * its index makes it consumable), so the re-read sees exactly the
+    * bytes the stream indexed. Only flagged files pay the second read —
+    * the common all-clean batch stays on the single-scan line path. */
+  def parseFiles(spark: org.apache.spark.sql.SparkSession, paths: Seq[String], nDataCols: Int): DataFrame =
+    envelopeGuard(spark.read
+      .options(csvOptions + ("mode" -> "FAILFAST") + ("multiLine" -> "true"))
+      .schema(rawSchemaFor(nDataCols))
+      .csv(paths: _*))
 
   /** P2 cast-and-rename: positional `_c{i}` → typed, named columns. Binary
     * columns decode from hex or base64 per dialect (P3,

@@ -120,6 +120,14 @@ final class IncrementalPipeline(
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq
       .sortBy(_._1)
 
+    // files containing a quote-unbalanced line hold a record whose quoted
+    // field embeds a newline — the line source split it, so those files
+    // (and only those) take the multiLine repair read in place of their
+    // already-streamed lines. One tick-sized scan; ≤ |files| rows collect.
+    val dirtyFiles: Set[String] = batch
+      .filter(Envelope.quoteUnbalanced(col("value")))
+      .select("_src_path").distinct().collect().map(_.getString(0)).toSet
+
     var curDef = currentDef(reg)
     byVersion.foreach { case (version, paths) =>
       // a DML file's version must have its schema.json VISIBLE — on
@@ -132,10 +140,16 @@ final class IncrementalPipeline(
       val defAt = reg.get(version).getOrElse(sys.error(
         s"schema.json for table version $version not visible yet under " +
           s"${cfg.incrementRoot}/${cfg.schemaName}/${cfg.tableName}; failing batch for retry"))
-      val rows = Envelope.project(
-        Envelope.parseLines(
-          batch.filter(col("_src_path").isin(paths: _*)), defAt.columns.size),
-        defAt.columns, cfg.binaryDialect)
+      val (dirty, clean) = paths.partition(dirtyFiles.contains)
+      val cleanLines = Envelope.parseLines(
+        batch.filter(col("_src_path").isin(clean: _*)), defAt.columns.size)
+      val raw =
+        if (dirty.isEmpty) cleanLines
+        else {
+          val repaired = Envelope.parseFiles(spark, dirty, defAt.columns.size)
+          if (clean.isEmpty) repaired else cleanLines.unionByName(repaired)
+        }
+      val rows = Envelope.project(raw, defAt.columns, cfg.binaryDialect)
       val changes = Envelope
         .tableFilter(rows, cfg.schemaName, cfg.tableName)
         .filter(col(Envelope.CommitTsCol) > cfg.startTso)

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.cdc.{CdcClient, CdcTransport, ChangefeedSpec}
+import graft.cdc.{CdcClient, CdcTransport, ChangefeedSpec, HttpCdcTransport}
 
 /** S5 create side: the generated changefeed spec must match the
   * reference's field-for-field (`pkg/cdc/connector.go:53-74`,
@@ -78,5 +78,47 @@ class ChangefeedSpecSpec extends AnyFunSuite {
     }
     val e = intercept[RuntimeException](new CdcClient(bad).createChangefeed(spec))
     assert(e.getMessage.contains("status code: 503"))
+  }
+
+  test("HttpCdcTransport round-trips createChangefeed over real HTTP") {
+    // canned TiCDC endpoint shaped like the reference's response
+    // (`respData["id"]` + `respData["config"]`, connector.go:94-97)
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenMethod = ""
+    @volatile var seenPath = ""
+    @volatile var seenBody = ""
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        seenMethod = ex.getRequestMethod
+        seenPath = ex.getRequestURI.getPath
+        seenBody = new String(ex.getRequestBody.readAllBytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val resp =
+          if (seenPath == "/api/v2/changefeeds" && seenMethod == "POST")
+            (200, """{"id": "cf-http-1", "config": {"sink": {}}}""")
+          else (404, """{"error": "not found"}""")
+        val bytes = resp._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(resp._1, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val spec = ChangefeedSpec.build("s3://b/p", Seq("db.t"), 42L)
+      val transport = new HttpCdcTransport(s"http://127.0.0.1:$port")
+      val id = new CdcClient(transport).createChangefeed(spec)
+      assert(id == "cf-http-1")
+      assert(seenMethod == "POST")
+      assert(seenPath == "/api/v2/changefeeds")
+      assert(seenBody == spec.toJson, "the POSTed body must be the spec's JSON, byte for byte")
+      // a failing endpoint surfaces the status code, like the reference
+      val badTransport = new HttpCdcTransport(s"http://127.0.0.1:$port/missing")
+      val e = intercept[RuntimeException](
+        new CdcClient(badTransport).createChangefeed(spec))
+      assert(e.getMessage.contains("status code: 404"))
+    } finally server.stop(0)
   }
 }

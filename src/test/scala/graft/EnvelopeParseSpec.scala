@@ -46,6 +46,33 @@ class EnvelopeParseSpec extends AnyFunSuite {
     assert(gotB64.toSeq == payload.toSeq)
   }
 
+  test("quoteUnbalanced flags split halves, not escaped quotes or clean lines") {
+    val rows = Seq(
+      (""""I","t","s","11",1,"plain"""", false), // balanced
+      (""""I","t","s","11",1,"a \"q\" b"""", false), // escaped quotes
+      (""""I","t","s","11",1,"ends with \\"""", false), // escaped backslash before closing quote
+      (""""I","t","s","11",1,"first half""", true), // opening half of a split record
+      ("""second half"""", true), // closing half
+      ("middle line no quotes", false)) // interior of a multi-line field
+    val got = rows.map(_._1).toDF("value")
+      .select(Envelope.quoteUnbalanced(col("value")).as("odd"))
+      .as[Boolean].collect().toSeq
+    assert(got == rows.map(_._2), s"parity flags: $got vs ${rows.map(_._2)}")
+  }
+
+  test("parseFiles re-reads a file with quoted newlines into intact records") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlcsv")
+    val f = dir.resolve("CDC000001.csv")
+    java.nio.file.Files.writeString(f,
+      "\"I\",\"t\",\"s\",\"11\",1,\"multi\nline value\"\n" +
+        "\"U\",\"t\",\"s\",\"12\",2,\"plain\"\n")
+    val got = Envelope.project(
+      Envelope.parseFiles(spark, Seq(f.toString), cols.size), cols)
+      .select(col("k"), col("v"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "multi\nline value"), (2L, "plain")))
+  }
+
   test("parseLines: a half-row (split quoted newline) fails the batch loudly") {
     // a quoted field containing a newline arrives as two physical lines
     // from the line-oriented source; the tail half parses as a short row

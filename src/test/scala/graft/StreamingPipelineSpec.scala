@@ -174,6 +174,43 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got2 == got1 + ((6L, "O", 60.0)), s"second drain applies only new data: $got2")
   }
 
+  test("a quoted field with an embedded NEWLINE merges intact via the repair read") {
+    val root = Files.createTempDirectory("graft-newline").toString
+    val inc = s"$root/increment"
+    val key = PathCodec.DmlPathKey("tpch", "orders", 100L, 0L, "2024-01-01")
+    Files.createDirectories(Paths.get(PathCodec.dmlPath(inc, key, 1L)).getParent)
+    Files.writeString(
+      Paths.get(PathCodec.schemaPath(inc, "tpch", "orders", 100L)),
+      TableDefJson.write(defV100))
+    // o_status carries a legal TiCDC value with an embedded newline —
+    // the line source splits the record in two; quote-parity detection
+    // must route THIS file to the multiLine read and merge it intact,
+    // while the second (clean) file stays on the line path
+    Files.writeString(
+      Paths.get(PathCodec.dmlPath(inc, key, 1L)),
+      "\"I\",\"orders\",\"tpch\",\"11\",7,\"multi\nline\",70.5\n")
+    Files.writeString(
+      Paths.get(PathCodec.dmlPath(inc, key, 2L)),
+      "\"I\",\"orders\",\"tpch\",\"12\",8,\"plain\",80.0\n")
+    val cfg = PipelineConfig(
+      incrementRoot = inc,
+      schemaName = "tpch", tableName = "orders",
+      targetRoot = s"$root/target",
+      checkpointDir = s"$root/ckpt",
+      seed = defV100.copy(tableVersion = 0L),
+      startTso = 1L,
+      availableNow = true)
+    cfg.targetTable(spark).writeVersion(snapshotDf, "snapshot")
+    val q = new IncrementalPipeline(spark, cfg).start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val got = new TargetTable(spark, cfg.targetRoot).read()
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set(
+      (1L, "O", 10.0), (2L, "O", 20.0), (3L, "F", 30.0),
+      (7L, "multi\nline", 70.5), (8L, "plain", 80.0)),
+      s"embedded-newline record must merge intact: $got")
+  }
+
   test("M5: DDL ADD COLUMN applies in-stream, no restart") {
     val root = Files.createTempDirectory("graft-instream").toString
     writeFixtures(root)
