@@ -474,30 +474,41 @@ object DedupQueries {
   // Pairwise near-dup detection (minhash) is only half the operator a
   // training pipeline needs: overlapping pairs must consolidate into
   // CLUSTERS with one canonical survivor (A~B, B~C ⇒ {A,B,C} keep min).
-  // Connected components via min-label propagation, all DataFrame ops:
-  // every node starts labelled with itself; each round pushes labels
-  // across edges and keeps the per-node min; the driver loop stops at
-  // fixpoint (no label changed). Rounds = component diameter — near-dup
-  // clusters are shallow (dup sets link pairwise), so convergence is
-  // 2-3 rounds; the alternating large-star/small-star variant is the
-  // drop-in if components with large diameters ever appear. Each round
-  // is one join + one hash agg, shuffling |V|+|E| rows — never
-  // materializing the transitive closure the way the oracle's recursive
-  // CTE does (fine for DuckDB at test scale, quadratic poison at 100 TB).
+  // Connected components via min-label propagation WITH pointer jumping,
+  // all DataFrame ops: every node starts labelled with the min of itself
+  // and its neighbors; each round pushes labels across edges AND chases
+  // label-of-label (pointer jumping), keeping the per-node min; the
+  // driver loop stops at fixpoint. Pointer jumping makes the round count
+  // O(log diameter) instead of O(diameter) — a pathological 1000-node
+  // chain converges in ~10 rounds, not 1000 — at the cost of one extra
+  // |V|-row join per round (dwarfed by the |E| edge join). Each round
+  // shuffles |V|+|E| rows — never materializing the transitive closure
+  // the way the oracle's recursive CTE does (fine for DuckDB at test
+  // scale, quadratic poison at 100 TB).
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
     // both directions in ONE pass over the pairs (explode, not union —
     // a union would evaluate the whole minhash verify subtree once per
-    // branch), cached because every propagation round re-reads it
-    // localCheckpoint (not cache): it truncates LINEAGE, so each
-    // propagation round's logical plan starts at the edge set instead of
-    // re-carrying (and re-optimizing) the whole minhash subtree — the
-    // per-round driver cost stays constant as rounds accumulate
+    // branch); localCheckpoint truncates LINEAGE so each propagation
+    // round's logical plan starts at the edge set instead of re-carrying
+    // (and re-optimizing) the whole minhash subtree
     val edges = pairs.select(explode(array(
         struct(col("doc_a"), col("doc_b")),
         struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
       .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
-      .localCheckpoint()
+    clusterLabels(edges)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-label propagation + pointer jumping over a directed edge frame
+    * `(doc_a, doc_b)` carrying BOTH directions of every undirected edge.
+    * Returns `(id, label)` with `label` = the component's min id.
+    * Converges in O(log diameter) rounds; if `maxRounds` is ever hit the
+    * labels would be WRONG (some nodes not yet at their component min),
+    * so it fails loudly rather than returning them. */
+  private[graft] def clusterLabels(edgesIn: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
     // Convergence bookkeeping: labels only ever DECREASE, so the label
     // sum strictly decreases until fixpoint — one decimal-exact
     // aggregate per round instead of a prev-vs-next join. Seed labels
@@ -513,12 +524,18 @@ object DedupQueries {
     var prevSum = labelSum(labels)
     var rounds = 1
     var converged = false
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
       val pushed = edges.join(labels.withColumnRenamed("id", "doc_a"), Seq("doc_a"))
         .select(col("doc_b").as("id"), col("label"))
+      // pointer jumping: label(label(id)) — labels are node ids of the
+      // same component, so chasing one hop through the LABEL table
+      // doubles the propagation distance per round
+      val jumped = labels
+        .join(labels.select(col("id").as("label"), col("label").as("ll")), Seq("label"))
+        .select(col("id"), col("ll").as("label"))
       // per-round localCheckpoint: without it round N's plan nests all
       // N-1 previous rounds and the driver re-plans a growing tree
-      val next = labels.union(pushed)
+      val next = labels.union(pushed).union(jumped)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
       val nextSum = labelSum(next)
@@ -529,8 +546,10 @@ object DedupQueries {
       rounds += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    if (!converged)
+      sys.error(s"cluster label propagation did not converge in $maxRounds rounds — " +
+        "labels would be incomplete; raise maxRounds")
+    labels
   }
 
   /** DuckDB mirror: the same minhash pairs, components via a recursive

@@ -76,6 +76,34 @@ class DedupRecallSpec extends AnyFunSuite {
       s"expected only the planted pair; got ${got.size} pairs: ${got.take(5)}")
   }
 
+  test("cluster propagation converges on a diameter-60 path graph") {
+    // plain min-label propagation needs diameter rounds (60 here, over
+    // any sane cap); pointer jumping must converge in O(log 60) rounds
+    val edges = (0L until 60L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("doc_a", "doc_b")
+    val labels = DedupQueries.clusterLabels(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L to 60L).toSet)
+    assert(labels.values.forall(_ == 0L),
+      s"every chain node must reach the component min: ${labels.toSeq.sorted.take(8)}")
+  }
+
+  test("components keep separate labels; a hit round cap fails loudly") {
+    val e1 = (0L until 10L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val e2 = (100L until 110L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val labels = DedupQueries.clusterLabels((e1 ++ e2).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 10L).forall(labels(_) == 0L), s"first component: $labels")
+    assert((100L to 110L).forall(labels(_) == 100L), s"second component: $labels")
+    // an unconverged result must throw (silently wrong labels are the
+    // one unacceptable outcome), and the message names the knob
+    val chain = (0L until 40L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[RuntimeException](
+      DedupQueries.clusterLabels(chain, maxRounds = 2))
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
   test("prefix-filter blocking returns the exact brute-force pair set") {
     Seq(11L, 42L).foreach { seed =>
       val docs = corpus(seed, 60)

@@ -38,4 +38,29 @@ class KMeansSpec extends AnyFunSuite {
     val k0 = seeds.count()
     assert(after3.count() <= k0 && after3.count() > 0)
   }
+
+  /** Mean squared L2 distance to the nearest centroid — the standard
+    * quantization-error telemetry a production trainer logs per iter. */
+  private def quantError(vecs: DataFrame, cents: DataFrame): Double =
+    vecs.join(broadcast(cents))
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("embedding"), col("cemb"),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (a, v) => a + v).as("d2"))
+      .groupBy(col("vec_id")).agg(min(col("d2")).as("best"))
+      .agg(avg(col("best"))).head.getDouble(0)
+
+  test("quantization error is monotonically non-increasing across iterations") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val errs = (0 to 3).map(i =>
+      quantError(vecs, VectorQueries.trainCentroids(vecs, seedStride = 10, iters = i)))
+    errs.sliding(2).zipWithIndex.foreach { case (Seq(prev, next), i) =>
+      assert(next <= prev + 1e-9,
+        s"iteration ${i + 1} RAISED quantization error: $prev -> $next (all: $errs)")
+    }
+    assert(errs.last < errs.head,
+      s"training never reduced quantization error: $errs")
+  }
 }

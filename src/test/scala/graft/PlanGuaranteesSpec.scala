@@ -37,6 +37,20 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_canonical_cached reads labels, never recomputes the dedup pipeline") {
+    // the cached variant's whole point: one corpus scan + one anti-join
+    // against persisted labels — no shingle explode (Generate), no
+    // minhash agg chain. The result must still equal the self-contained
+    // path (labels are a deterministic function of the corpus).
+    val cached = SparkEntry.queries("corpus_canonical_cached")(spark, sf)
+    val plan = physical(cached)
+    assert(!plan.contains("Generate"),
+      s"cached canonical re-derives shingles:\n${plan.take(2000)}")
+    val inline = SparkEntry.queries("corpus_canonical")(spark, sf)
+    assert(cached.collect().toSeq == inline.collect().toSeq,
+      "cached and self-contained canonical corpora diverge")
+  }
+
   test("candidate-join dedup queries never plan a cartesian product") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_embedding", "dedup_incremental", "vec_ann_lsh").foreach { name =>
