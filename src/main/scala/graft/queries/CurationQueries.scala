@@ -290,4 +290,107 @@ object CurationQueries {
       |FROM offsets
       |GROUP BY shard, off // $PackBudget
       |ORDER BY shard, bin""".stripMargin
+
+  // --- content-blocklist filtering via a Bloom pre-filter ----------------
+  // "Remove every document whose CONTENT appears in a blocklist" — the
+  // takedown/opt-out shape of corpus curation. The naive plan anti-joins
+  // the whole corpus against the blocklist: at 100 TB that shuffles (or
+  // at best probes) every corpus row. Here the blocklist builds a
+  // FIXED-SIZE deterministic Bloom filter (one map-side-combinable agg →
+  // m/64 longs of driver-held model state, embedded as a literal), the
+  // corpus splits per-row into bloom-negative (DEFINITELY clean — kept
+  // with no join at all) and bloom-positive (true matches + ~1% false
+  // positives — only these pay the exact verify anti-join). The verify
+  // join makes the operator EXACT: the oracle is the plain anti-join and
+  // must hash-match.
+  private val BlockSource = "src0"
+
+  def corpusBlocklist(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{Bloom, BloomAgg}
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fp = md5(col("text"))
+    val block = docs.filter(col("source") === BlockSource)
+      .select(fp.as("bfp")).distinct()
+    val bloomAgg = udaf(new BloomAgg())
+    val words = block.select(xxhash64(col("bfp")).as("h"))
+      .agg(bloomAgg(col("h")).as("w"))
+      .head().getSeq[Long](0).toArray
+    val tagged = docs.select(col("doc_id"), col("source"), col("n_chars"), fp.as("fp"))
+    val maybe = Bloom.mayContain(words, xxhash64(col("fp")))
+    // negatives skip the join entirely; only positives enter the exchange
+    val cleared = tagged.filter(maybe)
+      .join(block, col("fp") === col("bfp"), "left_anti")
+    tagged.filter(!maybe)
+      .unionByName(cleared)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusBlocklistSql: String =
+    s"""WITH block AS (
+      |  SELECT DISTINCT md5(text) AS bfp FROM documents WHERE source = '$BlockSource')
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE md5(text) NOT IN (SELECT bfp FROM block)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- the nightly corpus job, composed --------------------------------
+  // The whole curation pipeline as ONE declarative query: quality/
+  // language filtering + whitespace-normalized exact dedup
+  // (corpus_filter) → benchmark decontamination drop
+  // (text_decontaminate) → token-budget sequence packing (corpus_pack).
+  // Each stage is individually oracle-checked; this composition proves
+  // they actually CHAIN — a user runs their end-to-end job as one plan,
+  // and Catalyst sees every stage at once (one documents scan feeds the
+  // filter and the gram explode; the pack window runs only over
+  // survivors). Scale properties are inherited: broadcast benchmark
+  // grams, per-shard windows, map-side bin aggregation.
+  def corpusCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val survivors = TextQueries.corpusFilter(spark, sfDir).select(col("doc_id"))
+    val contaminated = textDecontaminate(spark, sfDir).select(col("doc_id"))
+    val curated = survivors.join(contaminated, Seq("doc_id"), "left_anti")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .join(curated, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(PackShards)).as("shard"),
+        size(toks(col("text"))).cast("long").as("tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .withColumn("offset", sum(col("tokens")).over(w) - col("tokens"))
+      .withColumn("bin", expr(s"offset div $PackBudget"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  val corpusCurateSql: String =
+    s"""WITH filtered AS (
+      |  SELECT doc_id FROM (${TextQueries.corpusFilterSql})),
+      |contaminated AS (
+      |  SELECT doc_id FROM (${textDecontaminateSql})),
+      |curated AS (
+      |  SELECT doc_id FROM filtered
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |cdocs AS (
+      |  SELECT d.doc_id,
+      |    CAST('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8) AS BIGINT) % $PackShards AS shard,
+      |    len(list_filter(string_split(d.text, ' '), x -> x != ''))::BIGINT AS tokens
+      |  FROM documents d JOIN curated USING (doc_id)),
+      |offsets AS (
+      |  SELECT shard, doc_id, tokens,
+      |    CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) - tokens AS off
+      |  FROM cdocs)
+      |SELECT shard, off // $PackBudget AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+      |  min(doc_id) AS first_doc,
+      |  max(doc_id) AS last_doc
+      |FROM offsets
+      |GROUP BY shard, off // $PackBudget
+      |ORDER BY shard, bin""".stripMargin
 }

@@ -439,18 +439,23 @@ object VectorQueries {
       .filter(pmod(xxhash64(col("vec_id")), lit(poolMod)) === 0)
       .orderBy(col("vec_id"))
       .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0))
-    // K seeds thinned evenly from the id-ordered pool (deterministic),
-    // then ONE driver-side Lloyd iteration per subspace over the pool.
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    trainSubspaceCodebooks(pool)
+  }
+
+  /** K seeds thinned evenly from the id-ordered pool (deterministic),
+    * then ONE driver-side Lloyd iteration per subspace over the pool —
+    * shared by flat PQ (raw-embedding pool) and IVF-PQ (residual pool).
+    * Float→double widening is exact, so the flat-PQ path computes the
+    * identical codebooks it did when it trained on floats. */
+  private def trainSubspaceCodebooks(pool: Array[Seq[Double]]): Seq[Seq[Seq[Float]]] = {
     val seeds =
       if (pool.length <= PqK) pool.toSeq
       else (0 until PqK).map(i => pool((i.toLong * pool.length / PqK).toInt))
-    def subOf(e: Seq[Float], m: Int): Seq[Float] =
+    def subOf(e: Seq[Double], m: Int): Seq[Double] =
       e.slice(m * PqSubDim, (m + 1) * PqSubDim)
-    def l2s(a: Seq[Float], b: Seq[Float]): Double =
-      a.iterator.zip(b.iterator).map { case (x, y) =>
-        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
-      }.sum
+    def l2s(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
     (0 until PqM).map { m =>
       val subPool = pool.map(subOf(_, m))
       val subSeeds = seeds.map(subOf(_, m))
@@ -458,8 +463,8 @@ object VectorQueries {
       subSeeds.indices.map { i =>
         members.get(i) match {
           case Some(vs) => // fixed-order mean, empty clusters keep their seed
-            (0 until PqSubDim).map(d => (vs.map(_(d).toDouble).sum / vs.size).toFloat)
-          case None => subSeeds(i).toSeq
+            (0 until PqSubDim).map(d => (vs.map(_(d)).sum / vs.size).toFloat)
+          case None => subSeeds(i).map(_.toFloat)
         }
       }
     }
@@ -603,4 +608,197 @@ object VectorQueries {
     * rows-only check, never to a wrong oracle). */
   def vecPqTopkSqlOpt: Option[String] =
     pqLastDir.flatMap(d => Option(pqCache.get(d))).map(pqSql)
+
+  // --- IVF-PQ: inverted lists + residual product quantization ----------
+  // The full large-scale ANN architecture (what FAISS calls IVFPQ): the
+  // coarse quantizer partitions the corpus into inverted lists, and each
+  // vector's RESIDUAL (v − centroid) is PQ-encoded — residuals are
+  // tighter-distributed than raw vectors, so the same codebook budget
+  // quantizes them better. Query: probe the NProbe nearest lists;
+  // approx cosine needs dot(q,v)/‖v‖ = (dot(q,c) + dot(q,res))/‖v‖ —
+  // dot(q,c) is exact per probed centroid and dot(q,res) is M ADC table
+  // lookups, with ONE table set per probe (the tables depend on q only,
+  // not the centroid). Scale: scoring touches only probed lists (the
+  // IVF win) and reads M ints + 1 float per member (the PQ win); both
+  // top-k stages run through the bounded partial-merge TopKAgg.
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Float]]]]()
+  @volatile private var ivfPqLastDir: Option[String] = None
+
+  /** Corpus joined with its coarse assignment: one row per vector with
+    * its centroid id, the centroid embedding, and the double residual. */
+  private def residualFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    assignNearest(vecs, cents).join(broadcast(cents), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"), col("embedding"),
+        zip_with(col("embedding"), col("cemb"),
+          (x, y) => x.cast("double") - y.cast("double")).as("res"))
+  }
+
+  /** Residual codebooks — same absolute-size pool contract as
+    * [[pqCodebooks]] (hash-mod sample targeting [[PqPoolTarget]] rows at
+    * any corpus size; driver Lloyd over sample-sized model data). */
+  private[graft] def ivfPqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Float]]] = {
+    val cbs = ivfPqCache.computeIfAbsent(sfDir, { _ =>
+      val rf = residualFrame(spark, sfDir)
+      val n = Tables.load(spark, sfDir, "embeddings").count()
+      val poolMod = math.max(1L, n / PqPoolTarget)
+      val pool = rf.filter(pmod(xxhash64(col("vec_id")), lit(poolMod)) === 0)
+        .orderBy(col("vec_id"))
+        .select(col("res")).collect()
+        .map(_.getSeq[Double](0))
+      trainSubspaceCodebooks(pool)
+    })
+    ivfPqLastDir = Some(sfDir)
+    cbs
+  }
+
+  def vecIvfPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val codebooks = ivfPqCodebooks(spark, sfDir)
+    def cb(m: Int): Column = typedLit(codebooks(m))
+    def sub(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
+
+    // encode: one scan of the assigned corpus — codes are argmin L2
+    // against the RESIDUAL codebooks, plus the stored vector norm
+    val encoded = residualFrame(spark, sfDir).select(
+      col("vec_id") +: col("cent_id") +:
+        sqrt(dot(col("embedding"), col("embedding"))).as("vnorm") +:
+        (0 until PqM).map { m =>
+          val dists = transform(cb(m), c => l2sq(sub(col("res"), m), c))
+          (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
+        }: _*)
+
+    // probes → NProbe nearest lists, each carrying the exact dot(q,c)
+    // and the per-subspace ADC tables (computed once per probe)
+    val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+    val topNProbe = udaf(new TopKAgg(NProbe))
+    val probeCents = probes.join(broadcast(cents))
+      .select(col("probe_id"), cosine(col("pemb"), col("cemb")).as("csim"), col("cent_id"))
+      .groupBy(col("probe_id"))
+      .agg(topNProbe(col("csim"), col("cent_id")).as("pc"))
+      .select(col("probe_id"), explode(col("pc")).as("pc"))
+      .select(col("probe_id"), col("pc.id").as("cent_id"))
+      .join(probes, Seq("probe_id"))
+      .join(broadcast(cents), Seq("cent_id"))
+    val withTables = probeCents.select(
+      Seq(col("probe_id"), col("cent_id"), dot(col("pemb"), col("cemb")).as("qc")) ++
+        (0 until PqM).map(m =>
+          transform(cb(m), c => dot(sub(col("pemb"), m), c)).as(s"dt$m")): _*)
+
+    val approx = (Seq(col("qc")) ++ (0 until PqM)
+      .map(m => element_at(col(s"dt$m"), col(s"c$m") + 1)))
+      .reduce(_ + _) / col("vnorm")
+    val candK = udaf(new TopKAgg(TopK * PqRefine))
+    val cands = encoded.join(broadcast(withTables), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), approx.as("approx_cos"), col("vec_id").as("id"))
+      .groupBy(col("probe_id"))
+      .agg(candK(col("approx_cos"), col("id")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("vec_id"))
+
+    // exact rerank of the bounded candidate pool
+    val topk = udaf(new TopKAgg(TopK))
+    cands
+      .join(vecs, Seq("vec_id"))
+      .join(probes, Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("id"),
+        cosine(col("pemb"), col("embedding")).as("sim"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.sim"), 6).as("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  private def ivfPqSql(cbs: Seq[Seq[Seq[Float]]]): String = {
+    def x(c: String, i: Int) = s"CAST(list_extract($c, $i) AS DOUBLE)"
+    val normExpr = "sqrt(" + (1 to Dims).foldLeft("0.0") { (acc, i) =>
+      s"$acc + ${x("embedding", i)}*${x("embedding", i)}"
+    } + ")"
+    val qcExpr = (1 to Dims).foldLeft("0.0") { (acc, i) =>
+      s"$acc + ${x("pemb", i)}*${x("cemb", i)}"
+    }
+    def distList(m: Int): String = {
+      val body = (1 to PqSubDim).foldLeft("0.0") { (acc, d) =>
+        val i = m * PqSubDim + d
+        val ri = s"(${x("embedding", i)} - ${x("cemb", i)})"
+        s"$acc + ($ri - c[$d])*($ri - c[$d])"
+      }
+      s"list_transform(${cbLit(cbs(m))}, c -> $body)"
+    }
+    def dtList(m: Int): String = {
+      val body = (1 to PqSubDim).foldLeft("0.0") { (acc, d) =>
+        s"$acc + ${x("pemb", m * PqSubDim + d)} * c[$d]"
+      }
+      s"list_transform(${cbLit(cbs(m))}, c -> $body)"
+    }
+    val ms = 0 until PqM
+    val approxChain = ms.foldLeft("qc") { (acc, m) =>
+      s"$acc + list_extract(dt$m, c$m + 1)"
+    }
+    s"""WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
+      |  WHERE vec_id % $CentroidStride = 0),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cent_id, cemb FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id, c.cemb,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |enc0 AS (
+      |  SELECT vec_id, cent_id, $normExpr AS vnorm,
+      |    ${ms.map(m => s"${distList(m)} AS d$m").mkString(",\n    ")}
+      |  FROM assigned),
+      |enc AS (
+      |  SELECT vec_id, cent_id, vnorm,
+      |    ${ms.map(m => s"CAST(list_position(d$m, list_min(d$m)) - 1 AS INTEGER) AS c$m").mkString(",\n    ")}
+      |  FROM enc0),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding AS pemb FROM embeddings
+      |  WHERE vec_id % $ProbeStride = 0),
+      |pc AS (
+      |  SELECT probe_id, pemb, cent_id, cemb FROM (
+      |    SELECT p.probe_id, p.pemb, c.cent_id, c.cemb,
+      |      row_number() OVER (PARTITION BY p.probe_id
+      |        ORDER BY list_cosine_similarity(CAST(p.pemb AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM probes p CROSS JOIN cents c)
+      |  WHERE rn <= $NProbe),
+      |pt AS (
+      |  SELECT probe_id, cent_id, $qcExpr AS qc,
+      |    ${ms.map(m => s"${dtList(m)} AS dt$m").mkString(",\n    ")}
+      |  FROM pc),
+      |approx AS (
+      |  SELECT pt.probe_id, e.vec_id, ($approxChain) / e.vnorm AS approx_cos
+      |  FROM pt JOIN enc e ON pt.cent_id = e.cent_id AND e.vec_id != pt.probe_id),
+      |cand AS (
+      |  SELECT probe_id, vec_id FROM (
+      |    SELECT probe_id, vec_id,
+      |      row_number() OVER (PARTITION BY probe_id ORDER BY approx_cos DESC, vec_id) AS rn
+      |    FROM approx) WHERE rn <= ${TopK * PqRefine}),
+      |rer AS (
+      |  SELECT c.probe_id, c.vec_id,
+      |    list_cosine_similarity(CAST(p.pemb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+      |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+      |       JOIN probes p ON c.probe_id = p.probe_id),
+      |ranked AS (
+      |  SELECT probe_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM rer)
+      |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim,6) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Generated `vec_ivfpq_topk` oracle — same availability contract as
+    * [[vecPqTopkSqlOpt]]. */
+  def vecIvfPqTopkSqlOpt: Option[String] =
+    ivfPqLastDir.flatMap(d => Option(ivfPqCache.get(d))).map(ivfPqSql)
 }

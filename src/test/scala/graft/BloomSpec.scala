@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Bloom, BloomAgg}
+import graft.queries.CurationQueries
+
+/** Bloom filter invariants: build/test probe parity between the Scala
+  * aggregator and the Column expression, zero false negatives, a sane
+  * false-positive rate at the default sizing, and exactness of the
+  * blocklist operator built on top (bloom decides who pays the join,
+  * never the answer). */
+class BloomSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.build(4, "bloom-spec")
+  import spark.implicits._
+
+  test("Column probe indices equal the Scala probe indices bit for bit") {
+    val rnd = new scala.util.Random(7)
+    val hashes = Seq.fill(200)(rnd.nextLong())
+    // build a filter over each hash ALONE via the aggregator, then the
+    // Column test over that filter must accept exactly that hash's bits
+    val agg = new BloomAgg()
+    val all = hashes.foldLeft(agg.zero)(agg.reduce)
+    val accepted = hashes.toDF("h")
+      .select(Bloom.mayContain(all, col("h")).as("ok"))
+      .as[Boolean].collect()
+    assert(accepted.forall(identity),
+      "an inserted hash tested absent — probe arithmetic diverges between build and test")
+  }
+
+  test("no false negatives; false-positive rate sane at default sizing") {
+    val rnd = new scala.util.Random(42)
+    val present = Seq.fill(2000)(rnd.nextLong()).distinct
+    val agg = new BloomAgg()
+    val words = present.foldLeft(agg.zero)(agg.reduce)
+    val absent = Seq.fill(20000)(rnd.nextLong()).distinct.filterNot(present.contains)
+    val fpCount = absent.toDF("h")
+      .select(Bloom.mayContain(words, col("h")).as("ok"))
+      .as[Boolean].collect().count(identity)
+    val rate = fpCount.toDouble / absent.size
+    info(f"false-positive rate = $rate%.4f over ${absent.size} absent keys")
+    assert(rate < 0.02, s"fp rate $rate too high for 2k keys in 2^17 bits")
+  }
+
+  test("merge is bitwise OR: split builds equal the whole build") {
+    val rnd = new scala.util.Random(3)
+    val xs = Seq.fill(500)(rnd.nextLong())
+    val agg = new BloomAgg()
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    val (a, b) = xs.splitAt(137)
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.toSeq == whole.toSeq, "split-and-merge diverged from the whole build")
+  }
+
+  test("corpus_blocklist equals the plain anti-join (bloom is invisible)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = CurationQueries.corpusBlocklist(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val docs = Tables.load(spark, sf, "documents")
+    val block = docs.filter(col("source") === "src0").select(md5(col("text")).as("bfp"))
+    val want = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(block, col("fp") === col("bfp"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty && want.size < docs.count(),
+      "fixture must exercise both kept and dropped documents")
+  }
+}

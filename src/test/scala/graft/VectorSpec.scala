@@ -160,6 +160,29 @@ class VectorSpec extends AnyFunSuite {
       s"PQ recall@5 $recall out of bounds — codebooks are not quantizing neighbors together")
   }
 
+  test("IVF-PQ recall@5 vs brute force is measured and bounded") {
+    // IVF-PQ composes both approximations: probing only NProbe lists
+    // (IVF recall loss) and residual-ADC scoring (PQ quantization loss).
+    // The floor is the product of the families' individual floors; the
+    // exact rerank still guarantees every emitted sim is a true cosine.
+    val sf = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("vec_topk")(spark, sf)
+      .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = SparkEntry.queries("vec_ivfpq_topk")(spark, sf)
+      .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == exact.keySet, "IVF-PQ lost probes")
+    val recall = exact.map { case (p, e) =>
+      got(p).intersect(e).size.toDouble / e.size
+    }.sum / exact.size
+    info(f"vec_ivfpq_topk recall@5 = $recall%.3f")
+    assert(recall >= 0.4 && recall <= 1.0,
+      s"IVF-PQ recall@5 $recall out of bounds — residual codebooks or list probing broken")
+  }
+
   test("vec_ann_lsh: candidates verified by exact cosine above threshold") {
     val df = VectorQueries.vecAnnLsh(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
