@@ -639,10 +639,12 @@ object VectorQueries {
 
   /** Residual codebooks — same absolute-size pool contract as
     * [[pqCodebooks]] (hash-mod sample targeting [[PqPoolTarget]] rows at
-    * any corpus size; driver Lloyd over sample-sized model data). */
-  private[graft] def ivfPqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Float]]] = {
+    * any corpus size; driver Lloyd over sample-sized model data). Takes
+    * the residual frame so training reads the SAME materialization the
+    * caller encodes from, instead of re-running the assignment. */
+  private[graft] def ivfPqCodebooks(spark: SparkSession, sfDir: String,
+      rf: DataFrame): Seq[Seq[Seq[Float]]] = {
     val cbs = ivfPqCache.computeIfAbsent(sfDir, { _ =>
-      val rf = residualFrame(spark, sfDir)
       val n = Tables.load(spark, sfDir, "embeddings").count()
       val poolMod = math.max(1L, n / PqPoolTarget)
       val pool = rf.filter(pmod(xxhash64(col("vec_id")), lit(poolMod)) === 0)
@@ -660,13 +662,20 @@ object VectorQueries {
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
-    val codebooks = ivfPqCodebooks(spark, sfDir)
+    // ONE assignment pass feeds both codebook training (the pool collect
+    // materializes it into the cache) and encoding — unshared, each side
+    // would pay its own N×C scoring plus an N-row shuffle. MEMORY_AND_DISK:
+    // at corpus scale the residuals exceed executor memory and must spill,
+    // not recompute.
+    val rf = residualFrame(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebooks = ivfPqCodebooks(spark, sfDir, rf)
     def cb(m: Int): Column = typedLit(codebooks(m))
     def sub(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
 
     // encode: one scan of the assigned corpus — codes are argmin L2
     // against the RESIDUAL codebooks, plus the stored vector norm
-    val encoded = residualFrame(spark, sfDir).select(
+    val encoded = rf.select(
       col("vec_id") +: col("cent_id") +:
         sqrt(dot(col("embedding"), col("embedding"))).as("vnorm") +:
         (0 until PqM).map { m =>
