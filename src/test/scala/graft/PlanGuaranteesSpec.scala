@@ -215,4 +215,52 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"dedup_incremental ranks matches with a window:\n${plan.take(2000)}")
   }
+
+  test("vec_ivfpq_topk: window-free, one shared residual materialization") {
+    val df = SparkEntry.queries("vec_ivfpq_topk")(spark, sf)
+    val plan = physical(df)
+    // same contract as the other ANN paths: both top-k stages run
+    // through the bounded TopKAgg, never a per-probe window
+    assert(!plan.contains("Window"),
+      s"vec_ivfpq_topk ranks with a window:\n${plan.take(2000)}")
+    // (the N×C centroid scoring is a DELIBERATE broadcast nested-loop —
+    // C is bounded — so only an unbroadcast cartesian is a regression)
+    assert(!plan.contains("CartesianProduct"),
+      s"vec_ivfpq_topk degenerated to an unbroadcast all-pairs join:\n${plan.take(2000)}")
+    // training + encoding share ONE residual-frame materialization: the
+    // encode side must read the persisted assignment, not re-plan the
+    // N×C scoring join
+    assert(plan.contains("InMemoryTableScan"),
+      s"vec_ivfpq_topk re-derives the residual frame instead of reading the cache:\n${plan.take(2000)}")
+  }
+
+  test("corpus_blocklist: only bloom-positive rows reach the one anti-join") {
+    val plan = physical(SparkEntry.queries("corpus_blocklist")(spark, sf))
+    // exactly one exact-verify anti-join; the bloom-negative branch of
+    // the union must be join-free (that's the entire operator)
+    val antiJoins = "LeftAnti".r.findAllIn(plan).size
+    assert(antiJoins == 1,
+      s"corpus_blocklist plans $antiJoins anti-joins (want 1):\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus_blocklist shuffles the corpus into its verify join:\n${plan.take(2000)}")
+    // the bloom membership test is a pure projection (literal words +
+    // rotate/xor probes) — its shifts must appear as plan-side filters,
+    // proving the join input is pre-filtered rather than the whole corpus
+    assert(plan.contains("shiftrightunsigned"),
+      s"corpus_blocklist lost its bloom pre-filter:\n${plan.take(2000)}")
+  }
+
+  test("corpus_curate fuses its stages into one plan with scale shapes intact") {
+    val plan = physical(SparkEntry.queries("corpus_curate")(spark, sf))
+    // inherited decontamination shape: benchmark grams broadcast, and no
+    // stage degenerates into a cartesian or sort-merge join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus_curate lost its broadcast joins:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus_curate planned an all-pairs join:\n${plan.take(2000)}")
+    // the only window is the per-shard running sum from corpus_pack
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows <= 1,
+      s"corpus_curate plans $windows windows (want ≤1, the per-shard pack sum):\n${plan.take(2000)}")
+  }
 }
