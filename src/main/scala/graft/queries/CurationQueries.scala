@@ -393,4 +393,62 @@ object CurationQueries {
       |FROM offsets
       |GROUP BY shard, off // $PackBudget
       |ORDER BY shard, bin""".stripMargin
+
+  // --- cluster-balanced (semantic-diversity) sampling -------------------
+  // `corpus_sample_quota` balances by SOURCE metadata; this balances by
+  // EMBEDDING-SPACE coverage — per-cluster quotas over a coarse k-means
+  // partition, so dense regions (near-duplicate topical blobs) can't
+  // crowd out the corpus tails. The D4/SemDeDup-style selection step.
+  // Scale: the assignment is the IVF coarse quantizer (broadcast C
+  // centroids, one max_by hash-agg — exchange carries 1 row/vector) and
+  // each cluster's quota runs through the bounded partial-merge TopKAgg,
+  // so nothing anywhere is ∝N² or per-group-sorted.
+  private val DivStride = 25 // ~N/25 coarse clusters, the IVF default
+  private val DivQuota = 10
+
+  def corpusDiversitySample(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TopKAgg
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val cents = vecs.filter(col("vec_id") % DivStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val assigned = VectorQueries.assignNearest(vecs, cents)
+    // deterministic per-doc priority (hash order), ties → doc_id asc:
+    // TopKAgg keeps max-k, so negate for ascending-hash selection
+    val prio = -conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val topq = udaf(new TopKAgg(DivQuota))
+    val sampled = assigned
+      .select(col("cent_id"), prio.as("s"), col("vec_id"))
+      .groupBy(col("cent_id"))
+      .agg(topq(col("s"), col("vec_id")).as("picked"))
+      .select(col("cent_id").as("cluster"), explode(col("picked")).as("p"))
+      .select(col("cluster"), col("p.id").as("doc_id"))
+    sampled
+      .join(Tables.load(spark, sfDir, "documents"), Seq("doc_id"))
+      .select(col("cluster"), col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("cluster"), col("doc_id"))
+  }
+
+  val corpusDiversitySampleSql: String =
+    s"""WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
+      |  WHERE vec_id % $DivStride = 0),
+      |assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |sampled AS (
+      |  SELECT cent_id AS cluster, vec_id FROM (
+      |    SELECT cent_id, vec_id,
+      |      row_number() OVER (PARTITION BY cent_id
+      |        ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+      |                 vec_id) AS rn
+      |    FROM assigned)
+      |  WHERE rn <= $DivQuota)
+      |SELECT s.cluster, s.vec_id AS doc_id, d.source, d.n_chars
+      |FROM sampled s JOIN documents d ON d.doc_id = s.vec_id
+      |ORDER BY s.cluster, doc_id""".stripMargin
 }

@@ -630,4 +630,52 @@ object DedupQueries {
       |  FROM cand JOIN dense a ON cand.id_a = a.doc_id JOIN dense b ON cand.id_b = b.doc_id)
       |SELECT id_b AS dup_id, min(id_a) AS keep_id
       |FROM scored WHERE sim >= $EmbDupT GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- exact substring-window duplication ------------------------------
+  // Document-level dedup misses the dominant failure mode of web corpora:
+  // boilerplate PASSAGES (headers, licenses, templates) repeated across
+  // otherwise-distinct documents. The suffix-array formulation finds
+  // every repeated span exactly but needs a global sort of all suffixes;
+  // the scalable relaxation fingerprints fixed-length character windows
+  // on a stride — a span duplicated across docs must cover some aligned
+  // window, so per-doc duplication RATIOS converge to the suffix-array
+  // answer as stride shrinks. Pipeline: one generate per doc (windows =
+  // chars/stride rows, linear), one hash-agg per fingerprint counting
+  // distinct docs (two-phase, map-side partial on (fp, doc)), one
+  // co-partitioned fp join (reuses the agg's exchange), one per-doc
+  // hash-agg. No window functions, nothing driver-side, nothing ∝N².
+  private val SubWin = 40 // chars per fingerprinted window
+  private val SubStride = 10
+
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(length(col("text")) >= SubWin)
+    val wins = docs
+      .select(col("doc_id"), col("text"),
+        explode_outer(sequence(lit(1), length(col("text")) - (SubWin - 1), lit(SubStride))).as("p"))
+      .filter(col("p").isNotNull) // explode_outer: see the pinned re-tokenize lesson
+      .select(col("doc_id"), md5(col("text").substr(col("p"), lit(SubWin))).as("fp"))
+    val fpc = wins.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("nd"))
+    wins.join(fpc, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("dup_windows").cast("double") / col("n_windows"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSubstringSql: String =
+    s"""WITH pos AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, len(text) - ${SubWin - 1}, $SubStride)) AS p
+      |  FROM documents WHERE len(text) >= $SubWin),
+      |wins AS (SELECT doc_id, md5(substr(text, p, $SubWin)) AS fp FROM pos),
+      |fpc AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM wins GROUP BY fp)
+      |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |  CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+      |  round(CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+      |FROM wins w JOIN fpc f USING (fp)
+      |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 }

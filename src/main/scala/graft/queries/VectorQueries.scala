@@ -97,7 +97,7 @@ object VectorQueries {
     * scored rows (at 1 B vectors × 10 k centroids, 10^13 rows). The
     * `(sim, -cent_id)` ordering key reproduces the window's
     * `sim DESC, cent_id ASC` tie-break deterministically. */
-  private def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame =
+  private[queries] def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         cosine(col("embedding"), col("cemb")).as("csim"))

@@ -76,6 +76,37 @@ class DedupRecallSpec extends AnyFunSuite {
       s"expected only the planted pair; got ${got.size} pairs: ${got.take(5)}")
   }
 
+  test("substring windows: shared passages and verbatim copies are caught, unique text is clean") {
+    // Window/stride fingerprinting catches a duplicated span when its
+    // windows ALIGN across documents — guaranteed for shared prefixes
+    // (boilerplate headers, the dominant web-corpus case) and for
+    // verbatim copies; that's the stride approximation's contract.
+    val license = "Licensed under the Example License Version 2.0 you may not use this file except in " // 84 chars
+    val tails = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "pack my box with five dozen liquor jugs said the sphinx of quartz",
+      "how vexingly quick daft zebras jump over the fence in the morning")
+    val boiler = tails.zipWithIndex.map { case (t, i) => (i.toLong, license + t) }
+    val copyText = "this exact document is stored twice in the corpus word for word with no edits at all"
+    val copies = Seq((100L, copyText), (101L, copyText))
+    val unique = Seq((200L, "zero overlap here: completely singular phrasing nothing shared with any sibling document"))
+    val dir = Files.createTempDirectory("graft-substring-dup").toString
+    (boiler ++ copies ++ unique).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.dedupSubstring(spark, dir)
+      .select("doc_id", "dup_windows", "n_windows", "dup_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    Seq(100L, 101L).foreach { id =>
+      assert(got(id)._4 == 1.0, s"verbatim copy $id has dup_ratio ${got(id)._4}, want 1.0")
+    }
+    assert(got(200L)._2 == 0L, s"unique doc flagged with ${got(200L)._2} dup windows")
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(got(id)._2 >= 1L && got(id)._2 < got(id)._3,
+        s"boilerplate doc $id: dup_windows=${got(id)._2} of ${got(id)._3} — " +
+          "shared prefix must flag some but not all windows")
+    }
+  }
+
   test("cluster propagation converges on a diameter-60 path graph") {
     // plain min-label propagation needs diameter rounds (60 here, over
     // any sane cap); pointer jumping must converge in O(log 60) rounds
