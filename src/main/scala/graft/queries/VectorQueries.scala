@@ -810,4 +810,56 @@ object VectorQueries {
     * [[vecPqTopkSqlOpt]]. */
   def vecIvfPqTopkSqlOpt: Option[String] =
     ivfPqLastDir.flatMap(d => Option(ivfPqCache.get(d))).map(ivfPqSql)
+
+  // --- semantic benchmark decontamination -------------------------------
+  // `text_decontaminate` catches VERBATIM n-gram overlap with the eval
+  // sets; paraphrased contamination (same content, different words)
+  // only shows in embedding space. Flag every corpus vector whose best
+  // cosine against ANY benchmark vector clears the threshold — the
+  // benchmark slice stands in for "the eval-set embeddings", exactly
+  // like `textDecontaminate`'s doc_id slice.
+  // Scale shape: eval suites are FIXED-SIZE next to a 100 TB corpus, so
+  // the benchmark side broadcasts whole and best-match is the same
+  // one-max_by hash-agg as centroid assignment — exchange carries one
+  // row per corpus vector, no LSH recall risk on the compliance path
+  // (for a benchmark too big to broadcast, the capped-LSH path of
+  // `vec_ann_lsh` is the drop-in). Threshold is domain-tuned;
+  // production sweeps it against a labeled contamination sample.
+  private val SemBenchMod = 25
+  private val SemT = 0.35
+
+  def vecDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val bench = vecs.filter(col("vec_id") % SemBenchMod === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bemb"))
+    vecs.filter(col("vec_id") % SemBenchMod =!= 0)
+      .join(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        cosine(col("embedding"), col("bemb")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("bench_id"), col("sim")),
+        struct(col("sim"), (-col("bench_id")).as("tb"))).as("m"))
+      .select(col("vec_id"), col("m.bench_id").as("bench_id"),
+        round(col("m.sim"), 6).as("sim"))
+      .filter(col("m.sim") >= SemT)
+      .orderBy(col("vec_id"))
+  }
+
+  val vecDecontaminateSql: String =
+    s"""WITH bench AS (
+      |  SELECT vec_id AS bench_id, embedding AS bemb FROM embeddings
+      |  WHERE vec_id % $SemBenchMod = 0),
+      |scored AS (
+      |  SELECT e.vec_id, b.bench_id,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(b.bemb AS DOUBLE[])) AS sim
+      |  FROM embeddings e CROSS JOIN bench b
+      |  WHERE e.vec_id % $SemBenchMod != 0),
+      |best AS (
+      |  SELECT vec_id, bench_id, sim FROM (
+      |    SELECT vec_id, bench_id, sim,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn
+      |    FROM scored)
+      |  WHERE rn = 1)
+      |SELECT vec_id, bench_id, round(sim, 6) AS sim
+      |FROM best WHERE sim >= $SemT ORDER BY vec_id""".stripMargin
 }
