@@ -250,6 +250,25 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"corpus_blocklist lost its bloom pre-filter:\n${plan.take(2000)}")
   }
 
+  test("substring dedup, diversity sampling, and semantic decontamination stay window-free") {
+    // all three rank/select through hash-aggs (countDistinct two-phase,
+    // TopKAgg, max_by) — their oracles use row_number windows, the
+    // engine must never
+    Seq("dedup_substring", "corpus_diversity_sample", "vec_decontaminate")
+      .foreach { name =>
+        val plan = physical(SparkEntry.queries(name)(spark, sf))
+        assert(!plan.contains("Window"),
+          s"$name ranks with a window:\n${plan.take(2000)}")
+        assert(!plan.contains("CartesianProduct"),
+          s"$name planned an unbroadcast all-pairs join:\n${plan.take(2000)}")
+      }
+    // the substring fp join must be a co-partitioned equi-join, and the
+    // benchmark side of semantic decontamination must broadcast
+    val dec = physical(SparkEntry.queries("vec_decontaminate")(spark, sf))
+    assert(dec.contains("BroadcastNestedLoopJoin") || dec.contains("BroadcastHashJoin"),
+      s"vec_decontaminate shuffles the corpus against the benchmark:\n${dec.take(2000)}")
+  }
+
   test("corpus_curate fuses its stages into one plan with scale shapes intact") {
     val plan = physical(SparkEntry.queries("corpus_curate")(spark, sf))
     // inherited decontamination shape: benchmark grams broadcast, and no
