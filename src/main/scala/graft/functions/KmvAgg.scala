@@ -80,7 +80,20 @@ class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
       else (lo :+ in) ++ hi.take(k - lo.length - 1)
     }
 
-  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    KmvAgg.mergeSorted(a, b, k)
+
+  override def finish(r: Seq[Long]): Seq[Long] = r
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
+object KmvAgg {
+  /** Sorted-distinct merge of two sketches, re-bounded at k — the one
+    * operation both the partial-buffer merge and sketch RE-aggregation
+    * need (associative, commutative, idempotent). */
+  def mergeSorted(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
     var j = 0
@@ -92,9 +105,21 @@ class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     }
     out.toSeq
   }
+}
 
+/** Merge PRE-BUILT KMV sketches — the re-aggregability half of the
+  * sketch contract: persist per-partition/per-hour/per-source sketches
+  * once, then roll them up to any coarser scope WITHOUT re-scanning the
+  * rows. Sound because the k smallest distinct hashes of a union are
+  * contained in the union of each side's k smallest — merging sketches
+  * loses nothing the full rescan would keep. State stays ≤ k longs. */
+class KmvMergeAgg(k: Int) extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
+  override def zero: Seq[Long] = Nil
+  override def reduce(buf: Seq[Long], in: Seq[Long]): Seq[Long] =
+    KmvAgg.mergeSorted(buf, in, k)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    KmvAgg.mergeSorted(a, b, k)
   override def finish(r: Seq[Long]): Seq[Long] = r
-
   override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }

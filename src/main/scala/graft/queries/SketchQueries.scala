@@ -153,4 +153,44 @@ object SketchQueries {
       |FROM events
       |WHERE CAST(('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8)) AS BIGINT) % $SampleMod = 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- sketch re-aggregation: per-group sketches → global rollup --------
+  // The OTHER half of the sketch contract, and the reason sketches win
+  // at 100 TB: per-scope sketches (per hour, per source, per partition)
+  // are persisted ONCE, and every coarser scope rolls up by merging the
+  // k-long sketch arrays — no rescan of the rows. Sound because the k
+  // smallest distinct hashes of a union are contained in the union of
+  // each side's k smallest. The oracle computes the global estimate
+  // straight from the rows, so the driver hash-check proves
+  // merge(per-group sketches) ≡ sketch(all rows) end to end.
+  def sketchDistinctRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.KmvMergeAgg
+    val ev = Tables.load(spark, sfDir, "events")
+    val kmv = udaf(new KmvAgg(KmvK))
+    val kmvMerge = udaf(new KmvMergeAgg(KmvK))
+    val perType = ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"), Kmv.keyHash(col("user_id")).as("hv"))
+      .groupBy(col("event_type"))
+      .agg(kmv(col("hv")).as("ks"))
+    perType
+      .agg(kmvMerge(col("ks")).as("gks"))
+      .select(lit("all_events").as("scope"),
+        Kmv.estimate(col("gks"), KmvK).as("est_distinct"))
+  }
+
+  /** Oracle: the global estimator over the raw rows — NOT over merged
+    * per-group sketches — so a hash match certifies re-aggregation
+    * loses nothing vs a full rescan. */
+  val sketchDistinctRollupSql: String =
+    s"""WITH h AS (
+      |  SELECT DISTINCT
+      |    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+      |  FROM events WHERE user_id IS NOT NULL),
+      |r AS (
+      |  SELECT hv, row_number() OVER (ORDER BY hv) AS rn, count(*) OVER () AS nd
+      |  FROM h)
+      |SELECT 'all_events' AS scope,
+      |  round(CASE WHEN nd < $KmvK THEN CAST(nd AS DOUBLE)
+      |    ELSE ${KmvK - 1}.0 / (CAST(hv AS DOUBLE) / ${Kmv.Hash60}) END, 6) AS est_distinct
+      |FROM r WHERE rn = least(nd, $KmvK)""".stripMargin
 }

@@ -45,6 +45,26 @@ class SketchSpec extends AnyFunSuite {
     assert(agg.reduce(full, 2L) eq full) // duplicate of a kept value
   }
 
+  test("property: merging per-group sketches ≡ sketching all rows (re-aggregation)") {
+    // the rollup contract behind sketch_distinct_rollup: per-scope
+    // sketches merged with KmvMergeAgg must equal the sketch built
+    // from every row — for any grouping and any k
+    import graft.functions.KmvMergeAgg
+    val rnd = new scala.util.Random(7)
+    for (k <- Seq(3, 8, 64); trial <- 1 to 5) {
+      val values = Seq.fill(200)(rnd.nextLong(1000000).abs)
+      val nGroups = 1 + rnd.nextInt(7)
+      val build = new KmvAgg(k)
+      val merge = new KmvMergeAgg(k)
+      val perGroup = values.groupBy(v => (v % nGroups).toInt).values
+        .map(_.foldLeft(build.zero)(build.reduce))
+      val rolled = perGroup.foldLeft(merge.zero)(merge.reduce)
+      val whole = values.foldLeft(build.zero)(build.reduce)
+      assert(rolled == whole,
+        s"k=$k trial=$trial groups=$nGroups: rollup $rolled != whole $whole")
+    }
+  }
+
   test("property: KmvAgg ≡ brute-force k-smallest-distinct under any split") {
     val rnd = new scala.util.Random(42)
     val agg = new KmvAgg(8)
