@@ -143,6 +143,30 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS rolls up by counter addition: per-group sketches summed ≡ direct build") {
+    // the CMS re-aggregation story needs no custom aggregator — counter
+    // cells add. Per-event_type sketches summed cell-wise must equal the
+    // sketch built over all rows in one pass, bit for bit.
+    import graft.functions.Cms
+    val ev = Tables.load(spark, sfDir, "events")
+    def cells(grouped: Boolean) = {
+      val base = ev.select(
+        (if (grouped) Seq(col("event_type")) else Seq.empty) ++
+          Seq(Cms.rows(col("user_id")).as("j"), col("user_id")): _*)
+        .select((if (grouped) Seq(col("event_type")) else Seq.empty) ++
+          Seq(col("j"), Cms.bucket(col("j"), col("user_id")).as("b")): _*)
+      if (grouped)
+        base.groupBy(col("event_type"), col("j"), col("b")).agg(count(lit(1)).as("c"))
+          .groupBy(col("j"), col("b")).agg(sum(col("c")).as("c")) // the rollup: cell add
+      else base.groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+    }
+    val rolled = cells(grouped = true).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = cells(grouped = false).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rolled == direct, "summed per-group CMS cells diverge from the direct build")
+  }
+
   test("hash-sampled quantiles track exact quantiles") {
     val sampled = SketchQueries.sketchSampleQuantile(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(4))).toMap
