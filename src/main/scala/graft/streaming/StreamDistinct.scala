@@ -24,11 +24,11 @@ import graft.functions.{Kmv, KmvAgg}
   */
 object StreamDistinct {
 
-  /** Estimated distinct `keyCol` per (`window`, `groupCol`) over a
-    * watermarked event-time stream. Append-mode-compatible: windows
-    * emit once the watermark closes them.
-    */
-  def distinctPerWindow(
+  /** The RAW per-window sketches (`win_start`, `groupCol`, `ks`) — emit
+    * these to storage and any coarser scope (day, month, all-time) rolls
+    * up later by merging the k-long arrays ([[graft.functions
+    * .KmvMergeAgg]]), without replaying the stream. */
+  def sketchPerWindow(
       stream: DataFrame,
       tsCol: String,
       keyCol: String,
@@ -46,7 +46,22 @@ object StreamDistinct {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen).as("w"), col(groupCol))
       .agg(kmv(col("hv")).as("ks"))
-      .select(col("w.start").as("win_start"), col(groupCol),
-        Kmv.estimate(col("ks"), k).as("est_distinct"))
+      .select(col("w.start").as("win_start"), col(groupCol), col("ks"))
   }
+
+  /** Estimated distinct `keyCol` per (`window`, `groupCol`) over a
+    * watermarked event-time stream. Append-mode-compatible: windows
+    * emit once the watermark closes them.
+    */
+  def distinctPerWindow(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      groupCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours",
+      k: Int = 64): DataFrame =
+    sketchPerWindow(stream, tsCol, keyCol, groupCol, windowLen, watermark, k)
+      .select(col("win_start"), col(groupCol),
+        Kmv.estimate(col("ks"), k).as("est_distinct"))
 }

@@ -63,6 +63,44 @@ class StreamDistinctSpec extends AnyFunSuite {
       s"estimate $streamEst vs true 150")
   }
 
+  test("persisted window sketches roll up across windows without replaying the stream") {
+    // the production pattern: the stream emits RAW per-window sketches
+    // to storage; coarser scopes (here: both windows → one estimate)
+    // merge the arrays later. The rollup must equal the batch sketch
+    // over every row from both windows — nothing lost at the seam.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.KmvMergeAgg
+    val input = MemoryStream[Ev]
+    val sk = StreamDistinct.sketchPerWindow(
+      input.toDF(), "ts", "user_id", "event_type",
+      windowLen = "1 hour", watermark = "2 hours", k = 64)
+    val q = sk.writeStream
+      .format("memory").queryName("stream_kmv_sketches").outputMode("append")
+      .start()
+    // two hour-windows with overlapping user populations (users 40-79
+    // appear in both — the rollup must not double-count them)
+    input.addData((0L until 80L).map(u => ev(10, (u % 60).toInt, u)): _*)
+    input.addData((40L until 120L).map(u => ev(11, (u % 60).toInt, u)): _*)
+    q.processAllAvailable()
+    input.addData(ev(15, 0, 9999)) // advance watermark past both windows
+    q.processAllAvailable()
+    q.stop()
+
+    val sketches = spark.table("stream_kmv_sketches")
+    assert(sketches.count() == 2, "both hour windows must have emitted")
+    val rolledEst = sketches
+      .agg(udaf(new KmvMergeAgg(64)).apply(col("ks")).as("gks"))
+      .select(Kmv.estimate(col("gks"), 64).as("est"))
+      .head().getDouble(0)
+    val batchEst = (0L until 120L).toDF("user_id")
+      .select(Kmv.keyHash(col("user_id")).as("hv"))
+      .agg(udaf(new KmvAgg(64)).apply(col("hv")).as("ks"))
+      .select(Kmv.estimate(col("ks"), 64).as("est"))
+      .head().getDouble(0)
+    assert(rolledEst == batchEst,
+      s"window rollup $rolledEst must equal the batch estimate $batchEst")
+  }
+
   case class EvN(ts: Timestamp, user_id: Option[Long], event_type: String)
 
   test("null keys are dropped — COUNT(DISTINCT) semantics, no encoder crash") {
