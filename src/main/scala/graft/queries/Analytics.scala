@@ -1083,4 +1083,98 @@ object Analytics {
   val snapshotScanSql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |WHERE o_orderstatus = 'F' AND o_totalprice > 100000 ORDER BY o_orderkey""".stripMargin
+
+  // --- events: ordered funnel (view → click → purchase) -----------------
+  // The canonical product-analytics shape: how far does each user get
+  // through an ORDERED step sequence? The scalable formulation is one
+  // hash-agg per step — step n's earliest qualifying time is
+  // min(ts | ts > t_{n-1}) — with user-keyed equi-joins between steps,
+  // so nothing ever sorts per user or windows over the event log
+  // (the naive per-user ORDER BY ts scan shuffles the whole log into
+  // per-user sorted state; this shuffles one row per user per step).
+  // Step times are int64 MICROSECOND epochs on both sides (`ts div
+  // 1000` here, `epoch_us` in the oracle): DuckDB holds TIMESTAMP_NS
+  // parquet values at µs resolution, so comparing at ns would let the
+  // engines disagree inside a microsecond.
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    def step(typ: String, after: Option[DataFrame], tcol: String): DataFrame = {
+      val base = ev.filter(col("event_type") === typ)
+      val scoped = after match {
+        case Some(prev) =>
+          val pcol = prev.columns.last
+          base.join(prev, Seq("user_id")).filter(col("tus") > col(pcol))
+        case None => base
+      }
+      scoped.groupBy(col("user_id")).agg(min(col("tus")).as(tcol))
+    }
+    val t1 = step("view", None, "t_view")
+    val t2 = step("click", Some(t1), "t_click")
+    val t3 = step("purchase", Some(t2), "t_purchase")
+    ev.select(col("user_id")).distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0).cast("int").as("stage"),
+        col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t_view GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t_click GROUP BY 1)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+      |            WHEN t_click IS NOT NULL THEN 2
+      |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+      |  t_view, t_click, t_purchase
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+      |LEFT JOIN t3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // --- events: cohort retention ----------------------------------------
+  // Users grouped by first-seen day; how many of each cohort come back
+  // on day offset d? All int64 day arithmetic on the µs epoch — µs, not
+  // ns, for the same cross-engine resolution reason as eventsFunnel (an
+  // event within 1 µs of midnight must land in the same day in both
+  // engines). Scale: first-day and (user, day) distinct are two
+  // hash-aggs co-partitioned on user_id, then one bounded
+  // (cohort, offset) agg — linear, no windows, no self-join of the log.
+  private val DayUs = 86400L * 1000000L
+
+  def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val firstDay = ev.groupBy(col("user_id"))
+      .agg(min(expr(s"(ts div 1000) div $DayUs")).as("cohort_day"))
+    val activeDays = ev.select(col("user_id"), expr(s"(ts div 1000) div $DayUs").as("day")).distinct()
+    activeDays.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val eventsRetentionSql: String =
+    s"""WITH days AS (
+      |  SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+      |first AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id, day FROM days)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+      |FROM active a JOIN first f ON a.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
 }
