@@ -21,6 +21,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.columnarReaderBatchSize", "4096")
+      // bare COUNT/MIN/MAX scans answer from parquet footer stats
+      // instead of reading row groups — e.g. the PQ pool-sizing count()
+      // touches zero data pages at any corpus size
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
