@@ -139,4 +139,47 @@ object CdcQueries {
       |  UNION ALL
       |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM latest WHERE tidb2dw_flag <> 'D'
       |) ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Incremental view maintenance over the merge path: the per-status
+    * COUNT/SUM view of the target is maintained from the change batch's
+    * touched rows only (`ViewMaintain.applyDelta` — O(touched keys)),
+    * while the ORACLE recomputes the view from the fully merged table —
+    * a hash match proves incremental ≡ recompute. The change log's
+    * updates move rows across groups (status → 'U') and its deletes can
+    * kill groups, so the delta algebra's hard cases are all exercised. */
+  def viewMaintain(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.merge.ViewMaintain
+    val target = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    val baseView = ViewMaintain.viewOf(target, "o_orderstatus", "o_totalprice")
+    val latest = ChangeApply
+      .dedupLatestPerKey(ordersChangeLog(spark, sfDir), Seq("o_orderkey")).cache()
+    val oldTouched = target
+      .join(latest.select(col("o_orderkey")), Seq("o_orderkey"), "left_semi")
+    val newTouched = latest.filter(col(Envelope.FlagCol) =!= Envelope.Delete)
+      .select(target.columns.map(col): _*)
+    ViewMaintain
+      .applyDelta(baseView, oldTouched, newTouched, "o_orderstatus", "o_totalprice")
+      .select(col("o_orderstatus"), col("cnt"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val viewMaintainSql: String =
+    s"""WITH changes AS ($ordersChangeLogSql),
+      |latest AS (
+      |  SELECT * FROM changes
+      |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY tidb2dw_commit_ts DESC) = 1
+      |),
+      |tgt AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+      |  FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = t.o_orderkey)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest WHERE tidb2dw_flag <> 'D')
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 }
