@@ -59,7 +59,13 @@ final case class PipelineConfig(
     // the reference would have executed on that warehouse, appended to
     // `{targetRoot}/_warehouse_sql/` — a migration audit trail proving
     // in-engine merges ≡ warehouse statements.
-    warehouseSqlDialect: Option[graft.dialects.WarehouseDialect] = None) {
+    warehouseSqlDialect: Option[graft.dialects.WarehouseDialect] = None,
+    // (groupCol, valueCol): maintain a grouped COUNT/SUM view of the
+    // target at `{targetRoot}/_view` incrementally — per merge tick the
+    // view updates from the batch's touched rows only (ViewMaintain,
+    // O(touched keys)), bootstrapped from one table scan on first tick
+    // and recomputed only when DDL rewrites the table anyway.
+    maintainView: Option[(String, String)] = None) {
 
   /** The target is bucketed on the seed PK so merges rewrite only
     * touched buckets. PK columns are fixed for a table's lifetime (the
@@ -169,6 +175,11 @@ final class IncrementalPipeline(
           val current = SchemaEvolution.evolveChain(target.read(), chain)
           val merged = ChangeApply.applyLatest(current, latest, defAt.mergeKeys)
           target.writeVersion(merged, vId)
+          // DDL rewrote the table anyway — recompute is the cheap path
+          // here (and the group column itself may have changed type)
+          cfg.maintainView.foreach { case (g, v) =>
+            writeView(graft.merge.ViewMaintain.viewOf(target.read(), g, v))
+          }
         } else {
           // Steady state: partition-scoped merge. Only buckets containing
           // touched keys are read (partition-pruned scan) and rewritten;
@@ -178,7 +189,20 @@ final class IncrementalPipeline(
           if (touched.nonEmpty) {
             val current = target.readBuckets(touched)
             val merged = ChangeApply.applyLatest(current, latest, defAt.mergeKeys)
+            // delta inputs read PRE-merge state; localCheckpoint pins
+            // them before mergeVersion swaps the files underneath
+            val viewNext = cfg.maintainView.map { case (g, v) =>
+              val base = readViewOrBootstrap(g, v)
+              val keys = latest.select(defAt.mergeKeys.map(col): _*)
+              val oldTouched = current.join(keys, defAt.mergeKeys, "left_semi")
+              val newTouched = latest.filter(col(Envelope.FlagCol) =!= Envelope.Delete)
+                .select(current.columns.map(col): _*)
+              graft.merge.ViewMaintain
+                .applyDelta(base, oldTouched, newTouched, g, v)
+                .localCheckpoint()
+            }
             target.mergeVersion(merged, touched, vId)
+            viewNext.foreach(writeView)
           }
         }
       } finally latest.unpersist()
@@ -264,4 +288,22 @@ final class IncrementalPipeline(
       .map(_.toLong)
       .flatMap(reg.get)
       .getOrElse(cfg.seed)
+
+  // --- incremental view maintenance (cfg.maintainView) -----------------
+  private def viewPath = s"${cfg.targetRoot}/_view"
+
+  /** Current view, or its one-time bootstrap from the PRE-merge table
+    * (production materializes the view once; every later tick is
+    * touched-rows-only). */
+  private def readViewOrBootstrap(groupCol: String, valueCol: String): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(viewPath)))
+      spark.read.parquet(viewPath)
+    else
+      graft.merge.ViewMaintain.viewOf(target.read(), groupCol, valueCol)
+
+  /** Overwrite-safe: callers localCheckpoint (or freshly compute) the
+    * frame so nothing still reads the files being replaced. The view is
+    * one row per group — small next to any merge tick. */
+  private def writeView(view: DataFrame): Unit =
+    view.localCheckpoint().write.mode("overwrite").parquet(viewPath)
 }

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.catalog.SchemaRegistry
@@ -136,6 +137,47 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .as[(Long, String, Double, Option[String])].collect().toSet
     assert(got3 == Set((7L, "O", 70.0, Some("fresh"))),
       "TRUNCATE must wipe pre-truncate rows; post-truncate insert applies")
+  }
+
+  test("maintainView: the per-status view tracks the table through merge, resume, and DDL") {
+    val root = Files.createTempDirectory("graft-stream-view").toString
+    writeFixtures(root)
+    Files.createDirectories(Paths.get(s"$root/snapshot"))
+    val cfg = PipelineConfig(
+      incrementRoot = s"$root/increment",
+      schemaName = "tpch", tableName = "orders",
+      targetRoot = s"$root/target",
+      checkpointDir = s"$root/ckpt",
+      seed = defV100.copy(tableVersion = 0L),
+      startTso = 10L,
+      maintainView = Some(("o_status", "o_price")))
+
+    def viewNow(): Set[(String, Long, Double)] =
+      spark.read.parquet(s"$root/target/_view")
+        .select(col("o_status"), col("cnt"), col("sum_value").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+    def recompute(target: TargetTable): Set[(String, Long, Double)] =
+      graft.merge.ViewMaintain.viewOf(target.read(), "o_status", "o_price")
+        .select(col("o_status"), col("cnt"), col("sum_value").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+
+    val q = ReplicationJob.replicateTable(spark, snapshotDf, s"$root/snapshot", cfg).get
+    q.processAllAvailable()
+    q.stop()
+    val target = new TargetTable(spark, cfg.targetRoot)
+    // final table: (1,F,11.0) (3,F,31.0) (4,O,40.5)
+    assert(viewNow() == Set(("F", 2L, 42.0), ("O", 1L, 40.5)))
+    assert(viewNow() == recompute(target), "maintained view diverged from recompute")
+
+    // resume with a DDL version — the recompute branch must refresh the
+    // view to the evolved, post-merge table
+    writeDdlFixtures(root)
+    val q2 = new IncrementalPipeline(spark, cfg).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(viewNow() == recompute(target),
+      "view must refresh through the DDL full-rewrite path")
+    assert(viewNow() == Set(("F", 2L, 42.5), ("O", 2L, 80.5)))
   }
 
   test("AvailableNow drains pending files, self-terminates, resumes incrementally") {
