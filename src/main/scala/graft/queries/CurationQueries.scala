@@ -198,6 +198,49 @@ object CurationQueries {
       |  WHERE doc_id != cluster_id)
       |ORDER BY doc_id""".stripMargin
 
+  // --- leakage-safe train/validation split ------------------------------
+  // The naive split — hash each doc_id — leaks: near-duplicate pairs
+  // land on opposite sides and the validation set scores memorization.
+  // The split UNIT must be the near-dup CLUSTER: every member of a
+  // cluster hashes by its cluster label (unclustered docs are their own
+  // unit), so no near-dup pair ever straddles the boundary. Deterministic
+  // (md5 of the unit), so the split is reproducible run to run.
+  // Scale: one left join against the (pairs-only, small) label frame +
+  // a per-row hash — the cluster labels are the same persisted artifact
+  // the canonical operator reads.
+  private val SplitMod = 10
+  private val ValBuckets = 1 // 1-in-10 → 10 % validation
+
+  def corpusSplit(spark: SparkSession, sfDir: String): DataFrame =
+    corpusSplitFromLabels(
+      Tables.load(spark, sfDir, "documents"),
+      DedupQueries.dedupClusters(spark, sfDir))
+
+  /** Split over persisted labels — pair with
+    * [[corpusCanonicalFromLabels]]'s production shape. */
+  def corpusSplitFromLabels(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs
+      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster_id"), col("doc_id")).as("unit"))
+      .select(col("doc_id"), col("source"),
+        when(
+          pmod(conv(substring(md5(col("unit").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(SplitMod)) < ValBuckets, "val")
+          .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+
+  val corpusSplitSql: String =
+    s"""WITH labels AS (${DedupQueries.dedupClustersSql}),
+      |u AS (
+      |  SELECT d.doc_id, d.source, coalesce(l.cluster_id, d.doc_id) AS unit
+      |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+      |SELECT doc_id, source,
+      |  CASE WHEN CAST(('0x'||substr(md5(CAST(unit AS VARCHAR)),1,8)) AS BIGINT)
+      |            % $SplitMod < $ValBuckets
+      |       THEN 'val' ELSE 'train' END AS split
+      |FROM u ORDER BY doc_id""".stripMargin
+
   // --- sequence packing ---------------------------------------------------
   // Pretraining shard assembly: shard documents by a portable hash,
   // order deterministically within the shard, and pack consecutive docs

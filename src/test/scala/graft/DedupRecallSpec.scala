@@ -107,6 +107,25 @@ class DedupRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_split: no near-dup pair straddles the train/val boundary") {
+    // the operator's whole reason to exist — every clustered doc must
+    // land on the same side as its cluster representative, and both
+    // sides must be non-trivially populated
+    val sf = "/root/testdata/sf0.001"
+    val split = graft.queries.CurationQueries.corpusSplit(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val labels = DedupQueries.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect()
+    labels.foreach { case (doc, cluster) =>
+      assert(split(doc) == split(cluster),
+        s"doc $doc (split ${split(doc)}) straddles from its cluster rep " +
+          s"$cluster (split ${split(cluster)})")
+    }
+    val sides = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sides.keySet == Set("train", "val") && sides("val") > 0,
+      s"split sides degenerate: $sides")
+  }
+
   test("cluster propagation converges on a diameter-60 path graph") {
     // plain min-label propagation needs diameter rounds (60 here, over
     // any sane cap); pointer jumping must converge in O(log 60) rounds
