@@ -30,6 +30,7 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VectorFunctions.register(spark)
     graft.functions.Kmv.register(spark)
+    graft.functions.Bloom.register(spark)
     spark
   }
 }

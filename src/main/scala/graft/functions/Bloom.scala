@@ -62,6 +62,26 @@ object Bloom {
       val mask = element_at(lit(BitMasks), idx.bitwiseAND(lit(63L)).cast("int") + 1)
       word.bitwiseAND(mask) =!= 0L
     }.reduce(_ && _)
+
+  /** SQL surface at default sizing: `bloom_agg(hash)` builds the words
+    * and `bloom_contains(words, hash)` tests them, so pure-SQL sessions
+    * can run the blocklist pattern —
+    * `WHERE NOT bloom_contains((SELECT bloom_agg(h) FROM block), xxhash64(fp))`.
+    * Same probe arithmetic as [[probeIndex]], so a SQL-built filter and
+    * a DataFrame-built one are interchangeable. Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("bloom_agg", udaf(new BloomAgg()))
+    spark.udf.register("bloom_contains", (words: Seq[Long], h: Long) => {
+      var i = 0
+      var ok = true
+      while (ok && i < DefaultK) {
+        val idx = probeIndex(h, i, DefaultBits)
+        ok = (words(idx >>> 6) & (1L << (idx & 63))) != 0L
+        i += 1
+      }
+      ok
+    })
+  }
 }
 
 /** Build the filter over a LongType hash column: state = m/64 longs,

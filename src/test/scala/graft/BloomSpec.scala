@@ -30,6 +30,25 @@ class BloomSpec extends AnyFunSuite {
       "an inserted hash tested absent — probe arithmetic diverges between build and test")
   }
 
+  test("SQL surface bloom_agg/bloom_contains matches the DataFrame path") {
+    val rnd = new scala.util.Random(11)
+    val inserted = Seq.fill(300)(rnd.nextLong())
+    val probes = inserted.take(50) ++ Seq.fill(50)(rnd.nextLong())
+    inserted.toDF("h").createOrReplaceTempView("bloom_keys")
+    probes.toDF("h").createOrReplaceTempView("bloom_probes")
+    val viaSql = spark.sql(
+      """SELECT h, bloom_contains((SELECT bloom_agg(h) FROM bloom_keys), h) AS ok
+        |FROM bloom_probes""".stripMargin)
+      .as[(Long, Boolean)].collect().toMap
+    val agg = new BloomAgg()
+    val words = inserted.foldLeft(agg.zero)(agg.reduce)
+    val viaDf = probes.toDF("h")
+      .select(col("h"), Bloom.mayContain(words, col("h")).as("ok"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaSql == viaDf, "SQL and DataFrame bloom answers diverge")
+    assert(inserted.take(50).forall(viaSql(_)), "an inserted key tested absent via SQL")
+  }
+
   test("no false negatives; false-positive rate sane at default sizing") {
     val rnd = new scala.util.Random(42)
     val present = Seq.fill(2000)(rnd.nextLong()).distinct
