@@ -269,6 +269,19 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"vec_decontaminate shuffles the corpus against the benchmark:\n${dec.take(2000)}")
   }
 
+  test("view maintenance and the leakage-safe split stay window- and cartesian-free") {
+    // cdc_view_maintain: dedup is max_by, deltas are hash-aggs — the
+    // oracle's QUALIFY window must never appear engine-side; the split
+    // inherits the pointer-jump label loop (joins, not windows)
+    Seq("cdc_view_maintain", "corpus_split").foreach { name =>
+      val plan = physical(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("Window"),
+        s"$name ranks with a window:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name planned an all-pairs join:\n${plan.take(2000)}")
+    }
+  }
+
   test("corpus_curate fuses its stages into one plan with scale shapes intact") {
     val plan = physical(SparkEntry.queries("corpus_curate")(spark, sf))
     // inherited decontamination shape: benchmark grams broadcast, and no
