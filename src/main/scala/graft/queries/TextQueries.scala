@@ -300,6 +300,53 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY term ORDER BY df DESC, term""".stripMargin
 
+  // --- sliding-window document chunking ------------------------------
+  // The pre-tokenization step every LLM data pipeline runs before
+  // sequence packing: split each document into fixed-width token
+  // windows (ChunkW tokens) advancing by ChunkStride, so consecutive
+  // chunks overlap by ChunkW-ChunkStride tokens and no window boundary
+  // ever splits context cold. A trailing window that is entirely
+  // contained in its predecessor (start ≥ n_tok - overlap) is dropped —
+  // it would add zero new tokens. Plan: tokenize + `sequence`/`explode`
+  // is a pure per-row projection (no shuffle, no driver state; output
+  // rows ∝ tokens/stride), then one final presentation sort — linear at
+  // 100 TB and embarrassingly parallel, exactly like the reference's
+  // per-row transform stage (pkg/tidbsql/batch.go streams rows through
+  // stateless transforms).
+  private val ChunkW = 64
+  private val ChunkStride = 48
+
+  def textChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val overlap = ChunkW - ChunkStride
+    docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n_tok"))
+      .select(col("doc_id"), col("tk"), col("n_tok"),
+        explode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0)),
+          lit(ChunkStride))).as("st"))
+      .filter(col("st") === 0 || col("st") < col("n_tok") - lit(overlap))
+      .select(col("doc_id"),
+        (col("st") / lit(ChunkStride)).cast("int").as("chunk_idx"),
+        least(col("n_tok") - col("st"), lit(ChunkW)).as("chunk_tokens"),
+        array_join(slice(col("tk"), col("st") + 1, lit(ChunkW)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val textChunkSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, tk, len(tk) AS n_tok,
+      |         unnest(range(0, greatest(len(tk), 1), $ChunkStride)) AS st
+      |  FROM d)
+      |SELECT doc_id, (st // $ChunkStride)::INT AS chunk_idx,
+      |  least(n_tok - st, $ChunkW) AS chunk_tokens,
+      |  array_to_string(list_slice(tk, st + 1, st + $ChunkW), ' ') AS chunk_text
+      |FROM s
+      |WHERE st = 0 OR st < n_tok - ${ChunkW - ChunkStride}
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // --- PII redaction over the corpus (graft.functions.PiiRedact) -------
   // The fixture corpus is deliberately clean, so the gate SYNTHESIZES
   // deterministic PII onto every 7th document (an email from `source`,

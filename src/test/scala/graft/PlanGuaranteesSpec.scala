@@ -190,6 +190,18 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"corpus_pack plans $exchanges hash exchanges:\n${pack.take(2000)}")
   }
 
+  test("text_chunk stays a shuffle-free per-row projection") {
+    // chunking is tokenize → sequence/explode → slice: linear, no agg,
+    // no join, no hash exchange (the only exchange is the presentation
+    // sort's range partitioning)
+    val plan = physical(SparkEntry.queries("text_chunk")(spark, sf))
+    assert(plan.contains("Generate"),
+      s"text_chunk lost its explode:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Join") &&
+      !plan.contains("Window"),
+      s"text_chunk is no longer a pure projection:\n${plan.take(2000)}")
+  }
+
   test("sketch queries keep bounded-state plans") {
     // KMV: the oracle ranks the distinct set with a window — the engine
     // must never; the bounded aggregator (ObjectHashAggregate, partial
