@@ -230,6 +230,16 @@ object CurationQueries {
           .otherwise("train").as("split"))
       .orderBy(col("doc_id"))
 
+  /** `corpus_split` over PERSISTED labels (same result, same oracle —
+    * the production shape: the dedup job's label artifact feeds both the
+    * canonical corpus and the split, so the bench measures the split
+    * operator itself: one left join + a per-row hash). */
+  def corpusSplitCached(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = prepareCanonicalLabels(spark, sfDir)
+    corpusSplitFromLabels(
+      Tables.load(spark, sfDir, "documents"), spark.read.parquet(dir))
+  }
+
   val corpusSplitSql: String =
     s"""WITH labels AS (${DedupQueries.dedupClustersSql}),
       |u AS (

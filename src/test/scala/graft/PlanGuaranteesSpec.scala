@@ -51,6 +51,16 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       "cached and self-contained canonical corpora diverge")
   }
 
+  test("corpus_split_cached reads labels, never recomputes the dedup pipeline") {
+    val cached = SparkEntry.queries("corpus_split_cached")(spark, sf)
+    val plan = physical(cached)
+    assert(!plan.contains("Generate"),
+      s"cached split re-derives shingles:\n${plan.take(2000)}")
+    val inline = SparkEntry.queries("corpus_split")(spark, sf)
+    assert(cached.collect().toSeq == inline.collect().toSeq,
+      "cached and self-contained splits diverge")
+  }
+
   test("candidate-join dedup queries never plan a cartesian product") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_embedding", "dedup_incremental", "vec_ann_lsh").foreach { name =>
