@@ -504,4 +504,56 @@ object CurationQueries {
       |SELECT s.cluster, s.vec_id AS doc_id, d.source, d.n_chars
       |FROM sampled s JOIN documents d ON d.doc_id = s.vec_id
       |ORDER BY s.cluster, doc_id""".stripMargin
+
+  // --- importance resampling by quality weight -------------------------
+  // Soft quality curation: instead of a hard keep/drop threshold, keep
+  // each document with probability proportional to its quality score
+  // (high-quality docs always survive, mediocre ones are thinned, junk
+  // is dropped) — the standard way to reweight a web corpus toward
+  // quality without discarding the distribution's tail entirely.
+  // Acceptance is a pure per-row function — `md5(doc_id) mod 2^20 / 2^20
+  // < weight` — NOT `rand()`: replays, incremental refreshes, and the
+  // cross-engine oracle all see the identical sample, and the operator
+  // is a shuffle-free scan at any scale. Weight reuses the corpus_filter
+  // quality signal, affinely squashed to [0, 1].
+  private val RsScale = 1 << 20
+
+  def corpusResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val stopArr = array(TextQueries.stopEn.map(lit): _*)
+    val quality =
+      size(filter(t, x => array_contains(stopArr, x))).cast("double") / nTok * lit(2.0) +
+      size(array_distinct(t)).cast("double") / nTok +
+      length(regexp_replace(col("text"), "[^a-z0-9]", "")).cast("double") /
+        length(col("text")).cast("double") - lit(1.0)
+    val weight = greatest(lit(0.0), least(lit(1.0), quality / lit(2.0)))
+    val u = conv(substring(md5(concat(lit("rs:"), col("doc_id").cast("string"))), 1, 5), 16, 10)
+      .cast("long").cast("double") / lit(RsScale.toDouble)
+    docs.select(col("doc_id"), weight.as("weight"), u.as("u"))
+      .filter(col("u") < col("weight"))
+      .select(col("doc_id"), round(col("weight"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusResampleSql: String = {
+    val stop = TextQueries.stopEn.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+      |  SELECT doc_id,
+      |    len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks) * 2.0
+      |      + len(list_distinct(toks))::DOUBLE / len(toks)
+      |      + length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)
+      |      - 1.0 AS quality
+      |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+      |        FROM documents)),
+      |weighted AS (
+      |  SELECT doc_id,
+      |    greatest(0.0, least(1.0, quality / 2.0)) AS weight,
+      |    CAST(('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 5)) AS BIGINT)::DOUBLE
+      |      / $RsScale.0 AS u
+      |  FROM scored)
+      |SELECT doc_id, round(weight, 6) AS weight
+      |FROM weighted WHERE u < weight ORDER BY doc_id""".stripMargin
+  }
 }

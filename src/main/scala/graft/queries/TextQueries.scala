@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 import graft.functions.PiiRedact
@@ -21,7 +22,7 @@ object TextQueries {
 
   private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
-  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private[queries] val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   // --- token counting: whitespace + BPE-ish regex sub-token count ---
   def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
@@ -390,4 +391,74 @@ object TextQueries {
       |  ${PiiRedact.redactSql("text")} AS text
       |FROM synth ORDER BY doc_id""".stripMargin
   }
+
+  // --- bigram-LM cross-entropy: the "perplexity filter" ---------------
+  // The classic corpus-quality signal (CCNet/Gopher style): train an
+  // add-α-smoothed bigram language model on the corpus itself, then
+  // score each document by its mean bits-per-bigram under that model —
+  // boilerplate and gibberish score low/high respectively vs fluent
+  // text. Spark-first shape: one Generate (token pairs), then hash
+  // aggs; the LM is the `(w1, w2) → count` table — corpus-SUBLINEAR
+  // (bounded by observed-bigram vocabulary), so at 100 TB it is the
+  // artifact a production pipeline trains once and reuses, while the
+  // scoring pass is per-doc counts many-to-one-joined to it (AQE handles
+  // stopword-bigram skew; no windows, no driver state). The per-doc
+  // bigram frame is persisted so the train and score branches share one
+  // explode — at scale, production would instead read the persisted LM.
+  //
+  // Oracle parity: counts are exact longs; the smoothed probability and
+  // log2 are IEEE doubles on identical operands; each term is rounded
+  // through DECIMAL(18,4) before summing so the per-doc sum is exact and
+  // order-independent (see Analytics' dsum note).
+  private val LmAlpha = 0.5
+
+  def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = docs
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val perDoc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c")).persist()
+    val lm = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
+    val ctx = lm.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val vocab = lm.agg(countDistinct(col("w2")).as("v"))
+    val bits = -col("c") *
+      log2((col("cb") + lit(LmAlpha)) / (col("cu") + lit(LmAlpha) * col("v")))
+    perDoc
+      .join(lm, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(bits.cast(DecimalType(18, 4))).cast(DoubleType).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        (col("sum_bits") / col("n_bigrams")).as("bits_per_bigram"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLmScoreSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, unnest(range(1, len(toks))) AS u(i)
+      |  WHERE len(toks) >= 2),
+      |db AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY doc_id, w1, w2),
+      |lm AS (SELECT w1, w2, sum(c) AS cb FROM db GROUP BY w1, w2),
+      |ctx AS (SELECT w1, sum(cb) AS cu FROM lm GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w2) AS v FROM lm),
+      |scored AS (
+      |  SELECT doc_id, sum(c) AS n_bigrams,
+      |    CAST(sum(CAST(-c * log2((cb + $LmAlpha) / (cu + $LmAlpha * v)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_bits
+      |  FROM db JOIN lm USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, sum_bits, sum_bits / n_bigrams AS bits_per_bigram
+      |FROM scored ORDER BY doc_id""".stripMargin
 }

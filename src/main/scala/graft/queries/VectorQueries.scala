@@ -862,4 +862,48 @@ object VectorQueries {
       |  WHERE rn = 1)
       |SELECT vec_id, bench_id, round(sim, 6) AS sim
       |FROM best WHERE sim >= $SemT ORDER BY vec_id""".stripMargin
+
+  // --- hard-negative mining for contrastive training -------------------
+  // For each probe (anchor), the top-k most-similar vectors whose label
+  // DIFFERS from the probe's — the "hard negatives" that make
+  // contrastive/embedding training data informative (easy negatives are
+  // uninformative; same-label vectors would be false negatives). Same
+  // scale shape as vec_topk: broadcast the bounded probe set, score
+  // per-row, and reduce through the bounded partial-merge TopKAgg — one
+  // hash agg, no per-group window, exchange carries one row per
+  // (corpus row × probe).
+  def vecHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("probe_emb"))
+    val topk = udaf(new TopKAgg(TopK))
+    val scored = vecs
+      .join(broadcast(probes), col("label") =!= col("probe_label"))
+      .select(col("probe_id"),
+        cosine(col("probe_emb"), col("embedding")).as("sim"),
+        col("vec_id").as("id"))
+    scored.groupBy(col("probe_id"))
+      .agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("probe_id"), (col("pos") + 1).as("rank"),
+        col("n.id").as("negative_id"), round(col("n.sim"), 6).as("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val vecHardNegativesSql: String =
+    s"""WITH probes AS (
+      |  SELECT vec_id AS probe_id, label AS probe_label, embedding AS probe_emb
+      |  FROM embeddings WHERE vec_id % $ProbeStride = 0),
+      |scored AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    list_cosine_similarity(CAST(p.probe_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+      |  FROM probes p JOIN embeddings e ON e.label != p.probe_label),
+      |ranked AS (
+      |  SELECT probe_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT probe_id, rank, vec_id AS negative_id, round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
 }

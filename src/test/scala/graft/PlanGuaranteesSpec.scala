@@ -200,6 +200,27 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"corpus_pack plans $exchanges hash exchanges:\n${pack.take(2000)}")
   }
 
+  test("lm scoring, resampling, and hard-negative mining keep their scale shapes") {
+    // LM scoring: per-doc counts × LM table is a hash/key join + hash
+    // aggs — a Window here would re-shuffle every bigram occurrence
+    val lm = physical(SparkEntry.queries("text_lm_score")(spark, sf))
+    assert(!lm.contains("Window"), s"text_lm_score plans a Window:\n${lm.take(2000)}")
+    assert(!lm.contains("CartesianProduct"),
+      s"text_lm_score plans a cartesian (vocab scalar must broadcast):\n${lm.take(2000)}")
+    // importance resampling is a pure per-row scan: no joins, no aggs,
+    // no exchanges besides the final presentation sort
+    val rs = physical(SparkEntry.queries("corpus_resample")(spark, sf))
+    Seq("Join", "HashAggregate", "Window").foreach { op =>
+      assert(!rs.contains(op), s"corpus_resample plans a $op:\n${rs.take(2000)}")
+    }
+    // hard negatives: broadcast probe set + bounded TopKAgg, same
+    // contract as vec_topk — never a per-probe window
+    val hn = physical(SparkEntry.queries("vec_hard_negatives")(spark, sf))
+    assert(!hn.contains("Window"), s"vec_hard_negatives plans a Window:\n${hn.take(2000)}")
+    assert(hn.contains("BroadcastNestedLoopJoin") || hn.contains("BroadcastHashJoin"),
+      s"vec_hard_negatives lost its probe broadcast:\n${hn.take(2000)}")
+  }
+
   test("text_chunk stays a shuffle-free per-row projection") {
     // chunking is tokenize → sequence/explode → slice: linear, no agg,
     // no join, no hash exchange (the only exchange is the presentation
