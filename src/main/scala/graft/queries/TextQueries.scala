@@ -412,17 +412,64 @@ object TextQueries {
   // order-independent (see Analytics' dsum note).
   private val LmAlpha = 0.5
 
-  def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val pairs = docs
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  def textLmScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmScore(Tables.load(spark, sfDir, "documents"))
+
+  /** Adjacent token pairs of a `(doc_id, text)` frame — one Generate. */
+  private def lmPairs(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), toks(col("text")).as("toks"))
+    .filter(size(col("toks")) >= 2)
+    .select(col("doc_id"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+    .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Trained bigram-LM artifact: `lm` = `(w1, w2, cb)` observed-bigram
+    * counts, `ctx` = `(w1, cu)` context totals, `vocab` = |distinct w2|.
+    * The frames are corpus-sublinear (bounded by bigram vocabulary) —
+    * this is what a production pipeline persists and reuses; `vocab` is
+    * the one driver-held scalar (model metadata, size-independent). */
+  final case class LmModel(lm: DataFrame, ctx: DataFrame, vocab: Long)
+
+  /** Train the add-α bigram LM on a `(doc_id, text)` corpus. */
+  def trainLm(docs: DataFrame): LmModel = {
+    val lm = lmPairs(docs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb")).persist()
+    val ctx = lm.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val v = lm.agg(countDistinct(col("w2"))).head.getLong(0)
+    LmModel(lm, ctx, v)
+  }
+
+  /** Score a `(doc_id, text)` frame against a PRETRAINED model — the
+    * train/apply split production runs (train nightly on the corpus,
+    * score new arrivals). Unseen bigrams/contexts take the smoothed
+    * floor (`cb = 0` / `cu = 0`) via left joins, so out-of-corpus text
+    * is scored, not dropped; `oov_bigrams` counts them per doc. */
+  def scoreAgainst(docs: DataFrame, m: LmModel): DataFrame = {
+    val perDoc = lmPairs(docs).groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val cb = coalesce(col("cb"), lit(0L))
+    val cu = coalesce(col("cu"), lit(0L))
+    val bits = -col("c") *
+      log2((cb + lit(LmAlpha)) / (cu + lit(LmAlpha) * lit(m.vocab.toDouble)))
+    perDoc
+      .join(m.lm, Seq("w1", "w2"), "left")
+      .join(m.ctx, Seq("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(when(col("cb").isNull, col("c")).otherwise(lit(0L))).as("oov_bigrams"),
+        sum(bits.cast(DecimalType(18, 4))).cast(DoubleType).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"),
+        (col("sum_bits") / col("n_bigrams")).as("bits_per_bigram"))
+  }
+
+  /** Core of [[textLmScore]] over any `(doc_id, text)` frame: trains on
+    * the frame itself and scores it in ONE lazy plan (no driver action —
+    * the oracle-gate shape; the vocab scalar stays a broadcast frame). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val pairs = lmPairs(docs)
     val perDoc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c")).persist()
     val lm = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
