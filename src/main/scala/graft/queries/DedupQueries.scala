@@ -18,7 +18,7 @@ import graft.Tables
   */
 object DedupQueries {
 
-  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+  private[graft] def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
   /** 3-gram shingles built per-row with zip_with. zip_with evaluates
     * each CHILD array once per row and then pairs elements, unlike an
@@ -26,7 +26,7 @@ object DedupQueries {
     * inline the token split into the lambda and re-split the text once
     * per element (measured: 8 s → sub-second for the shingle projection
     * at sf0.1). Trailing pads are null-concat'd away by the filter. */
-  private def shingles3(tk: Column): Column = {
+  private[graft] def shingles3(tk: Column): Column = {
     val n = size(tk)
     val s2 = zip_with(tk, slice(tk, lit(2), n), (a, b) => concat(a, lit(" "), b))
     val s3 = zip_with(s2, slice(tk, lit(3), n), (ab, c) => concat(ab, lit(" "), c))
@@ -69,7 +69,7 @@ object DedupQueries {
   // band, simhash half); declared BEFORE the first oracle-SQL val that
   // interpolates it — a Scala object initializes vals in declaration
   // order and a forward reference silently reads 0.
-  private val MinhashBucketCap = 100 // mass-duplicates are exact-dedup's job
+  private[graft] val MinhashBucketCap = 100 // mass-duplicates are exact-dedup's job
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // shingle identity is a 64-bit xxhash, not the string: the verify
@@ -159,12 +159,12 @@ object DedupQueries {
   // after the explode, signatures partial-aggregate map-side, and the
   // band self-join — the classic LSH scale path (cost ~ candidates, not
   // pairs²) — is skew-guarded by an oversized-bucket cap.
-  private val MinhashK = 8
-  private val BandRows = 2 // 4 bands of 2 → catches jaccard ≳ 0.6
-  private val Prime = 2147483647L
+  private[graft] val MinhashK = 8
+  private[graft] val BandRows = 2 // 4 bands of 2 → catches jaccard ≳ 0.6
+  private[graft] val Prime = 2147483647L
   private val ShingleN = 3
   // deterministic permutation params (odd multipliers)
-  private val HashParams: Seq[(Long, Long)] =
+  private[graft] val HashParams: Seq[(Long, Long)] =
     (1 to MinhashK).map(i => (2L * i * i * 1000003L + 1L, i * 7919L))
 
   /** 3-word shingles as one exploded table: (doc_id, shingle_hash).
@@ -176,7 +176,7 @@ object DedupQueries {
     * slower). No distinct anywhere: every consumer (min aggregation,
     * collect_set) is duplicate-insensitive, so shingle deduplication
     * would cost a shuffle and buy nothing. */
-  private def shingleHashes(docs: DataFrame): DataFrame = {
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame = {
     docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)
@@ -204,7 +204,7 @@ object DedupQueries {
   /** (doc_id, band, bkey) — all band keys in ONE pass over the signature
     * (explode of an array of structs — no per-band union recomputing the
     * signature). */
-  private def bandKeys(sh: DataFrame): DataFrame = {
+  private[graft] def bandKeys(sh: DataFrame): DataFrame = {
     val bandArr = array((0 until MinhashK / BandRows).map { bandIdx =>
       val cols = (0 until BandRows).map(r => col(s"mh${bandIdx * BandRows + r}"))
       struct(lit(bandIdx).as("band"), concat_ws("_", cols: _*).as("bkey"))
@@ -306,29 +306,12 @@ object DedupQueries {
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val newIds = docs.filter(col("source") === IncrementalSource).select(col("doc_id"))
-    val sh = shingleHashes(docs).cache()
-    val bands = bandKeys(sh).cache()
-    val batchBands = bands.join(broadcast(newIds), Seq("doc_id"))
-    val corpusBands = bands.join(broadcast(newIds), Seq("doc_id"), "left_anti")
-    val oversized = corpusBands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
-      .select(col("band"), col("bkey"))
-    val cappedCorpus = corpusBands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
-    val candidates = cappedCorpus
-      .join(broadcast(batchBands.select(col("band"), col("bkey"), col("doc_id").as("new_id"))),
-        Seq("band", "bkey"))
-      .select(col("new_id"), col("doc_id").as("dup_of"))
-      .distinct()
-    val hsets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
-    candidates
-      .join(hsets.select(col("doc_id").as("new_id"), col("hs").as("ha")), Seq("new_id"))
-      .join(hsets.select(col("doc_id").as("dup_of"), col("hs").as("hb")), Seq("dup_of"))
-      .select(col("new_id"), col("dup_of"),
-        size(array_intersect(col("ha"), col("hb"))).as("inter"),
-        size(col("ha")).as("na"), size(col("hb")).as("nb"))
-      .select(col("new_id"), col("dup_of"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+    val newDocs = docs.join(broadcast(newIds), Seq("doc_id"))
+    val corpus = docs.join(broadcast(newIds), Seq("doc_id"), "left_anti")
+    // the shared index+match core (also the streaming face's backend);
+    // built inline here because the oracle query owns no persisted state
+    // — production builds the index once and `NearDupIndex.save`s it
+    NearDupIndex.matchBatch(NearDupIndex.build(corpus), newDocs)
       // best corpus match per new doc: maximize jaccard, break ties on
       // the LOWEST corpus id — max(struct) keeps it one bounded hash-agg
       .groupBy(col("new_id"))
