@@ -83,11 +83,12 @@ object CurationQueries {
   private val Bm25K1 = "1.2"
   private val Bm25B = "0.75"
 
-  /** Scale shape: per-doc tf/len are per-row expressions; the corpus
-    * stats (N, avgdl, per-term df) are ONE aggregate row broadcast back
-    * over the corpus — two scans total, no shuffle beyond the scalar
-    * agg, top-k via ORDER BY LIMIT (partial top-k per partition). */
-  def textBm25(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Raw BM25 doubles, (doc_id, score) — the shared lexical-relevance
+    * core consumed by [[textBm25]] (fixed-point top-20) and
+    * [[RetrievalQueries.retrievalFusion]] (rank fusion). Exact operand
+    * order is mirrored in BOTH consumers' oracles, so the double is
+    * cross-engine bit-identical. */
+  private[queries] def bm25Scored(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id") +: toks(col("text")).as("tk") +: Bm25Terms.zipWithIndex.map {
         case (t, i) => size(filter(toks(col("text")), x => x === t)).as(s"tf$i")
@@ -108,40 +109,55 @@ object CurationQueries {
         (tf + lit(Bm25K1.toDouble) * (lit(1.0) - lit(Bm25B.toDouble) +
           lit(Bm25B.toDouble) * (col("dl") / (col("sumdl") / col("n")))))
     }
-    scored
+    scored.select(col("doc_id"), contrib.reduce(_ + _).as("score"))
+  }
+
+  /** Scale shape: per-doc tf/len are per-row expressions; the corpus
+    * stats (N, avgdl, per-term df) are ONE aggregate row broadcast back
+    * over the corpus — two scans total, no shuffle beyond the scalar
+    * agg, top-k via ORDER BY LIMIT (partial top-k per partition). */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Scored(spark, sfDir)
       .select(col("doc_id"),
-        floor(contrib.reduce(_ + _) * lit(1048576.0)).cast("long").as("score_fp"))
+        floor(col("score") * lit(1048576.0)).cast("long").as("score_fp"))
       .filter(col("score_fp") > 0)
       .orderBy(col("score_fp").desc, col("doc_id"))
       .limit(20)
-  }
 
-  val textBm25Sql: String = {
+  /** The bm25 WITH-clause prefix (`base`, `stats`) and the per-doc score
+    * expression — shared between [[textBm25Sql]] and the retrieval-fusion
+    * oracle so both mirror [[bm25Scored]]'s arithmetic verbatim. */
+  private[queries] val bm25WithClauses: String = {
     val tfDefs = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf$i"
     }.mkString(",\n      |    ")
     val dfDefs = Bm25Terms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(", ")
-    val contribs = Bm25Terms.indices.map(i =>
-      s"((n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2) / " +
-        s"(tf$i + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * (dl / (sumdl / n))))")
-      .mkString("\n      |    + ")
-    s"""WITH base AS (
+    s"""base AS (
       |  SELECT doc_id,
       |    $tfDefs,
       |    len(toks)::DOUBLE AS dl
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
       |        FROM documents)),
       |stats AS (
-      |  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sumdl, $dfDefs FROM base)
+      |  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sumdl, $dfDefs FROM base)""".stripMargin
+  }
+
+  private[queries] val bm25ScoreExpr: String =
+    Bm25Terms.indices.map(i =>
+      s"((n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2) / " +
+        s"(tf$i + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * (dl / (sumdl / n))))")
+      .mkString("\n    + ")
+
+  val textBm25Sql: String =
+    s"""WITH $bm25WithClauses
       |SELECT doc_id, score_fp FROM (
       |  SELECT doc_id, CAST(floor((
-      |    $contribs
+      |    $bm25ScoreExpr
       |  ) * 1048576.0) AS BIGINT) AS score_fp
       |  FROM base CROSS JOIN stats)
       |WHERE score_fp > 0
       |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
-  }
 
   // --- canonical corpus after near-dup clustering ------------------------
   /** The curation payoff of the dedup family: one representative per

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Hybrid retrieval — the RAG-serving face of the curation stack: fuse a
+  * LEXICAL ranking (BM25, [[CurationQueries.bm25Scored]]) with a SEMANTIC
+  * ranking (cosine over the document embeddings) by reciprocal-rank
+  * fusion, `rrf(d) = Σ_systems 1/(K + rank_s(d))` (Cormack et al.'s
+  * parameter K=60). Documents strong in either signal surface; documents
+  * present in both dominate.
+  *
+  * Scale shape at 100 TB:
+  *   - Each ranking is the already-scale-shaped single-scan operator:
+  *     BM25 is one corpus scan + one broadcast stats row; the semantic
+  *     side is one embedding scan against a broadcast query vector (at
+  *     scale the brute-force scan swaps for the IVF probe path —
+  *     `vec_ivf_topk` — without touching the fusion logic).
+  *   - Ranks are assigned AFTER each side's `ORDER BY … LIMIT k`
+  *     (partial top-k per partition, merged on one reducer), so the
+  *     row_number window only ever sees ≤ k rows — bounded by
+  *     construction, never a window over the corpus.
+  *   - The fusion itself is a full-outer join of two ≤k-row frames —
+  *     broadcastable at any corpus size.
+  *
+  * Cross-engine float parity: rrf contributions are single IEEE
+  * divisions of integer-valued doubles (1.0/(60+rank)) summed in fixed
+  * operand order, then fixed-point `floor(x·2^20)` — the BM25/kmeans
+  * recipe. Ranks themselves are integers, so the only doubles compared
+  * across engines before ranking are the BM25 score and `cosine_sim`,
+  * both already hash-green in their own oracles.
+  */
+object RetrievalQueries {
+
+  private val FuseK = 50 // per-system candidate depth
+  private val RrfK = 60 // standard RRF dampening constant
+  private val QueryVecId = 0L // the probe document (its embedding = the query)
+  private val FuseOut = 20
+
+  def retrievalFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    // lexical candidates: top-FuseK BM25, rank over the post-limit frame
+    val lex = CurationQueries.bm25Scored(spark, sfDir)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(FuseK)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).as("lrank"))
+    // semantic candidates: cosine vs the broadcast query embedding
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val query = vecs.filter(col("vec_id") === QueryVecId)
+      .select(col("embedding").as("qemb"))
+    val sem = vecs.filter(col("vec_id") =!= QueryVecId)
+      .join(broadcast(query))
+      .select(col("vec_id").as("doc_id"),
+        call_function("cosine_sim", col("embedding"), col("qemb")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(FuseK)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))).as("srank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lrank"), lit(0)).cast("long").as("lex_rank"),
+        coalesce(col("srank"), lit(0)).cast("long").as("sem_rank"),
+        // integer add, ONE cast to double, one IEEE division — mirrored
+        // verbatim in the oracle (a bare 1.0/(60.0+r) would be DECIMAL
+        // division in DuckDB, not IEEE)
+        floor((coalesce(lit(1.0) / (lit(RrfK) + col("lrank")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("srank")).cast("double"), lit(0.0))) *
+          lit(1048576.0)).cast("long").as("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+      .limit(FuseOut)
+  }
+
+  val retrievalFusionSql: String =
+    s"""WITH ${CurationQueries.bm25WithClauses},
+      |lexall AS (
+      |  SELECT doc_id, (${CurationQueries.bm25ScoreExpr}) AS score
+      |  FROM base CROSS JOIN stats),
+      |lexranked AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank
+      |  FROM (SELECT doc_id, score FROM lexall WHERE score > 0
+      |        ORDER BY score DESC, doc_id LIMIT $FuseK)),
+      |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = $QueryVecId),
+      |semranked AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS srank
+      |  FROM (SELECT e.vec_id AS doc_id,
+      |          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                 CAST(q.qemb AS DOUBLE[])) AS sim
+      |        FROM embeddings e CROSS JOIN q WHERE e.vec_id != $QueryVecId
+      |        ORDER BY sim DESC, doc_id LIMIT $FuseK))
+      |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+      |  CAST(coalesce(lrank, 0) AS BIGINT) AS lex_rank,
+      |  CAST(coalesce(srank, 0) AS BIGINT) AS sem_rank,
+      |  CAST(floor((coalesce(1.0 / CAST($RrfK + lrank AS DOUBLE), 0.0) +
+      |              coalesce(1.0 / CAST($RrfK + srank AS DOUBLE), 0.0)) * 1048576.0) AS BIGINT) AS rrf_fp
+      |FROM lexranked l FULL OUTER JOIN semranked s ON l.doc_id = s.doc_id
+      |ORDER BY rrf_fp DESC, doc_id LIMIT $FuseOut""".stripMargin
+}

@@ -338,4 +338,22 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(windows <= 1,
       s"corpus_curate plans $windows windows (want ≤1, the per-shard pack sum):\n${plan.take(2000)}")
   }
+
+  test("retrieval_fusion ranks only post-limit frames — every window sits above a LIMIT") {
+    // the rank windows must see ≤ FuseK rows (the per-system ORDER BY
+    // LIMIT output), never the corpus: a window whose subtree has no
+    // GlobalLimit would be ranking an unbounded scan
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val df = SparkEntry.queries("retrieval_fusion")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    val windows = optimized.collect { case w: LWindow => w }
+    assert(windows.size == 2, s"want 2 rank windows, got ${windows.size}:\n$optimized")
+    windows.foreach { w =>
+      assert(w.collect { case l: GlobalLimit => l }.nonEmpty,
+        s"rank window has no LIMIT below it — it would rank the whole corpus:\n$w")
+    }
+    // and the fused output itself is bounded
+    assert(optimized.collect { case l: GlobalLimit => l }.size >= 3,
+      s"missing the output limit:\n$optimized")
+  }
 }
