@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided testdata tables (TESTDATA.md).
   *
@@ -15,6 +17,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The driver has shipped `events.ts` in two physical forms: raw
+    * ns-epoch int64 (ns-precision parquet read via `nanosAsLong`) and
+    * µs-precision timestamp. The engine-internal contract is the
+    * former — exact int64 ns arithmetic, matching the oracle's
+    * `epoch_ns(ts)` (DuckDB sees a timestamp either way, so the oracle
+    * SQL is invariant to the storage form). A timestamp-typed `ts` is
+    * converted at the scan boundary; with the session pinned to UTC the
+    * NTZ→TZ cast is wall-clock-preserving, so `unix_micros * 1000` is
+    * exactly DuckDB's `epoch_ns`. A pure projection — column pruning
+    * and pushdown on the other columns are unaffected. */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
 }
