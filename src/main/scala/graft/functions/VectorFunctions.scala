@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ClassicConversions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Cosine similarity over two `array<float>` embedding columns as a
   * native Catalyst expression with whole-stage codegen.
@@ -75,11 +75,231 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dot product over two equal-length `array<float>`/`array<double>`
+  * columns — the per-row norm/score kernel of the PQ family.
+  *
+  * The HOF formulation (`aggregate(zip_with(a,b,x*y), 0.0, acc+v)`) is
+  * CodegenFallback and allocates a zipped array per row; this runs one
+  * fused primitive loop. The accumulation is the SAME left fold in
+  * element order (`0.0 + x0*y0 + x1*y1 + …`), so results are
+  * bit-identical to the HOF chain and to the generated DuckDB oracle's
+  * left-associated `0.0 + …` expression.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects array<float|double>, got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left); val rf = isFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      def rd(arr: String, fl: Boolean) =
+        if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${rd(x, isFloat(left))} * ${rd(y, isFloat(right))};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Product-quantization encoder: all M subspace codes of one vector in a
+  * single fused loop.
+  *
+  * `left` is the vector (`array<float>` raw embedding or `array<double>`
+  * residual); `right` is the FOLDABLE codebook literal
+  * (`array<array<array<float>>>`, rectangular M×K×subDim — the
+  * `typedLit` of the driver-trained model). Output: `array<int>` of M
+  * codes, `codes[m] = argmin_k Σ_d (x[m·subDim+d] − cb[m][k][d])²`,
+  * first-min tie-break.
+  *
+  * Why an Expression: the compositional form — per subspace, a
+  * `transform` over K codewords of `aggregate(zip_with(slice…))` — is
+  * CodegenFallback and allocates ~M×K small arrays PER ROW (512 at
+  * M=8, K=64); on the encode pass that dominates the whole PQ pipeline.
+  * This loop allocates one int[] per row. Arithmetic is the identical
+  * IEEE chain (subtract-widen, square, left-fold add in d order;
+  * strict-< keeps the FIRST minimum exactly like
+  * `array_position(d, array_min(d))`), so the generated DuckDB oracle
+  * and the recall bounds are unchanged.
+  */
+case class PqEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val cbOk = right.foldable && (right.dataType match {
+      case ArrayType(ArrayType(ArrayType(FloatType, _), _), _) => true
+      case _ => false
+    })
+    if (vecOk && cbOk) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "pq_encode expects (array<float|double> vec, foldable array<array<array<float>>> codebooks), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql}, foldable=${right.foldable})")
+  }
+
+  private def vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Codebooks flattened to `[m·K·subDim + k·subDim + d]` doubles —
+    * evaluated ONCE from the foldable literal (model state, bounded
+    * M×K×subDim), shared by interpreted eval and codegen via a
+    * reference object. */
+  @transient private lazy val model: (Array[Double], Int, Int, Int) = {
+    val cbs = right.eval(null).asInstanceOf[ArrayData]
+    val m = cbs.numElements()
+    require(m > 0, "pq_encode: empty codebooks")
+    val first = cbs.getArray(0)
+    val k = first.numElements()
+    require(k > 0, "pq_encode: empty subspace codebook")
+    val subDim = first.getArray(0).numElements()
+    val flat = new Array[Double](m * k * subDim)
+    var mi = 0
+    while (mi < m) {
+      val sub = cbs.getArray(mi)
+      require(sub.numElements() == k, "pq_encode: ragged codebooks (K differs by subspace)")
+      var ki = 0
+      while (ki < k) {
+        val cw = sub.getArray(ki)
+        require(cw.numElements() == subDim, "pq_encode: ragged codeword length")
+        var d = 0
+        while (d < subDim) {
+          flat((mi * k + ki) * subDim + d) = cw.getFloat(d).toDouble
+          d += 1
+        }
+        ki += 1
+      }
+      mi += 1
+    }
+    (flat, m, k, subDim)
+  }
+
+  private def encode(x: ArrayData): Array[Int] = {
+    val (flat, m, k, subDim) = model
+    val fl = vecIsFloat
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = Double.PositiveInfinity
+      var bestK = 0
+      var ki = 0
+      while (ki < k) {
+        var acc = 0.0
+        var d = 0
+        while (d < subDim) {
+          val i = mi * subDim + d
+          val xv = if (fl) x.getFloat(i).toDouble else x.getDouble(i)
+          val diff = xv - flat((mi * k + ki) * subDim + d)
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < best) { best = acc; bestK = ki }
+        ki += 1
+      }
+      codes(mi) = bestK
+      mi += 1
+    }
+    codes
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(encode(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, _) => {
+      val (flat, m, k, subDim) = model
+      val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+      val codes = ctx.freshName("codes")
+      val mi = ctx.freshName("mi")
+      val ki = ctx.freshName("ki")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestK = ctx.freshName("bestK")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      val rd =
+        if (vecIsFloat) s"(double) $x.getFloat($mi * $subDim + $d)"
+        else s"$x.getDouble($mi * $subDim + $d)"
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  double $best = Double.POSITIVE_INFINITY; int $bestK = 0;
+         |  for (int $ki = 0; $ki < $k; $ki++) {
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $subDim; $d++) {
+         |      double $diff = $rd - $flatRef[($mi * $k + $ki) * $subDim + $d];
+         |      $acc += $diff * $diff;
+         |    }
+         |    if ($acc < $best) { $best = $acc; $bestK = $ki; }
+         |  }
+         |  $codes[$mi] = $bestK;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
-  /** Register `cosine_sim` with the session so `expr("cosine_sim(a,b)")`
-    * and SQL both resolve to the codegen'd expression. Idempotent. */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  /** Register the native expressions (`cosine_sim`, `vec_dot`,
+    * `pq_encode`) with the session so `expr(...)`/`call_function` and
+    * SQL all resolve to the codegen'd forms. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -395,15 +395,11 @@ object VectorQueries {
   private val PqRefine = 4 // rerank pool = PqRefine × TopK
   private val PqPoolTarget = 4096 // training-pool size — ABSOLUTE, not ∝N
 
-  /** Squared L2 between two float-array columns (double math, fixed
-    * evaluation order → deterministic). */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
-        (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Dot product of two float-array columns. */
+  /** Dot product of two float-array columns — HOF form, used only on
+    * per-probe frames (a handful of rows); the per-corpus-row norm and
+    * encode kernels run through the fused codegen expressions `vec_dot`
+    * and `pq_encode` (functions/VectorFunctions.scala), which compute
+    * the identical left-fold IEEE chains without per-row allocation. */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -477,17 +473,22 @@ object VectorQueries {
     def cb(m: Int): Column = typedLit(codebooks(m))
     def sub(emb: Column, m: Int): Column = slice(emb, m * PqSubDim + 1, PqSubDim)
 
-    // encode: per subspace, argmin L2 against the codebook (first-min
-    // tie-break via array_position → deterministic), plus the vector's
-    // norm — one extra float per vector keeps COSINE ranking available
-    // in the compressed domain (codes alone only rank dot products).
-    // Pure projection: one corpus scan, no join, no shuffle.
-    val codeCols = (0 until PqM).map { m =>
-      val dists = transform(cb(m), c => l2sq(sub(col("embedding"), m), c))
-      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
-    }
-    val encoded = vecs.select(
-      col("vec_id") +: sqrt(dot(col("embedding"), col("embedding"))).as("vnorm") +: codeCols: _*)
+    // encode: all M argmin-L2 codes in ONE fused codegen pass
+    // (functions/VectorFunctions.scala PqEncode — identical IEEE chain
+    // and first-min tie-break as the compositional
+    // array_position/array_min form, without its ~M×K allocations per
+    // row), plus the vector's norm — one extra float per vector keeps
+    // COSINE ranking available in the compressed domain (codes alone
+    // only rank dot products). Pure projection: one corpus scan, no
+    // join, no shuffle. Two-step select so the code array is computed
+    // once (CollapseProject never inlines a non-cheap expr used M times).
+    val enc0 = vecs.select(
+      col("vec_id"),
+      sqrt(call_function("vec_dot", col("embedding"), col("embedding"))).as("vnorm"),
+      call_function("pq_encode", col("embedding"), typedLit(codebooks)).as("codes"))
+    val encoded = enc0.select(
+      col("vec_id") +: col("vnorm") +:
+        (0 until PqM).map(m => element_at(col("codes"), m + 1).as(s"c$m")): _*)
 
     // probes: one K-entry ADC dot-product table per subspace, then
     // broadcast against the encoded corpus; approx cosine = M table
@@ -673,15 +674,17 @@ object VectorQueries {
     def cb(m: Int): Column = typedLit(codebooks(m))
     def sub(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
 
-    // encode: one scan of the assigned corpus — codes are argmin L2
-    // against the RESIDUAL codebooks, plus the stored vector norm
-    val encoded = rf.select(
-      col("vec_id") +: col("cent_id") +:
-        sqrt(dot(col("embedding"), col("embedding"))).as("vnorm") +:
-        (0 until PqM).map { m =>
-          val dists = transform(cb(m), c => l2sq(sub(col("res"), m), c))
-          (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
-        }: _*)
+    // encode: one scan of the assigned corpus — all M residual codes in
+    // one fused PqEncode pass (same IEEE chain/tie-break as the
+    // compositional form, none of its per-row allocations), plus the
+    // stored vector norm
+    val enc0 = rf.select(
+      col("vec_id"), col("cent_id"),
+      sqrt(call_function("vec_dot", col("embedding"), col("embedding"))).as("vnorm"),
+      call_function("pq_encode", col("res"), typedLit(codebooks)).as("codes"))
+    val encoded = enc0.select(
+      col("vec_id") +: col("cent_id") +: col("vnorm") +:
+        (0 until PqM).map(m => element_at(col("codes"), m + 1).as(s"c$m")): _*)
 
     // probes → NProbe nearest lists, each carrying the exact dot(q,c)
     // and the per-subspace ADC tables (computed once per probe)

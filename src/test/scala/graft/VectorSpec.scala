@@ -81,6 +81,56 @@ class VectorSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("vec_dot and pq_encode match their compositional HOF forms bit-for-bit, codegen on and off") {
+    graft.functions.VectorFunctions.register(spark)
+    // 16-dim vectors, M=4 subspaces × subDim=4, K=3 codewords — with a
+    // deliberate exact-tie codebook (codewords 0 and 1 of subspace 0
+    // are identical) so the first-min tie-break is exercised.
+    val rnd = new scala.util.Random(7)
+    val dims = 16; val m = 4; val subDim = 4; val k = 3
+    val data = (0 until 50).map(i => (i.toLong, Seq.fill(dims)(rnd.nextFloat() * 2f - 1f)))
+    val cw0 = Seq.fill(subDim)(rnd.nextFloat())
+    val cbs: Seq[Seq[Seq[Float]]] = (0 until m).map { mi =>
+      if (mi == 0) Seq(cw0, cw0, Seq.fill(subDim)(rnd.nextFloat()))
+      else (0 until k).map(_ => Seq.fill(subDim)(rnd.nextFloat()))
+    }
+    val df = data.toDF("id", "emb")
+    // the compositional reference: exactly the pre-fusion formulation
+    def l2sqH(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v)
+    def dotH(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val refCols = (0 until m).map { mi =>
+      val dists = transform(typedLit(cbs(mi)), c => l2sqH(slice(col("emb"), mi * subDim + 1, subDim), c))
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"r$mi")
+    }
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      val got = df.select(
+        col("id") +:
+          call_function("vec_dot", col("emb"), col("emb")).as("dotf") +:
+          dotH(col("emb"), col("emb")).as("doth") +:
+          call_function("pq_encode", col("emb"), typedLit(cbs)).as("codes") +: refCols: _*)
+        .collect()
+      assert(got.length == 50)
+      got.foreach { r =>
+        assert(r.getDouble(1) == r.getDouble(2),
+          s"vec_dot bits differ from HOF chain (codegen=$codegen, id=${r.getLong(0)})")
+        val fused = r.getSeq[Int](3)
+        val ref = (0 until m).map(mi => r.getInt(4 + mi))
+        assert(fused == ref,
+          s"pq_encode codes differ from compositional argmin (codegen=$codegen, id=${r.getLong(0)}): $fused vs $ref")
+      }
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // double-array input (the residual path) also round-trips
+    val ddf = data.map { case (i, e) => (i, e.map(_.toDouble)) }.toDF("id", "emb")
+    val dcodes = ddf.select(call_function("pq_encode", col("emb"), typedLit(cbs)).as("c")).collect()
+    assert(dcodes.length == 50 && dcodes.forall(_.getSeq[Int](0).length == m))
+  }
+
   test("TopKAgg keeps k best ordered by sim desc then id asc, merge-stable") {
     val agg = new TopKAgg(3)
     val items = Seq(
