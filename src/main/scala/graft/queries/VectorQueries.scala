@@ -909,4 +909,145 @@ object VectorQueries {
       |  FROM scored)
       |SELECT probe_id, rank, vec_id AS negative_id, round(sim, 6) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+
+  // --- SQ8 scalar-quantization ANN -------------------------------------
+  // The third compression family next to IVF (partitioning) and PQ
+  // (vector quantization): uniform per-dimension 8-bit scalar
+  // quantization. Each float becomes one byte via the dimension's
+  // [min, max] range — 4× memory compression with NO trained model at
+  // all, which is why SQ8 is the default first step production ANN
+  // systems take before reaching for PQ.
+  //
+  // Scale shape at 100 TB:
+  //  - "Training" is per-dim min/max: ONE hash aggregation with 2×D
+  //    bounded state, partial-merged map-side — the exchange carries a
+  //    single row at any corpus size, and the row broadcasts back.
+  //    Nothing is ever collected to the driver (unlike PQ's pool
+  //    sample, there is no model to train).
+  //  - Quantization is a pure projection: vec_id, the float norm, and D
+  //    int codes per row — materialized as plain int columns so the
+  //    whole encode stays inside whole-stage codegen (no HOF, no
+  //    per-row allocation; the same reasoning that moved PQ's encode
+  //    into the fused pq_encode expression).
+  //  - Scoring is the SQ brute scan over codes: per (row, probe) pair a
+  //    single codegen'd 64-term dequantize-dot chain — the win is
+  //    memory bandwidth (codes are 1/4 the bytes), not fewer flops.
+  //    Probes broadcast; candidate and final top-k both run through the
+  //    bounded partial-merge TopKAgg; exact rerank on the float
+  //    embeddings restores true cosines.
+  //
+  // Cross-engine parity: min/max over floats is exact, so the oracle
+  // re-derives the identical ranges in a CTE (this oracle is fully
+  // self-contained — no generated literals). Quantize/dequantize are
+  // fixed-order IEEE double chains mirrored term-for-term, with
+  // floor(x + 0.5) instead of round() because the two engines disagree
+  // on rounding mode at exact .5 ties while floor is unambiguous.
+  private val SqLevels = 255 // codes 0..255 → (x-mn)·255/(mx-mn)
+  private val SqRefine = 4 // rerank pool = SqRefine × TopK
+
+  def vecSqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    def x(c: Column, d: Int): Column = element_at(c, d).cast("double")
+
+    // per-dim ranges: one agg row (bounded 2×D state), broadcast back
+    val mmCols = (1 to Dims).flatMap(d => Seq(
+      min(x(col("embedding"), d)).as(s"mn$d"),
+      max(x(col("embedding"), d)).as(s"mx$d")))
+    val mm = vecs.agg(mmCols.head, mmCols.tail: _*)
+
+    // encode: pure projection → D int codes + the float norm. scale_d
+    // is computed ONCE as (mx-mn)/255 and dequant is mn + q·scale — the
+    // oracle mirrors this exact association.
+    def scale(d: Int): Column = (col(s"mx$d") - col(s"mn$d")) / lit(SqLevels.toDouble)
+    val encoded = vecs.join(broadcast(mm))
+      .select(
+        col("vec_id") +:
+          sqrt(call_function("vec_dot", col("embedding"), col("embedding"))).as("vnorm") +:
+          (1 to Dims).map { d =>
+            when(col(s"mx$d") === col(s"mn$d"), lit(0))
+              .otherwise(floor((x(col("embedding"), d) - col(s"mn$d")) * lit(SqLevels.toDouble) /
+                (col(s"mx$d") - col(s"mn$d")) + lit(0.5)).cast("int"))
+              .as(s"q$d")
+          }: _*)
+
+    // probes carry the ranges (one broadcast row) so the pair expression
+    // has everything it needs
+    val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+      .join(broadcast(mm))
+
+    // dequantized dot, left-fold in dim order: 0.0 + (mn1+q1·s1)·p1 + …
+    val approx = (1 to Dims).foldLeft(lit(0.0)) { (acc, d) =>
+      acc + (col(s"mn$d") + col(s"q$d") * scale(d)) * x(col("pemb"), d)
+    } / col("vnorm")
+
+    val candK = udaf(new TopKAgg(TopK * SqRefine))
+    val cands = encoded.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), approx.as("approx_cos"), col("vec_id").as("id"))
+      .groupBy(col("probe_id"))
+      .agg(candK(col("approx_cos"), col("id")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("vec_id"))
+
+    // exact rerank of the bounded candidate pool
+    val pemb = vecs.filter(col("vec_id") % ProbeStride === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+    val topk = udaf(new TopKAgg(TopK))
+    cands
+      .join(vecs, Seq("vec_id"))
+      .join(pemb, Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("id"),
+        cosine(col("pemb"), col("embedding")).as("sim"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.sim"), 6).as("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val vecSqTopkSql: String = {
+    def xs(c: String, d: Int) = s"CAST(list_extract($c, $d) AS DOUBLE)"
+    val normExpr = "sqrt(" + (1 to Dims).foldLeft("0.0") { (acc, d) =>
+      s"$acc + ${xs("embedding", d)}*${xs("embedding", d)}"
+    } + ")"
+    val mmCols = (1 to Dims).map(d =>
+      s"min(${xs("embedding", d)}) AS mn$d, max(${xs("embedding", d)}) AS mx$d").mkString(",\n    ")
+    val qCols = (1 to Dims).map { d =>
+      s"CASE WHEN mx$d = mn$d THEN 0 ELSE CAST(floor((${xs("embedding", d)} - mn$d) * ${SqLevels}.0 / (mx$d - mn$d) + 0.5) AS INTEGER) END AS q$d"
+    }.mkString(",\n    ")
+    val approxChain = (1 to Dims).foldLeft("0.0") { (acc, d) =>
+      s"$acc + (mn$d + q$d * ((mx$d - mn$d) / ${SqLevels}.0)) * ${xs("pemb", d)}"
+    }
+    s"""WITH mm AS (
+      |  SELECT
+      |    $mmCols
+      |  FROM embeddings),
+      |enc AS (
+      |  SELECT vec_id, $normExpr AS vnorm,
+      |    $qCols
+      |  FROM embeddings CROSS JOIN mm),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding AS pemb FROM embeddings
+      |  WHERE vec_id % $ProbeStride = 0),
+      |approx AS (
+      |  SELECT p.probe_id, e.vec_id, ($approxChain) / e.vnorm AS approx_cos
+      |  FROM probes p CROSS JOIN mm JOIN enc e ON e.vec_id != p.probe_id),
+      |cand AS (
+      |  SELECT probe_id, vec_id FROM (
+      |    SELECT probe_id, vec_id,
+      |      row_number() OVER (PARTITION BY probe_id ORDER BY approx_cos DESC, vec_id) AS rn
+      |    FROM approx) WHERE rn <= ${TopK * SqRefine}),
+      |rer AS (
+      |  SELECT c.probe_id, c.vec_id,
+      |    list_cosine_similarity(CAST(p.pemb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+      |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+      |       JOIN probes p ON c.probe_id = p.probe_id),
+      |ranked AS (
+      |  SELECT probe_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM rer)
+      |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim,6) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+  }
 }

@@ -30,7 +30,8 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     Seq(
       "vec_topk" -> SparkEntry.queries("vec_topk"),
       "vec_ivf_topk" -> SparkEntry.queries("vec_ivf_topk"),
-      "vec_ivf_kmeans" -> SparkEntry.queries("vec_ivf_kmeans")
+      "vec_ivf_kmeans" -> SparkEntry.queries("vec_ivf_kmeans"),
+      "vec_sq_topk" -> SparkEntry.queries("vec_sq_topk")
     ).foreach { case (name, fn) =>
       val plan = physical(fn(spark, sf))
       assert(!plan.contains("Window"), s"$name plans a Window:\n${plan.take(2000)}")

@@ -187,6 +187,27 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 recall@5 vs brute force is measured and bounded") {
+    // 8-bit uniform scalar quantization loses far less geometry than
+    // PQ's 64-codeword subspaces, so the bound is tighter: the 4×k
+    // rerank pool should nearly always contain the true top-5.
+    val sf = "/root/testdata/sf0.001"
+    def nn(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf)
+        .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = nn("vec_topk")
+    val sq = nn("vec_sq_topk")
+    assert(sq.keySet == exact.keySet, "SQ lost probes")
+    val recall = exact.map { case (p, e) =>
+      sq(p).intersect(e).size.toDouble / e.size
+    }.sum / exact.size
+    info(f"vec_sq_topk recall@5 = $recall%.3f")
+    assert(recall >= 0.9 && recall <= 1.0,
+      s"SQ8 recall@5 $recall out of bounds — 8-bit ranges should preserve the top-5 almost exactly")
+  }
+
   test("PQ recall@5 vs brute force is measured and bounded; sims are exact") {
     // PQ scores in the compressed domain (ADC over M=8 code lookups),
     // then reranks a 4×k pool with exact cosine — so recall can dip
