@@ -480,6 +480,73 @@ object Analytics {
       |    FROM events))
       |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // --- events: volume-anomaly detection (drift monitoring) -------------
+  // The pipeline-ops question "did last night's ingest break?": per
+  // (event_type, hour) counts, each hour z-scored against its trailing
+  // 24 hourly buckets. Scale shape: the raw log collapses to type×hour
+  // rows in ONE hash agg — the window functions then run over that
+  // BOUNDED aggregate (types × hours), never over the event log, so the
+  // sort-within-partition behind the window is O(hours) per type.
+  // Cross-engine float parity: the windowed quantities are integer
+  // sums (n, n²) — exact in both engines — and mean/variance/z are then
+  // ONE fixed shared arithmetic chain over those integers
+  // (var = (Σn² − Σn·Σn/c)/(c−1), z = (n − mean)/sqrt(var)), so the
+  // hash compare certifies the z-scores themselves. Warm-up hours
+  // (fewer than 12 trailing buckets) and zero-variance windows emit
+  // z = NULL and never flag.
+  private val AnomTrail = 24 // trailing window, hourly buckets
+  private val AnomMinBuckets = 12 // minimum history before scoring
+  private val AnomZ = 3.0
+
+  def eventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val hourly = ev
+      .groupBy(expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd HH')").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-AnomTrail, -1)
+    val stats = hourly
+      .withColumn("w_cnt", count(col("n")).over(w))
+      .withColumn("w_sum", sum(col("n")).over(w))
+      .withColumn("w_sumsq", sum(col("n") * col("n")).over(w))
+    val mean = col("w_sum").cast("double") / col("w_cnt")
+    val varr = (col("w_sumsq").cast("double") - col("w_sum").cast("double") * col("w_sum") / col("w_cnt")) /
+      (col("w_cnt") - 1)
+    val z = (col("n") - mean) / sqrt(varr)
+    stats
+      .withColumn("z", when(col("w_cnt") >= AnomMinBuckets && varr > 0, z))
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("z"), 6).as("z"),
+        coalesce(abs(col("z")) > AnomZ, lit(false)).as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val eventsAnomalySql: String =
+    s"""WITH hourly AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, hour, n,
+      |    count(n) OVER w AS w_cnt,
+      |    sum(n) OVER w AS w_sum,
+      |    sum(n * n) OVER w AS w_sumsq
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+      |    ROWS BETWEEN $AnomTrail PRECEDING AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT event_type, hour, n,
+      |    CASE WHEN w_cnt >= $AnomMinBuckets
+      |           AND (CAST(w_sumsq AS DOUBLE) - CAST(w_sum AS DOUBLE) * w_sum / w_cnt) / (w_cnt - 1) > 0
+      |      THEN (n - CAST(w_sum AS DOUBLE) / w_cnt) /
+      |        sqrt((CAST(w_sumsq AS DOUBLE) - CAST(w_sum AS DOUBLE) * w_sum / w_cnt) / (w_cnt - 1))
+      |      ELSE NULL END AS z
+      |  FROM stats)
+      |SELECT event_type, hour, n, round(z, 6) AS z,
+      |  coalesce(abs(z) > $AnomZ, false) AS is_anomaly
+      |FROM scored ORDER BY event_type, hour""".stripMargin
+
   // --- Q4-style: EXISTS decorrelated to a left-semi join ---------------
   // "orders in a quarter having at least one returned item, counted by
   // priority". The correlated EXISTS is a left-semi join on orderkey:

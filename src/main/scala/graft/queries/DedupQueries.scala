@@ -555,6 +555,47 @@ object DedupQueries {
       |SELECT a AS doc_id, min(b) AS cluster_id
       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  // --- cross-source duplication attribution ----------------------------
+  // The mixture-governance question behind dedup: WHICH sources
+  // duplicate each other (licensing exposure, crawl overlap, mirror
+  // detection) — the near-dup PAIRS joined to their sources and
+  // aggregated into an unordered source×source matrix. Scale shape:
+  // cost is O(verified pairs) — the expensive part (capped LSH
+  // candidates + exact-Jaccard verify) is the already-scale-shaped
+  // [[minhashLsh]]; this adds two hash joins against the slim
+  // (doc_id, source) projection and one small hash agg (S² rows at
+  // most). min/max of jaccard instead of avg: they are
+  // order-independent, so the hash compare stays exact across engines
+  // regardless of partial-agg merge order.
+  def dedupSourceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir)
+    val src = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("jaccard")), 6).as("min_jaccard"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val dedupSourceMatrixSql: String =
+    s"""WITH pairs AS (
+      |  SELECT doc_a, doc_b, jaccard FROM ($minhashLshSql)
+      |)
+      |SELECT least(da.source, db.source) AS source_a,
+      |  greatest(da.source, db.source) AS source_b,
+      |  count(*) AS n_pairs,
+      |  round(min(jaccard), 6) AS min_jaccard,
+      |  round(max(jaccard), 6) AS max_jaccard
+      |FROM pairs
+      |JOIN documents da ON pairs.doc_a = da.doc_id
+      |JOIN documents db ON pairs.doc_b = db.doc_id
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   // --- embedding-cosine near-dup --------------------------------------
   // Feature-hash each doc into a 64-dim term-frequency vector
   // (dim = md5(token) % 64, value = count), find candidate pairs with

@@ -64,10 +64,28 @@ class PlanGuaranteesSpec extends AnyFunSuite {
 
   test("candidate-join dedup queries never plan a cartesian product") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_embedding", "dedup_incremental", "vec_ann_lsh").foreach { name =>
+        "dedup_embedding", "dedup_incremental", "vec_ann_lsh",
+        "dedup_source_matrix").foreach { name =>
       val plan = physical(SparkEntry.queries(name)(spark, sf))
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degenerated to an all-pairs join:\n${plan.take(2000)}")
+    }
+  }
+
+  test("events_anomaly windows the hourly AGGREGATE, never the raw event log") {
+    // the z-score window must run over type×hour rows (bounded), with
+    // the one hash agg collapsing the log BELOW it — a window directly
+    // over events re-sorts the whole log per type at 100 TB
+    val df = SparkEntry.queries("events_anomaly")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, "events_anomaly lost its window")
+    windows.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+      assert(aggBelow.nonEmpty,
+        s"window runs over the raw event log (no aggregate below it):\n${w.treeString.take(1500)}")
     }
   }
 
