@@ -104,11 +104,30 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
+  // The HOF chain this replaces returns NULL for unequal lengths
+  // (zip_with pads with nulls that poison the fold) and for any null
+  // element — mirror both exactly so "bit-identical" covers the edge
+  // rows too. The null-element scan is skipped entirely when the input
+  // types declare containsNull=false (the parquet embeddings path).
+  private def mayHaveNulls: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    if (mayHaveNulls) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
     val lf = isFloat(left); val rf = isFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -127,13 +146,25 @@ case class DotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       def rd(arr: String, fl: Boolean) =
         if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      val nullElemCheck =
+        if (mayHaveNulls)
+          s"""
+             |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+             |  if ($x.isNullAt($i) || $y.isNullAt($i)) ${ev.isNull} = true;
+             |}
+           """.stripMargin
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${rd(x, isFloat(left))} * ${rd(y, isFloat(right))};
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) ${ev.isNull} = true;
+         |$nullElemCheck
+         |if (!${ev.isNull}) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${rd(x, isFloat(left))} * ${rd(y, isFloat(right))};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -221,6 +252,10 @@ case class PqEncode(left: Expression, right: Expression)
 
   private def encode(x: ArrayData): Array[Int] = {
     val (flat, m, k, subDim) = model
+    // a short (corrupt) vector must fail loudly, not read adjacent
+    // UnsafeArrayData memory into nondeterministic codes
+    require(x.numElements() >= m * subDim,
+      s"pq_encode: vector has ${x.numElements()} elements, codebooks need ${m * subDim}")
     val fl = vecIsFloat
     val codes = new Array[Int](m)
     var mi = 0
@@ -267,6 +302,10 @@ case class PqEncode(left: Expression, right: Expression)
         if (vecIsFloat) s"(double) $x.getFloat($mi * $subDim + $d)"
         else s"$x.getDouble($mi * $subDim + $d)"
       s"""
+         |if ($x.numElements() < ${m * subDim}) {
+         |  throw new IllegalArgumentException("pq_encode: vector has " +
+         |    $x.numElements() + " elements, codebooks need ${m * subDim}");
+         |}
          |int[] $codes = new int[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  double $best = Double.POSITIVE_INFINITY; int $bestK = 0;

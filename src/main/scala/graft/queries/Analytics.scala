@@ -487,38 +487,60 @@ object Analytics {
   // rows in ONE hash agg — the window functions then run over that
   // BOUNDED aggregate (types × hours), never over the event log, so the
   // sort-within-partition behind the window is O(hours) per type.
-  // Cross-engine float parity: the windowed quantities are integer
-  // sums (n, n²) — exact in both engines — and mean/variance/z are then
-  // ONE fixed shared arithmetic chain over those integers
+  // Cross-engine float parity: the windowed quantities are exact sums —
+  // n and Σn as longs, Σn² as DECIMAL(38,0) so the square can never
+  // wrap a BIGINT at scale (Spark would wrap silently, DuckDB would
+  // error: either way the parity claim dies) — and mean/variance/z are
+  // then ONE fixed shared arithmetic chain over those integers
   // (var = (Σn² − Σn·Σn/c)/(c−1), z = (n − mean)/sqrt(var)), so the
   // hash compare certifies the z-scores themselves. Warm-up hours
   // (fewer than 12 trailing buckets) and zero-variance windows emit
-  // z = NULL and never flag.
+  // z = NULL and never flag. The bucketing expression and the z chain
+  // live in the shared helpers below because [[graft.streaming
+  // .StreamAnomaly]] trains its baseline and scores its windows with
+  // the SAME code — stream and batch cannot desynchronize.
   private val AnomTrail = 24 // trailing window, hourly buckets
-  private val AnomMinBuckets = 12 // minimum history before scoring
-  private val AnomZ = 3.0
+  private[graft] val AnomMinBuckets = 12 // minimum history before scoring
+  private[graft] val AnomZ = 3.0
+
+  /** ns-epoch `ts` → 'yyyy-MM-dd HH' UTC bucket (oracle mirror:
+    * strftime of date_trunc('hour')). */
+  private[graft] def hourBucket: Column =
+    expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd HH')")
+
+  /** `n²` as DECIMAL(38,0) — exact and unwrappable at any count. */
+  private[graft] def nSquared(n: Column): Column =
+    n.cast(DecimalType(19, 0)) * n.cast(DecimalType(19, 0))
+
+  /** The guarded z chain over integer moments: NULL below
+    * [[AnomMinBuckets]] history or at zero variance. Shared verbatim by
+    * the batch query and the streaming scorer. */
+  private[graft] def anomalyZ(n: Column, cnt: Column, s: Column, sq: Column): Column = {
+    val mean = s.cast("double") / cnt
+    val varr = (sq.cast("double") - s.cast("double") * s / cnt) / (cnt - 1)
+    when(cnt >= AnomMinBuckets && varr > 0, (n - mean) / sqrt(varr))
+  }
+
+  /** NULL-safe flag: |z| > [[AnomZ]], never true for unscored rows. */
+  private[graft] def anomalyFlag(z: Column): Column =
+    coalesce(abs(z) > AnomZ, lit(false))
 
   def eventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     val hourly = ev
-      .groupBy(expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd HH')").as("hour"),
-        col("event_type"))
+      .groupBy(hourBucket.as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(-AnomTrail, -1)
     val stats = hourly
       .withColumn("w_cnt", count(col("n")).over(w))
       .withColumn("w_sum", sum(col("n")).over(w))
-      .withColumn("w_sumsq", sum(col("n") * col("n")).over(w))
-    val mean = col("w_sum").cast("double") / col("w_cnt")
-    val varr = (col("w_sumsq").cast("double") - col("w_sum").cast("double") * col("w_sum") / col("w_cnt")) /
-      (col("w_cnt") - 1)
-    val z = (col("n") - mean) / sqrt(varr)
+      .withColumn("w_sumsq", sum(nSquared(col("n"))).over(w))
     stats
-      .withColumn("z", when(col("w_cnt") >= AnomMinBuckets && varr > 0, z))
+      .withColumn("z", anomalyZ(col("n"), col("w_cnt"), col("w_sum"), col("w_sumsq")))
       .select(col("event_type"), col("hour"), col("n"),
         round(col("z"), 6).as("z"),
-        coalesce(abs(col("z")) > AnomZ, lit(false)).as("is_anomaly"))
+        anomalyFlag(col("z")).as("is_anomaly"))
       .orderBy(col("event_type"), col("hour"))
   }
 
@@ -531,7 +553,7 @@ object Analytics {
       |  SELECT event_type, hour, n,
       |    count(n) OVER w AS w_cnt,
       |    sum(n) OVER w AS w_sum,
-      |    sum(n * n) OVER w AS w_sumsq
+      |    sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) OVER w AS w_sumsq
       |  FROM hourly
       |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
       |    ROWS BETWEEN $AnomTrail PRECEDING AND 1 PRECEDING)),

@@ -972,10 +972,11 @@ object VectorQueries {
           }: _*)
 
     // probes carry the ranges (one broadcast row) so the pair expression
-    // has everything it needs
-    val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
+    // has everything it needs; the bare projection is shared with the
+    // exact-rerank join below
+    val probeBase = vecs.filter(col("vec_id") % ProbeStride === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
-      .join(broadcast(mm))
+    val probes = probeBase.join(broadcast(mm))
 
     // dequantized dot, left-fold in dim order: 0.0 + (mn1+q1·s1)·p1 + …
     val approx = (1 to Dims).foldLeft(lit(0.0)) { (acc, d) =>
@@ -991,12 +992,10 @@ object VectorQueries {
       .select(col("probe_id"), col("n.id").as("vec_id"))
 
     // exact rerank of the bounded candidate pool
-    val pemb = vecs.filter(col("vec_id") % ProbeStride === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
     val topk = udaf(new TopKAgg(TopK))
     cands
       .join(vecs, Seq("vec_id"))
-      .join(pemb, Seq("probe_id"))
+      .join(probeBase, Seq("probe_id"))
       .select(col("probe_id"), col("vec_id").as("id"),
         cosine(col("pemb"), col("embedding")).as("sim"))
       .groupBy(col("probe_id"))

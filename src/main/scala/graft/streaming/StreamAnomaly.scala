@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.queries.Analytics
+
 /** Streaming ingest-drift detection — the continuous face of the batch
   * `events_anomaly` query: hourly per-type volumes z-scored against a
   * baseline trained on the landed log (train nightly in batch, apply
@@ -29,37 +31,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamAnomaly {
 
-  private val AnomZ = 3.0
-  private val MinBuckets = 12
-
   /** Per-type hourly-count moments from the LANDED batch log
     * (`ts` = ns-epoch long, the `Tables.load` contract): one row per
     * event type — bounded model state, like [[graft.queries.TextQueries]]'
-    * LM frames. */
+    * LM frames. Bucketing and the n² widening are [[Analytics]]' own
+    * helpers, so training is definitionally the batch query's math. */
   def baseline(ev: DataFrame): DataFrame =
-    ev.groupBy(expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd HH')").as("hour"),
-        col("event_type"))
+    ev.groupBy(Analytics.hourBucket.as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("event_type"))
       .agg(count(col("n")).as("b_cnt"), sum(col("n")).as("b_sum"),
-        sum(col("n") * col("n")).as("b_sumsq"))
+        sum(Analytics.nSquared(col("n"))).as("b_sumsq"))
 
-  /** z-score a `(event_type, win_start, n)` frame against the baseline —
-    * the same integer-moment arithmetic as the batch `events_anomaly`,
-    * so stream and batch agree bit-for-bit on the same rows. Types the
-    * baseline never saw score NULL (never flag): they are their own,
-    * louder signal. */
-  def scoreAgainst(counts: DataFrame, base: DataFrame): DataFrame = {
-    val mean = col("b_sum").cast("double") / col("b_cnt")
-    val varr = (col("b_sumsq").cast("double") - col("b_sum").cast("double") * col("b_sum") / col("b_cnt")) /
-      (col("b_cnt") - 1)
-    val z = (col("n") - mean) / sqrt(varr)
+  /** z-score a `(event_type, win_start, n)` frame against the baseline
+    * through [[Analytics.anomalyZ]] — the SAME chain the batch query
+    * runs, so stream and batch agree bit-for-bit on the same rows.
+    * Types the baseline never saw score NULL (never flag): they are
+    * their own, louder signal. */
+  def scoreAgainst(counts: DataFrame, base: DataFrame): DataFrame =
     counts.join(base, Seq("event_type"), "left")
-      .withColumn("z", when(col("b_cnt") >= MinBuckets && varr > 0, z))
+      .withColumn("z",
+        Analytics.anomalyZ(col("n"), col("b_cnt"), col("b_sum"), col("b_sumsq")))
       .select(col("event_type"), col("win_start"), col("n"),
         round(col("z"), 6).as("z"),
-        coalesce(abs(col("z")) > AnomZ, lit(false)).as("is_anomaly"))
-  }
+        Analytics.anomalyFlag(col("z")).as("is_anomaly"))
 
   /** Start scoring `events` (a STREAMING frame with a timestamp `ts`
     * and `event_type`): watermarked hourly counts, each batch of closed

@@ -14,6 +14,10 @@ import graft.streaming.StreamAnomaly
   * on the same counts). */
 class StreamAnomalySpec extends AnyFunSuite {
 
+  // window starts align to UTC epoch hours while Timestamp.valueOf uses
+  // the JVM default zone — pin them together so the spec is not
+  // machine-timezone-dependent
+  java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
   lazy val spark = GraftSession.build(4, "stream-anomaly-spec")
   import spark.implicits._
 

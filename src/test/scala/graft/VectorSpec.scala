@@ -131,6 +131,33 @@ class VectorSpec extends AnyFunSuite {
     assert(dcodes.length == 50 && dcodes.forall(_.getSeq[Int](0).length == m))
   }
 
+  test("vec_dot mirrors the HOF chain's NULL on unequal lengths; pq_encode fails loudly on short vectors") {
+    graft.functions.VectorFunctions.register(spark)
+    // unequal lengths: zip_with pads with nulls that poison the fold →
+    // the HOF chain yields NULL; vec_dot must agree, not truncate
+    val uneven = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      val r = uneven.select(
+        call_function("vec_dot", col("a"), col("b")).as("fused"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("hof")).head()
+      assert(r.isNullAt(1), s"HOF chain should be NULL on unequal lengths (codegen=$codegen)")
+      assert(r.isNullAt(0), s"vec_dot must mirror the NULL (codegen=$codegen)")
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // a short vector must throw, never read out-of-bounds memory into
+    // silently-wrong codes
+    val cbs: Seq[Seq[Seq[Float]]] = Seq(Seq(Seq(0f, 0f), Seq(1f, 1f)))
+    val short = Seq(Seq(1.0f)).toDF("emb")
+    val e = intercept[Exception] {
+      short.select(call_function("pq_encode", col("emb"), typedLit(cbs))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("pq_encode")), s"unexpected failure: $e")
+  }
+
   test("TopKAgg keeps k best ordered by sim desc then id asc, merge-stable") {
     val agg = new TopKAgg(3)
     val items = Seq(
