@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized-geometry equivalence for the fused kernels: across many
+  * random (M, K, subDim) codebook geometries and vector distributions,
+  * `pq_encode` must produce exactly the codes of the compositional
+  * `array_position(array_min)` form and `vec_dot` exactly the HOF fold —
+  * the fixed-seed case in `VectorSpec` pins one geometry; this pins the
+  * flat-indexing arithmetic over the geometry space. */
+class KernelPropertySpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.build(4, "kernel-prop-spec")
+  import spark.implicits._
+
+  private def l2sqH(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+      (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v)
+  private def dotH(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("pq_encode ≡ compositional argmin and vec_dot ≡ HOF fold across random geometries") {
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(20260813)
+    // 6 geometries spanning degenerate and irregular shapes; values from
+    // mixed scales (±1, tiny, large) to stress the double chains
+    val geometries = Seq((1, 1, 1), (1, 4, 7), (3, 2, 1), (4, 16, 3), (8, 5, 8), (2, 64, 2))
+    geometries.foreach { case (m, k, subDim) =>
+      val dims = m * subDim
+      def v(): Float = {
+        val scale = rnd.nextInt(3) match {
+          case 0 => 1f
+          case 1 => 1e-4f
+          case _ => 1e4f
+        }
+        (rnd.nextFloat() * 2f - 1f) * scale
+      }
+      val cbs: Seq[Seq[Seq[Float]]] =
+        (0 until m).map(_ => (0 until k).map(_ => Seq.fill(subDim)(v())))
+      val rows = (0 until 40).map(i => (i.toLong, Seq.fill(dims)(v())))
+      val df = rows.toDF("id", "emb")
+      val refCols = (0 until m).map { mi =>
+        val dists = transform(typedLit(cbs(mi)),
+          c => l2sqH(slice(col("emb"), mi * subDim + 1, subDim), c))
+        (array_position(dists, array_min(dists)) - 1).cast("int").as(s"r$mi")
+      }
+      val got = df.select(
+        col("id") +:
+          call_function("vec_dot", col("emb"), col("emb")).as("df_") +:
+          dotH(col("emb"), col("emb")).as("dh") +:
+          call_function("pq_encode", col("emb"), typedLit(cbs)).as("codes") +: refCols: _*)
+        .collect()
+      got.foreach { r =>
+        assert(r.getDouble(1) == r.getDouble(2),
+          s"vec_dot mismatch at geometry (m=$m,k=$k,subDim=$subDim), id=${r.getLong(0)}")
+        val fused = r.getSeq[Int](3)
+        val ref = (0 until m).map(mi => r.getInt(4 + mi))
+        assert(fused == ref,
+          s"pq_encode mismatch at geometry (m=$m,k=$k,subDim=$subDim), id=${r.getLong(0)}: $fused vs $ref")
+      }
+    }
+  }
+}
