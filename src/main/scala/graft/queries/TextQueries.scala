@@ -317,8 +317,10 @@ object TextQueries {
   private val ChunkW = 64
   private val ChunkStride = 48
 
-  def textChunk(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+  /** The unsorted chunk frame `(doc_id, chunk_idx, chunk_tokens,
+    * chunk_text)` — shared by the driver-gated `text_chunk` and the
+    * chunk-embedding pooling op ([[VectorQueries.vecChunkPool]]). */
+  private[queries] def chunkFrame(docs: DataFrame): DataFrame = {
     val overlap = ChunkW - ChunkStride
     docs.select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), col("tk"), size(col("tk")).as("n_tok"))
@@ -330,8 +332,11 @@ object TextQueries {
         (col("st") / lit(ChunkStride)).cast("int").as("chunk_idx"),
         least(col("n_tok") - col("st"), lit(ChunkW)).as("chunk_tokens"),
         array_join(slice(col("tk"), col("st") + 1, lit(ChunkW)), " ").as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  def textChunk(spark: SparkSession, sfDir: String): DataFrame =
+    chunkFrame(Tables.load(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
 
   val textChunkSql: String =
     s"""WITH d AS (

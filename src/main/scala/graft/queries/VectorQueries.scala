@@ -1049,4 +1049,66 @@ object VectorQueries {
       |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim,6) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
   }
+
+  // --- chunk → document embedding pooling -------------------------------
+  // The assembly step between chunk-level embedding and document-level
+  // retrieval: chunk each document ([[TextQueries.chunkFrame]] — the
+  // same 64-token/48-stride windows `text_chunk` ships), embed each
+  // chunk, MEAN-POOL the chunk embeddings into one document vector, and
+  // summarize it (L2 norm + dominant dimension). The per-chunk encoder
+  // is the sandbox's deterministic stand-in (no embedding model here):
+  // dim d = one md5 of the chunk text, hex-sliced to an integer in
+  // [0,16) — the [[MediaQueries]] codec-seed trick, mirrored digit-for-
+  // digit in DuckDB, so the whole chunk→pool→summary pipeline is
+  // hash-oracle-checked; a real encoder slots in at the e$d projection
+  // without touching the pooling shape.
+  //
+  // Scale shape at 100 TB: chunking is the shuffle-free explode
+  // projection `text_chunk` already pins; embedding is a pure per-chunk
+  // projection to D integer columns (columns, not an array — everything
+  // stays in whole-stage codegen); pooling is ONE hash agg of D avg()s
+  // keyed on doc_id — partial-aggregated map-side, so the exchange
+  // carries one D-wide row per document, never the chunks. Integer
+  // values make every per-dim sum exact regardless of partial-merge
+  // order, so avg = the identical division in both engines and the
+  // oracle hash-checks the pooled vectors themselves.
+  private val PoolDims = 16
+
+  def vecChunkPool(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = TextQueries.chunkFrame(Tables.load(spark, sfDir, "documents"))
+    val h = md5(col("chunk_text"))
+    val emb = chunks.select(
+      col("doc_id") +:
+        (0 until PoolDims).map(d =>
+          (conv(substring(h, 2 * d + 1, 2), 16, 10).cast("long") % 16).as(s"e$d")): _*)
+    val aggs = count(lit(1)).as("n_chunks") +:
+      (0 until PoolDims).map(d => avg(col(s"e$d")).as(s"m$d"))
+    val pooled = emb.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val means = array((0 until PoolDims).map(d => col(s"m$d")): _*)
+    val norm = sqrt((0 until PoolDims).foldLeft(lit(0.0)) { (acc, d) =>
+      acc + col(s"m$d") * col(s"m$d")
+    })
+    pooled.select(col("doc_id"), col("n_chunks"),
+      round(norm, 6).as("pool_norm"),
+      (array_position(means, array_max(means)) - 1).cast("int").as("top_dim"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vecChunkPoolSql: String = {
+    def e(d: Int) =
+      s"CAST(('0x' || substr(md5(chunk_text), ${2 * d + 1}, 2)) AS BIGINT) % 16 AS e$d"
+    val ms = (0 until PoolDims).map(d => s"avg(e$d) AS m$d").mkString(", ")
+    val normChain = (0 until PoolDims).foldLeft("0.0") { (acc, d) => s"$acc + m$d*m$d" }
+    val meanList = (0 until PoolDims).map(d => s"m$d").mkString("[", ", ", "]")
+    s"""WITH chunks AS (${TextQueries.textChunkSql.replace("ORDER BY doc_id, chunk_idx", "")}),
+      |emb AS (
+      |  SELECT doc_id, ${(0 until PoolDims).map(e).mkString(",\n    ")}
+      |  FROM chunks),
+      |pooled AS (
+      |  SELECT doc_id, count(*) AS n_chunks, $ms
+      |  FROM emb GROUP BY doc_id)
+      |SELECT doc_id, n_chunks, round(sqrt($normChain), 6) AS pool_norm,
+      |  CAST(list_position($meanList, list_max($meanList)) - 1 AS INTEGER) AS top_dim
+      |FROM pooled ORDER BY doc_id""".stripMargin
+  }
 }

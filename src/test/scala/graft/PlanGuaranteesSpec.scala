@@ -72,6 +72,15 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_chunk_pool pools in one doc-keyed hash agg — no window, no chunk-level shuffle beyond it") {
+    val plan = physical(SparkEntry.queries("vec_chunk_pool")(spark, sf))
+    assert(!plan.contains("Window"), s"pooling must not window:\n${plan.take(1500)}")
+    // exactly one exchange pair feeds the final agg + the output sort:
+    // chunking and embedding are projections below the partial agg
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"chunk rows are shuffling before the partial agg:\n${plan.take(2000)}")
+  }
+
   test("events_anomaly windows the hourly AGGREGATE, never the raw event log") {
     // the z-score window must run over type×hour rows (bounded), with
     // the one hash agg collapsing the log BELOW it — a window directly
