@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous exactly-once training-data export — the streaming face of
+  * [[graft.snapshot.ShardedExport]]: documents append to the hash-sharded
+  * layout as they arrive, and a crashed/restarted stream never lands a
+  * row twice.
+  *
+  * Layout: parquet files under `outDir/batch=<epochId>/_shard=K/` plus
+  * one commit marker per epoch under `outDir/_committed/<epochId>.json`
+  * (the per-shard row counts). A batch is visible IFF its marker exists.
+  *
+  * Exactly-once without a transactional sink: Structured Streaming's
+  * `foreachBatch` redelivers a micro-batch with the SAME `batchId` after
+  * a failure, so the commit protocol only has to be idempotent per id —
+  * [[commitBatch]] (1) skips ids whose marker exists, (2) writes data to
+  * a tmp dir, (3) atomically renames, (4) writes the marker LAST.  A
+  * crash between (3) and (4) leaves an uncommitted orphan that the
+  * redelivery overwrites; readers never see it because [[readAll]] and
+  * [[manifest]] go through the markers.
+  *
+  * The shard id is the SAME `pmod(hash(key), n)` pure function the batch
+  * exporter uses, so batch backfill and live stream place every key in
+  * the same shard and a downstream loader's shard→worker map works
+  * across both. Per-epoch state is bounded (one marker file); nothing is
+  * keyed across batches, so the stream runs forever at any rate.
+  */
+object StreamShardedExport {
+
+  private val ShardCol = "_shard"
+
+  /** Start continuously exporting `docs` (a STREAMING frame). */
+  def start(docs: DataFrame, keyCol: String, outDir: String, numShards: Int,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitBatch(batch, keyCol, outDir, numShards, id)
+        ()
+      }
+      .start()
+
+  /** Idempotently land one micro-batch: returns true if this call wrote
+    * the batch, false if `epochId` was already committed (redelivery). */
+  def commitBatch(batch: DataFrame, keyCol: String, outDir: String,
+      numShards: Int, epochId: Long): Boolean = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val root = Paths.get(outDir)
+    val marker = markerPath(root, epochId)
+    if (Files.exists(marker)) return false // exactly-once: already landed
+    Files.createDirectories(root)
+    Files.createDirectories(marker.getParent)
+    val dest = root.resolve(s"batch=$epochId")
+    val tmp = root.resolve(s".batch-$epochId.tmp")
+    deleteRecursively(tmp)
+    batch
+      .withColumn(ShardCol, pmod(hash(col(keyCol)), lit(numShards)))
+      .repartition(numShards, col(ShardCol))
+      .write.partitionBy(ShardCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // count what actually landed, then publish: rename data, marker LAST
+    val counts = batch.sparkSession.read.parquet(tmp.toString)
+      .groupBy(col(ShardCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    deleteRecursively(dest) // orphan from a crash before the marker write
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    val per = counts.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
+      .mkString("{", ", ", "}")
+    Files.writeString(marker,
+      s"""{"epoch": $epochId, "total_rows": ${counts.values.sum}, "rows_per_shard": $per}""")
+    true
+  }
+
+  /** Every COMMITTED row (uncommitted orphans excluded), bookkeeping
+    * columns dropped. */
+  def readAll(spark: SparkSession, outDir: String): DataFrame =
+    readAllWithShard(spark, outDir).drop(ShardCol)
+
+  /** One committed shard across all epochs — the loader-facing read
+    * (partition-pruned on `_shard`). */
+  def readShard(spark: SparkSession, outDir: String, shard: Int): DataFrame =
+    readAllWithShard(spark, outDir).filter(col(ShardCol) === shard).drop(ShardCol)
+
+  private def readAllWithShard(spark: SparkSession, outDir: String): DataFrame = {
+    val dirs = committedEpochs(outDir)
+      .map(id => Paths.get(outDir, s"batch=$id").toString)
+    require(dirs.nonEmpty, s"no committed batches under $outDir")
+    // basePath makes Spark infer the batch/_shard partition columns the
+    // same way for every listed dir (explicit multi-dir reads otherwise
+    // trip partition discovery)
+    spark.read.option("basePath", outDir).parquet(dirs: _*).drop("batch")
+  }
+
+  /** Total committed rows per shard, summed from the markers — no data
+    * scan. */
+  def manifest(outDir: String): Map[Int, Long] =
+    committedEpochs(outDir).flatMap { id =>
+      val text = Files.readString(markerPath(Paths.get(outDir), id))
+      """"(\d+)"\s*:\s*(\d+)""".r.findAllMatchIn(text)
+        .map(m => m.group(1).toInt -> m.group(2).toLong)
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+
+  def committedEpochs(outDir: String): Seq[Long] = {
+    val dir = Paths.get(outDir, "_committed")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Using.resource(Files.list(dir))(_.iterator().asScala.toList)
+      .map(_.getFileName.toString)
+      .collect { case s if s.endsWith(".json") => s.stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  private def markerPath(root: Path, epochId: Long): Path =
+    root.resolve("_committed").resolve(s"$epochId.json")
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Using.resource(Files.list(p))(_.iterator().asScala.toList).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.snapshot.ShardedExport
+import graft.streaming.StreamShardedExport
+
+/** Exactly-once continuous sharded export: batches land idempotently
+  * under redelivery, readers see only committed batches, and the stream
+  * places every key in the same shard as the batch exporter. */
+class StreamShardedExportSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.build(4, "stream-export-spec")
+  import spark.implicits._
+
+  private def tmpDir() =
+    Files.createTempDirectory("stream-export").toFile.getAbsolutePath
+
+  test("a live stream lands batches exactly-once; redelivery of a committed epoch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmpDir()
+    val cp = tmpDir()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamShardedExport.start(
+      input.toDF().toDF("doc_id", "text"), "doc_id", out, numShards = 4, checkpoint = cp)
+
+    input.addData((0L until 100L).map(i => (i, s"doc $i")): _*)
+    q.processAllAvailable()
+    input.addData((100L until 150L).map(i => (i, s"doc $i")): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val epochs = StreamShardedExport.committedEpochs(out)
+    assert(epochs.nonEmpty, "no committed epochs")
+    assert(StreamShardedExport.readAll(spark, out).count() == 150)
+
+    // failure redelivery: the SAME epoch id arrives again with the same
+    // rows — the commit must be a no-op, never a duplicate
+    val replay = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val wrote = StreamShardedExport.commitBatch(replay, "doc_id", out, 4, epochs.head)
+    assert(!wrote, "redelivered epoch must be skipped")
+    assert(StreamShardedExport.readAll(spark, out).count() == 150,
+      "redelivery duplicated rows")
+    assert(StreamShardedExport.manifest(out).values.sum == 150)
+  }
+
+  test("stream sharding matches batch sharding key-for-key; uncommitted orphans stay invisible") {
+    val out = tmpDir()
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    assert(StreamShardedExport.commitBatch(docs, "doc_id", out, 4, epochId = 0L))
+
+    // batch exporter over the same rows: every key must land in the
+    // same shard (same pure hash), so one shard→worker map serves both
+    val batchOut = tmpDir()
+    ShardedExport.writeShards(docs, "doc_id", batchOut, 4)
+    (0 until 4).foreach { s =>
+      val streamIds = StreamShardedExport.readShard(spark, out, s)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val batchIds = ShardedExport.readShard(spark, batchOut, s)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamIds == batchIds, s"shard $s diverges between stream and batch")
+    }
+
+    // an orphan data dir WITHOUT a marker (crash between rename and
+    // marker write) must not be readable
+    val orphan = docs.limit(10)
+      .withColumn("_shard", pmod(hash(col("doc_id")), lit(4)))
+    orphan.write.partitionBy("_shard").parquet(s"$out/batch=99")
+    assert(!StreamShardedExport.committedEpochs(out).contains(99L))
+    assert(StreamShardedExport.readAll(spark, out).count() == 200,
+      "orphan batch leaked into the committed read")
+  }
+}
