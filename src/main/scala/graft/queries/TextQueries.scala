@@ -338,7 +338,10 @@ object TextQueries {
     chunkFrame(Tables.load(spark, sfDir, "documents"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
-  val textChunkSql: String =
+  /** The unordered chunk SELECT — the SQL twin of [[chunkFrame]], shared
+    * as a CTE body by the `text_chunk` oracle and
+    * [[VectorQueries.vecChunkPoolSql]]. */
+  val textChunkBodySql: String =
     s"""WITH d AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
       |  FROM documents),
@@ -350,7 +353,10 @@ object TextQueries {
       |  least(n_tok - st, $ChunkW) AS chunk_tokens,
       |  array_to_string(list_slice(tk, st + 1, st + $ChunkW), ' ') AS chunk_text
       |FROM s
-      |WHERE st = 0 OR st < n_tok - ${ChunkW - ChunkStride}
+      |WHERE st = 0 OR st < n_tok - ${ChunkW - ChunkStride}""".stripMargin
+
+  val textChunkSql: String =
+    s"""$textChunkBodySql
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
   // --- PII redaction over the corpus (graft.functions.PiiRedact) -------

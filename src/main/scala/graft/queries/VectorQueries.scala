@@ -1100,7 +1100,7 @@ object VectorQueries {
     val ms = (0 until PoolDims).map(d => s"avg(e$d) AS m$d").mkString(", ")
     val normChain = (0 until PoolDims).foldLeft("0.0") { (acc, d) => s"$acc + m$d*m$d" }
     val meanList = (0 until PoolDims).map(d => s"m$d").mkString("[", ", ", "]")
-    s"""WITH chunks AS (${TextQueries.textChunkSql.replace("ORDER BY doc_id, chunk_idx", "")}),
+    s"""WITH chunks AS (${TextQueries.textChunkBodySql}),
       |emb AS (
       |  SELECT doc_id, ${(0 until PoolDims).map(e).mkString(",\n    ")}
       |  FROM chunks),

@@ -24,7 +24,14 @@ object ShardedExport {
 
   final case class Manifest(numShards: Int, totalRows: Long, rowsPerShard: Map[Int, Long])
 
-  private val ShardCol = "_shard"
+  private[graft] val ShardCol = "_shard"
+
+  /** THE shard assignment — one definition shared by the batch exporter
+    * and [[graft.streaming.StreamShardedExport]], because the documented
+    * key-for-key backfill/live-stream agreement is exactly "both sides
+    * call this function". */
+  private[graft] def shardExpr(keyCol: String, numShards: Int): org.apache.spark.sql.Column =
+    pmod(hash(col(keyCol)), lit(numShards))
 
   /** Write `df` as `numShards` hash-sharded parquet dirs under `outDir`
     * (`_shard=K/`), plus `_manifest.json`. Returns the manifest. */
@@ -34,7 +41,7 @@ object ShardedExport {
     Files.createDirectories(root.getParent match { case null => root; case p => p })
     val tmp = root.resolveSibling(root.getFileName.toString + ".tmp")
     deleteRecursively(tmp)
-    val sharded = df.withColumn(ShardCol, pmod(hash(col(keyCol)), lit(numShards)))
+    val sharded = df.withColumn(ShardCol, shardExpr(keyCol, numShards))
     sharded
       .repartition(numShards, col(ShardCol))
       .write.partitionBy(ShardCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -72,7 +79,7 @@ object ShardedExport {
     s"""{"num_shards": ${m.numShards}, "total_rows": ${m.totalRows}, "rows_per_shard": $per}"""
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       Using.resource(Files.list(p))(_.iterator().asScala.toList).foreach(deleteRecursively)
     Files.deleteIfExists(p)

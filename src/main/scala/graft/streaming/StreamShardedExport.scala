@@ -8,6 +8,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.snapshot.ShardedExport
+
 /** Continuous exactly-once training-data export — the streaming face of
   * [[graft.snapshot.ShardedExport]]: documents append to the hash-sharded
   * layout as they arrive, and a crashed/restarted stream never lands a
@@ -34,7 +36,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamShardedExport {
 
-  private val ShardCol = "_shard"
+  private val ShardCol = ShardedExport.ShardCol
 
   /** Start continuously exporting `docs` (a STREAMING frame). */
   def start(docs: DataFrame, keyCol: String, outDir: String, numShards: Int,
@@ -49,7 +51,20 @@ object StreamShardedExport {
       .start()
 
   /** Idempotently land one micro-batch: returns true if this call wrote
-    * the batch, false if `epochId` was already committed (redelivery). */
+    * the batch, false if `epochId` was already committed (redelivery, or
+    * a concurrent attempt won).
+    *
+    * Protocol hardening (each clause is a failure mode that happens in
+    * production): an EMPTY batch commits as marker-only — no data dir,
+    * no schemaless parquet read, no wedged stream retrying the same
+    * epoch forever; the data tmp dir is per-ATTEMPT unique, so a zombie
+    * driver's in-flight attempt can't have its output deleted or
+    * interleaved by the new driver (cross-driver serialization itself
+    * rests on Structured Streaming's one-active-query-per-checkpoint
+    * lock; the marker re-check below closes the loser's window); the
+    * marker is published by ATOMIC_MOVE of a fully-written tmp file —
+    * a crash mid-write can never leave a truncated marker that reads
+    * as a valid commit. */
   def commitBatch(batch: DataFrame, keyCol: String, outDir: String,
       numShards: Int, epochId: Long): Boolean = {
     require(numShards > 0, s"numShards must be positive: $numShards")
@@ -58,24 +73,45 @@ object StreamShardedExport {
     if (Files.exists(marker)) return false // exactly-once: already landed
     Files.createDirectories(root)
     Files.createDirectories(marker.getParent)
+
+    def publishMarker(counts: Map[Int, Long]): Boolean = {
+      val per = counts.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
+        .mkString("{", ", ", "}")
+      val markerTmp = marker.resolveSibling(
+        s".${epochId}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      Files.writeString(markerTmp,
+        s"""{"epoch": $epochId, "total_rows": ${counts.values.sum}, "rows_per_shard": $per}""")
+      try {
+        Files.move(markerTmp, marker, StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(markerTmp); false // concurrent attempt won
+      }
+    }
+
+    if (batch.isEmpty) return publishMarker(Map.empty) // marker-only commit
+
     val dest = root.resolve(s"batch=$epochId")
-    val tmp = root.resolve(s".batch-$epochId.tmp")
-    deleteRecursively(tmp)
+    val tmp = root.resolve(
+      s".batch-$epochId-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     batch
-      .withColumn(ShardCol, pmod(hash(col(keyCol)), lit(numShards)))
+      .withColumn(ShardCol, ShardedExport.shardExpr(keyCol, numShards))
       .repartition(numShards, col(ShardCol))
       .write.partitionBy(ShardCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
     // count what actually landed, then publish: rename data, marker LAST
-    val counts = batch.sparkSession.read.parquet(tmp.toString)
+    val counts = batch.sparkSession.read.schema(
+        batch.schema.add(ShardCol, org.apache.spark.sql.types.IntegerType))
+      .parquet(tmp.toString)
       .groupBy(col(ShardCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    deleteRecursively(dest) // orphan from a crash before the marker write
+    if (Files.exists(marker)) { // concurrent attempt committed while we wrote
+      ShardedExport.deleteRecursively(tmp)
+      return false
+    }
+    ShardedExport.deleteRecursively(dest) // orphan from a crash before the marker write
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-    val per = counts.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
-      .mkString("{", ", ", "}")
-    Files.writeString(marker,
-      s"""{"epoch": $epochId, "total_rows": ${counts.values.sum}, "rows_per_shard": $per}""")
-    true
+    publishMarker(counts)
   }
 
   /** Every COMMITTED row (uncommitted orphans excluded), bookkeeping
@@ -89,9 +125,13 @@ object StreamShardedExport {
     readAllWithShard(spark, outDir).filter(col(ShardCol) === shard).drop(ShardCol)
 
   private def readAllWithShard(spark: SparkSession, outDir: String): DataFrame = {
+    // marker-only epochs (empty micro-batches) have no data dir — they
+    // are committed but contribute no rows
     val dirs = committedEpochs(outDir)
-      .map(id => Paths.get(outDir, s"batch=$id").toString)
-    require(dirs.nonEmpty, s"no committed batches under $outDir")
+      .map(id => Paths.get(outDir, s"batch=$id"))
+      .filter(Files.isDirectory(_))
+      .map(_.toString)
+    require(dirs.nonEmpty, s"no committed data batches under $outDir")
     // basePath makes Spark infer the batch/_shard partition columns the
     // same way for every listed dir (explicit multi-dir reads otherwise
     // trip partition discovery)
@@ -107,21 +147,19 @@ object StreamShardedExport {
         .map(m => m.group(1).toInt -> m.group(2).toLong)
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
 
+  private val EpochMarkerName = """(\d+)\.json""".r
+
   def committedEpochs(outDir: String): Seq[Long] = {
     val dir = Paths.get(outDir, "_committed")
     if (!Files.isDirectory(dir)) return Seq.empty
     Using.resource(Files.list(dir))(_.iterator().asScala.toList)
       .map(_.getFileName.toString)
-      .collect { case s if s.endsWith(".json") => s.stripSuffix(".json").toLong }
+      // digits-only: a stray foo.json or editor artifact must not make
+      // every read of a healthy export throw
+      .collect { case EpochMarkerName(id) => id.toLong }
       .sorted
   }
 
   private def markerPath(root: Path, epochId: Long): Path =
     root.resolve("_committed").resolve(s"$epochId.json")
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Using.resource(Files.list(p))(_.iterator().asScala.toList).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
 }

@@ -74,4 +74,25 @@ class StreamShardedExportSpec extends AnyFunSuite {
     assert(StreamShardedExport.readAll(spark, out).count() == 200,
       "orphan batch leaked into the committed read")
   }
+
+  test("empty micro-batches commit marker-only and never wedge the stream; stray marker files are ignored") {
+    val out = tmpDir()
+    val docs = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // an empty batch (routine in production) must commit, not crash on
+    // a schemaless parquet read — and redeliver as a no-op
+    assert(StreamShardedExport.commitBatch(docs.limit(0), "doc_id", out, 4, epochId = 0L))
+    assert(!StreamShardedExport.commitBatch(docs.limit(0), "doc_id", out, 4, epochId = 0L))
+    assert(StreamShardedExport.committedEpochs(out) == Seq(0L))
+    assert(StreamShardedExport.manifest(out).isEmpty)
+
+    assert(StreamShardedExport.commitBatch(docs, "doc_id", out, 4, epochId = 1L))
+    assert(StreamShardedExport.readAll(spark, out).count() == 50,
+      "marker-only epoch must contribute zero rows, not break the read")
+
+    // a stray non-numeric file in _committed must not break every read
+    Files.writeString(java.nio.file.Paths.get(out, "_committed", "notes.json"), "{}")
+    assert(StreamShardedExport.committedEpochs(out) == Seq(0L, 1L))
+    assert(StreamShardedExport.readAll(spark, out).count() == 50)
+    assert(StreamShardedExport.manifest(out).values.sum == 50)
+  }
 }
