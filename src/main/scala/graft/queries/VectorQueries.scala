@@ -142,6 +142,39 @@ object VectorQueries {
     probeLists(vecs, cents, assignNearest(vecs, cents))
   }
 
+  // Build/query split: at 100 TB the IVF index (the N×C assignment
+  // scan) is built ONCE and persisted as the inverted-list table; every
+  // query then pays only the probed-list scans. `vec_ivf_topk` is the
+  // self-contained oracle-gate form (build + query in one plan);
+  // `vec_ivf_topk_cached` reads the PERSISTED assignment — the shape a
+  // production query actually runs, benchable separately from the
+  // build. Same result, same oracle (the index is a deterministic
+  // function of the corpus) — the corpus_canonical_cached pattern.
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per sfDir) and persist the inverted-list table
+    * `(vec_id, embedding, cent_id)`; returns its directory. */
+  def prepareIvfIndex(spark: SparkSession, sfDir: String): String =
+    ivfIndexDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      val vecs = Tables.load(spark, sfDir, "embeddings")
+      val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+      assignNearest(vecs, cents).write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** `vec_ivf_topk` over the persisted index — the query-path cost. */
+  def vecIvfTopkCached(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val dir = prepareIvfIndex(spark, sfDir)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    probeLists(vecs, cents, spark.read.parquet(dir))
+  }
+
   val vecIvfTopkSql: String =
     s"""WITH cents AS (
       |  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
