@@ -154,6 +154,43 @@ object SketchQueries {
       |WHERE CAST(('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8)) AS BIGINT) % $SampleMod = 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- quantile-sketch rollup: per-group samples → global quantiles -----
+  // Completes the rollup story for the THIRD sketch family: the
+  // deterministic hash sample is a per-row predicate, so the union of
+  // per-group samples IS the global sample — per-scope sample arrays
+  // persist once and any coarser scope's exact quantiles come from
+  // merging arrays, never rescanning rows (KMV merges k-long arrays,
+  // CMS adds counters, quantile samples concatenate). The oracle
+  // computes the global sampled quantiles DIRECTLY from the raw rows,
+  // so the hash match certifies rollup(per-group) ≡ direct(all rows).
+  // Scale: per-group state is that group's 1-in-20 sample (the sketch
+  // contract); the rollup stage touches only the arrays.
+  def sketchQuantileRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val hv = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    // stage 1 — what production persists: one sorted sample array per type
+    val perType = ev.filter(pmod(hv, lit(SampleMod)) === 0)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("sample"))
+    // stage 2 — global quantiles from the persisted arrays alone
+    perType.select(explode(col("sample")).as("value"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50_sample"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95_sample"),
+        count(lit(1)).as("n_sample"),
+        (count(lit(1)) * lit(SampleMod)).as("est_total"))
+  }
+
+  val sketchQuantileRollupSql: String =
+    s"""SELECT
+      |  round(quantile_cont(value, 0.5), 6) AS p50_sample,
+      |  round(quantile_cont(value, 0.95), 6) AS p95_sample,
+      |  count(*) AS n_sample,
+      |  CAST(count(*) * $SampleMod AS BIGINT) AS est_total
+      |FROM events
+      |WHERE CAST(('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8)) AS BIGINT) % $SampleMod = 0""".stripMargin
+
   // --- sketch re-aggregation: per-group sketches → global rollup --------
   // The OTHER half of the sketch contract, and the reason sketches win
   // at 100 TB: per-scope sketches (per hour, per source, per partition)

@@ -167,6 +167,24 @@ class SketchSpec extends AnyFunSuite {
     assert(rolled == direct, "summed per-group CMS cells diverge from the direct build")
   }
 
+  test("quantile samples roll up by array concat: merged per-group samples ≡ direct global sample") {
+    // the per-row hash predicate makes union(per-group samples) exactly
+    // the global sample, so the rolled-up quantiles must equal the
+    // direct global sampled quantiles bit for bit — the third sketch
+    // family's rollup law (KMV merges arrays, CMS adds counters).
+    val rolled = SketchQueries.sketchQuantileRollup(spark, sfDir).head()
+    val hv = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10).cast("long")
+    val direct = Tables.load(spark, sfDir, "events")
+      .filter(pmod(hv, lit(20L)) === 0)
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        count(lit(1)).as("n"))
+      .head()
+    assert(rolled.getDouble(0) == direct.getDouble(0), "p50 diverges")
+    assert(rolled.getDouble(1) == direct.getDouble(1), "p95 diverges")
+    assert(rolled.getLong(2) == direct.getLong(2), "sample size diverges")
+  }
+
   test("hash-sampled quantiles track exact quantiles") {
     val sampled = SketchQueries.sketchSampleQuantile(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(4))).toMap
