@@ -130,10 +130,13 @@ object TextQueries {
   // the per-row expressions above; the only shuffle is the dedup
   // hash-agg + the keep-id join (build side = one row per distinct
   // hash, AQE-broadcast while it fits).
-  private val QualityThreshold = 0.4
+  private[graft] val QualityThreshold = 0.4
 
-  def corpusFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+  /** The per-row curation projection `(doc_id, text, fp, quality,
+    * is_en)` — ONE definition shared by the batch `corpus_filter` and
+    * the streaming [[graft.streaming.StreamCurate]], so ingest-time and
+    * nightly curation can never score a document differently. */
+  private[graft] def scoredDocs(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
     val nTok = size(t).cast("double")
     val stopArr = array(stopEn.map(lit): _*)
@@ -146,9 +149,13 @@ object TextQueries {
     val deArr = array(langStops.toMap.apply("de").map(lit): _*)
     val en = size(filter(t, x => array_contains(enArr, x)))
     val de = size(filter(t, x => array_contains(deArr, x)))
-    val scored = docs.select(col("doc_id"), col("text"),
-        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
-        quality.as("quality"), (en >= de).as("is_en"))
+    docs.select(col("doc_id"), col("text"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
+      quality.as("quality"), (en >= de).as("is_en"))
+  }
+
+  def corpusFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = scoredDocs(Tables.load(spark, sfDir, "documents"))
     val keepers = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     scored.join(keepers, Seq("fp", "doc_id"), "left_semi")
       .filter(col("quality") >= QualityThreshold && col("is_en"))

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.PiiRedact
+import graft.queries.TextQueries
+
+/** The continuous-ingest curation pipeline composed end-to-end — the
+  * streaming face of the nightly `corpus_curate` job: documents are
+  * quality-gated, blocklist-enforced, PII-redacted, and landed
+  * exactly-once into the sharded training layout AS THEY ARRIVE.
+  *
+  * Composition, not reimplementation — every stage is the SAME code its
+  * batch twin runs:
+  *  - quality/language gate: [[TextQueries.scoredDocs]], the one
+  *    projection `corpus_filter` scores with, so ingest-time and
+  *    nightly curation can never disagree on a document;
+  *  - takedown enforcement: [[StreamBlocklist.cleanStream]] (bloom-
+  *    negative rows skip the anti-join; stream-static join re-reads a
+  *    refreshed blocklist every micro-batch);
+  *  - PII redaction: [[PiiRedact.redact]], the driver-gated per-row
+  *    chain;
+  *  - landing: [[StreamShardedExport.commitBatch]] — per-epoch
+  *    idempotent commit, so a redelivered batch never double-lands.
+  *
+  * Streaming STATE is zero: every stage is per-row or stream-static, so
+  * the query runs forever at any rate. Exact/near-duplicate removal is
+  * deliberately NOT in this chain — it is stateful and owned by
+  * [[StreamDedup]]/[[StreamNearDup]] upstream, or by the nightly batch
+  * dedup over the landed shards.
+  */
+object StreamCurate {
+
+  /** One micro-batch through the full curation chain — shared by the
+    * streaming query and directly callable for stream≡batch assertions. */
+  def curateBatch(batch: DataFrame, block: DataFrame, words: Array[Long],
+      qualityThreshold: Double = TextQueries.QualityThreshold): DataFrame =
+    StreamBlocklist.cleanStream(
+        TextQueries.scoredDocs(batch)
+          .filter(col("quality") >= qualityThreshold && col("is_en")),
+        block, words)
+      .select(col("doc_id"),
+        PiiRedact.redact(col("text")).as("text"),
+        round(col("quality"), 6).as("quality"))
+
+  /** Start curating `docs` (a STREAMING `(doc_id, text)` frame) into
+    * `outDir`'s exactly-once sharded layout. */
+  def start(docs: DataFrame, block: DataFrame, words: Array[Long],
+      outDir: String, numShards: Int, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        StreamShardedExport.commitBatch(
+          curateBatch(batch, block, words), "doc_id", outDir, numShards, id)
+        ()
+      }
+      .start()
+}

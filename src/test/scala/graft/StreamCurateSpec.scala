@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.BloomAgg
+import graft.streaming.{StreamCurate, StreamShardedExport}
+
+/** The composed continuous-ingest pipeline: quality/language gate →
+  * blocklist → PII redaction → exactly-once sharded landing, with the
+  * stream result equal to the directly-curated batch over the same
+  * rows (every stage is the batch code). */
+class StreamCurateSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.build(4, "stream-curate-spec")
+  import spark.implicits._
+
+  // normalized fingerprint — the SAME expression scoredDocs produces,
+  // so the blocklist keys match the curation chain's fp column
+  private def fpOf(text: org.apache.spark.sql.Column) =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  test("stream curation gates, blocks, redacts, and lands exactly-once — equal to the batch chain") {
+    implicit val sqlCtx = spark.sqlContext
+
+    val goodText = "the cat sat on the mat and the dog is in the house for fun"
+    val germanText = "der und die das ist nicht der und die das war hier"
+    val junkText = "zzz zzz zzz zzz zzz"
+    val blockedText = "the forbidden text is in the blocklist for a reason"
+    val emailText = "please contact the team at bob@example.com for the info and the details"
+
+    val block = Seq(blockedText).toDF("t").select(fpOf(col("t")).as("bfp"))
+    val words = block.select(xxhash64(col("bfp")).as("h"))
+      .agg(udaf(new BloomAgg()).apply(col("h"))).head().getSeq[Long](0).toArray
+
+    val rows = Seq(
+      (1L, goodText), (2L, germanText), (3L, junkText),
+      (4L, blockedText), (5L, emailText))
+
+    val out = Files.createTempDirectory("stream-curate").toFile.getAbsolutePath
+    val cp = Files.createTempDirectory("stream-curate-cp").toFile.getAbsolutePath
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCurate.start(
+      input.toDF().toDF("doc_id", "text"), block, words, out, numShards = 2, checkpoint = cp)
+    input.addData(rows.take(3))
+    q.processAllAvailable()
+    input.addData(rows.drop(3)) // stateless chain: later batches, same rules
+    q.processAllAvailable()
+    q.stop()
+
+    val landed = StreamShardedExport.readAll(spark, out)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(landed.keySet == Set(1L, 5L),
+      s"want the clean English docs only (got ${landed.keySet}): " +
+        "german+junk fail the gate, the blocked fp drops")
+    assert(landed(5L).contains("[EMAIL]") && !landed(5L).contains("bob@example.com"),
+      s"PII must be redacted on the way in: ${landed(5L)}")
+    assert(landed(1L) == goodText, "clean text must land unmodified")
+
+    // stream ≡ batch: the direct chain over the same rows
+    val direct = StreamCurate.curateBatch(rows.toDF("doc_id", "text"), block, words)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(landed == direct, s"stream $landed != batch $direct")
+  }
+}
