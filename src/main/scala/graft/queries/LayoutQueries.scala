@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.snapshot.DataLayout
+
+/** Z-order layout rectangle read over the events log — the
+  * data-skipping query path ([[graft.snapshot.DataLayout]]).
+  *
+  * The layout build is a one-time maintenance job (like the IVF index
+  * build or the canonical-labels job), so it is memoized per sfDir and
+  * the measured query is the PRUNED READ: stats-table consultation,
+  * partition-filtered scan of only the intersecting z-buckets, exact
+  * residual filter. The oracle is layout-independent — a plain
+  * rectangle predicate over the raw table — so the driver hash-match
+  * certifies that pruning dropped no qualifying row and invented none.
+  */
+object LayoutQueries {
+
+  // 2024-01-08T00:00:00Z .. 2024-01-14T23:59:59.999999999Z (ns epochs)
+  private val TsLo = 1704672000000000000L
+  private val TsHi = 1705276799999999999L
+  private val UserLo = 30L
+  private val UserHi = 59L
+
+  private val layoutDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per sfDir) the z-ordered events layout on
+    * (ts, user_id); returns its directory. */
+  def prepareEventsLayout(spark: SparkSession, sfDir: String): String =
+    layoutDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      DataLayout.writeZOrdered(
+        Tables.load(spark, sfDir, "events"), dir, "ts", "user_id")
+      dir
+    })
+
+  /** One-week × 30-user rectangle over the z-ordered events layout. */
+  def layoutZorderRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = prepareEventsLayout(spark, sfDir)
+    DataLayout.readPruned(spark, dir, "ts", TsLo, TsHi, "user_id", UserLo, UserHi)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  val layoutZorderReadSql: String =
+    s"""SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value
+      |FROM events
+      |WHERE epoch_ns(ts) BETWEEN $TsLo AND $TsHi
+      |  AND user_id BETWEEN $UserLo AND $UserHi""".stripMargin
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.snapshot.DataLayout
+
+/** Z-order layout + stats pruning: the pruned rectangle read must equal
+  * the plain filtered scan (no row lost to pruning, none invented), the
+  * pruning must actually SKIP buckets — including for a query selective
+  * only on the SECOND dimension, the case a single-column sort layout
+  * cannot prune at all — and the skip must be partition pruning in the
+  * physical plan, not a post-scan filter. */
+class DataLayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build(4, "layout-spec")
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private lazy val layoutDir: String = {
+    val dir = Files.createTempDirectory("layout-spec").toString
+    DataLayout.writeZOrdered(
+      Tables.load(spark, sfDir, "events"), dir, "ts", "user_id", bucketBits = 6)
+    dir
+  }
+
+  // one-week × 30-user rectangle (sf0.01 spans Jan 2024, users 0..149)
+  private val TsLo = 1704672000000000000L
+  private val TsHi = 1705276799999999999L
+
+  test("pruned rectangle read equals the plain filtered scan") {
+    val pruned = DataLayout
+      .readPruned(spark, layoutDir, "ts", TsLo, TsHi, "user_id", 30, 59)
+      .select("event_id").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted
+    val plain = Tables.load(spark, sfDir, "events")
+      .filter(col("ts").between(TsLo, TsHi) && col("user_id").between(30, 59))
+      .select("event_id").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted
+    assert(plain.nonEmpty, "fixture rectangle must be non-empty")
+    assert(pruned.toSeq == plain.toSeq)
+  }
+
+  test("rectangle selective on both dimensions skips most buckets") {
+    val stats = DataLayout.readStats(spark, layoutDir)
+    assert(stats.size > 32, s"expected a mostly-populated bucket space, got ${stats.size}")
+    val chosen = DataLayout.prunedBuckets(stats, TsLo, TsHi, 30, 59)
+    assert(chosen.nonEmpty)
+    // 1/4 of the month × 1/5 of the users: the 8×8 z-grid should keep
+    // roughly (2 ts slices)×(2-3 user slices) — well under a third.
+    assert(chosen.size * 3 <= stats.size,
+      s"rectangle kept ${chosen.size} of ${stats.size} buckets — pruning ineffective")
+  }
+
+  test("query selective only on the SECOND dimension still prunes") {
+    val stats = DataLayout.readStats(spark, layoutDir)
+    // full time range, bottom ~1/8 of users: a ts-sorted layout keeps
+    // every file here; the z-layout keeps only the low user-slices.
+    val chosen = DataLayout.prunedBuckets(stats, Long.MinValue, Long.MaxValue, 0, 17)
+    assert(chosen.nonEmpty)
+    assert(chosen.size * 2 <= stats.size,
+      s"second-dimension query kept ${chosen.size} of ${stats.size} buckets")
+  }
+
+  test("bucket skip is partition pruning in the physical plan") {
+    val df = DataLayout.readPruned(spark, layoutDir, "ts", TsLo, TsHi, "user_id", 30, 59)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(DataLayout.ZBucketCol),
+      s"expected ${DataLayout.ZBucketCol} partition filters in:\n$plan")
+  }
+
+  test("degenerate constant dimension lays out without error") {
+    val dir = Files.createTempDirectory("layout-const").toString
+    val df = spark.range(100).selectExpr("id AS a", "CAST(7 AS LONG) AS b")
+    DataLayout.writeZOrdered(df, dir, "a", "b", bucketBits = 3)
+    val back = DataLayout.readPruned(spark, dir, "a", 10, 19, "b", 0, 100)
+    assert(back.count() == 10)
+  }
+}
