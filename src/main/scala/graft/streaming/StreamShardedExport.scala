@@ -127,8 +127,9 @@ object StreamShardedExport {
   private def readAllWithShard(spark: SparkSession, outDir: String): DataFrame = {
     // marker-only epochs (empty micro-batches) have no data dir — they
     // are committed but contribute no rows
-    val dirs = committedEpochs(outDir)
-      .map(id => Paths.get(outDir, s"batch=$id"))
+    val (batches, gens) = visibleCommits(outDir)
+    val dirs = (batches.map(id => Paths.get(outDir, s"batch=$id")) ++
+        gens.map(g => Paths.get(outDir, s"batch=compact-$g")))
       .filter(Files.isDirectory(_))
       .map(_.toString)
     require(dirs.nonEmpty, s"no committed data batches under $outDir")
@@ -138,14 +139,136 @@ object StreamShardedExport {
     spark.read.option("basePath", outDir).parquet(dirs: _*).drop("batch")
   }
 
-  /** Total committed rows per shard, summed from the markers — no data
-    * scan. */
-  def manifest(outDir: String): Map[Int, Long] =
-    committedEpochs(outDir).flatMap { id =>
-      val text = Files.readString(markerPath(Paths.get(outDir), id))
+  /** Total committed rows per shard, summed from the VISIBLE markers
+    * (compacted generations + unfolded batches) — no data scan. */
+  def manifest(outDir: String): Map[Int, Long] = {
+    val root = Paths.get(outDir)
+    val (batches, gens) = visibleCommits(outDir)
+    val texts = batches.map(id => Files.readString(markerPath(root, id))) ++
+      gens.map(g => Files.readString(compactMarkerPath(root, g)))
+    texts.flatMap { text =>
+      // quoted numeric keys appear only in rows_per_shard (fold lists
+      // are unquoted arrays, scalar keys are words)
       """"(\d+)"\s*:\s*(\d+)""".r.findAllMatchIn(text)
         .map(m => m.group(1).toInt -> m.group(2).toLong)
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+  }
+
+  // --- compaction ------------------------------------------------------
+  // A 12 s trigger lands one file per shard per epoch: a day is 7200
+  // epochs × N shards of small files — the classic streaming small-file
+  // problem, and at 100 TB the metadata alone (listings, footers, task
+  // scheduling) dominates read cost. `compact` folds every currently
+  // committed batch (and any earlier compacted generation) into ONE file
+  // per shard under `batch=compact-<gen>/`, with the same
+  // tmp-write → atomic-rename → marker-LAST protocol as `commitBatch`.
+  //
+  // Visibility is marker-algebra, not file presence: a compact marker
+  // lists the epochs/generations it folds, and readers subtract folded
+  // commits BEFORE looking at directories — so a crash after the marker
+  // publish but before garbage collection leaves duplicate DATA on disk
+  // but never duplicate ROWS in a read. GC is therefore a separate,
+  // idempotent sweep (`gcFolded`) that any later compaction re-runs.
+  // The live stream never pauses: epochs committed while a compaction
+  // runs simply stay outside its fold set and remain visible next to
+  // the new generation.
+
+  /** Fold all currently committed batches + earlier generations into a
+    * new compacted generation (one file per shard). Returns the new
+    * generation id, or None if there is nothing to fold. When `gc` is
+    * true the folded directories and markers are swept afterwards. */
+  def compact(spark: SparkSession, outDir: String, numShards: Int,
+      gc: Boolean = true): Option[Long] = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val root = Paths.get(outDir)
+    val (batches, gens) = visibleCommits(outDir)
+    val dataDirs = (batches.map(id => root.resolve(s"batch=$id")) ++
+      gens.map(g => root.resolve(s"batch=compact-$g"))).filter(Files.isDirectory(_))
+    if (dataDirs.isEmpty || (batches.size + gens.size) < 2) return None
+    val gen = (committedGenerations(outDir).map(_ + 1L) :+ 0L).max
+    val marker = compactMarkerPath(root, gen)
+
+    val dest = root.resolve(s"batch=compact-$gen")
+    val tmp = root.resolve(
+      s".compact-$gen-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    spark.read.option("basePath", outDir).parquet(dataDirs.map(_.toString): _*)
+      .drop("batch")
+      .repartition(numShards, col(ShardCol))
+      .write.partitionBy(ShardCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val counts = spark.read.parquet(tmp.toString)
+      .groupBy(col(ShardCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (Files.exists(marker)) { // a concurrent compactor won this gen
+      ShardedExport.deleteRecursively(tmp)
+      return None
+    }
+    ShardedExport.deleteRecursively(dest)
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    val per = counts.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
+      .mkString("{", ", ", "}")
+    val markerTmp = marker.resolveSibling(
+      s".compact-$gen.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.writeString(markerTmp,
+      s"""{"gen": $gen, "folds": ${batches.mkString("[", ", ", "]")}, """ +
+        s""""folds_gens": ${gens.mkString("[", ", ", "]")}, """ +
+        s""""total_rows": ${counts.values.sum}, "rows_per_shard": $per}""")
+    try Files.move(markerTmp, marker, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(markerTmp); return None
+    }
+    if (gc) gcFolded(outDir)
+    Some(gen)
+  }
+
+  /** Sweep directories and markers of every folded commit — idempotent,
+    * safe to re-run after any crash (visibility never depends on it). */
+  def gcFolded(outDir: String): Unit = {
+    val root = Paths.get(outDir)
+    val (foldedBatches, foldedGens) = foldedCommits(outDir)
+    foldedBatches.foreach { id =>
+      ShardedExport.deleteRecursively(root.resolve(s"batch=$id"))
+      Files.deleteIfExists(markerPath(root, id))
+    }
+    foldedGens.foreach { g =>
+      ShardedExport.deleteRecursively(root.resolve(s"batch=compact-$g"))
+      Files.deleteIfExists(compactMarkerPath(root, g))
+    }
+  }
+
+  /** Commits a reader must load: (unfolded batch epochs, unfolded
+    * compacted generations). */
+  private def visibleCommits(outDir: String): (Seq[Long], Seq[Long]) = {
+    val (foldedBatches, foldedGens) = foldedCommits(outDir)
+    (committedEpochs(outDir).filterNot(foldedBatches.contains),
+      committedGenerations(outDir).filterNot(foldedGens.contains))
+  }
+
+  /** Union of every compact marker's fold lists. */
+  private def foldedCommits(outDir: String): (Set[Long], Set[Long]) = {
+    val root = Paths.get(outDir)
+    val texts = committedGenerations(outDir)
+      .map(g => Files.readString(compactMarkerPath(root, g)))
+    def list(key: String, text: String): Seq[Long] =
+      (s""""$key":\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(text)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
+        .getOrElse(Seq.empty)
+    (texts.flatMap(list("folds", _)).toSet, texts.flatMap(list("folds_gens", _)).toSet)
+  }
+
+  private val GenMarkerName = """compact-(\d+)\.json""".r
+
+  def committedGenerations(outDir: String): Seq[Long] = {
+    val dir = Paths.get(outDir, "_committed")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Using.resource(Files.list(dir))(_.iterator().asScala.toList)
+      .map(_.getFileName.toString)
+      .collect { case GenMarkerName(g) => g.toLong }
+      .sorted
+  }
+
+  private def compactMarkerPath(root: Path, gen: Long): Path =
+    root.resolve("_committed").resolve(s"compact-$gen.json")
 
   private val EpochMarkerName = """(\d+)\.json""".r
 
