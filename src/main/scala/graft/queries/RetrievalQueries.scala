@@ -100,4 +100,49 @@ object RetrievalQueries {
       |              coalesce(1.0 / CAST($RrfK + srank AS DOUBLE), 0.0)) * 1048576.0) AS BIGINT) AS rrf_fp
       |FROM lexranked l FULL OUTER JOIN semranked s ON l.doc_id = s.doc_id
       |ORDER BY rrf_fp DESC, doc_id LIMIT $FuseOut""".stripMargin
+
+  // --- ANN quality evaluation -----------------------------------------
+  // The eval harness every ANN deployment runs before swapping an index
+  // in: per-probe recall@k and reciprocal rank of the approximate index
+  // (IVF probe path) against brute-force ground truth. Ground truth is
+  // the expensive side BY DESIGN — eval always runs on a bounded probe
+  // SAMPLE (here the same stride probe set both vec queries use), so
+  // the brute-force cost is probes × corpus scan, independent of how
+  // many production queries the index will serve. Both inputs are
+  // already-oracle-green top-k frames of ≤ probes×k rows; the eval
+  // itself is a join + hash-agg over those bounded frames —
+  // broadcastable at any corpus size.
+  //
+  // Float parity: recall = hits/5.0 and rr = 1.0/best are single IEEE
+  // divisions of small integers — bit-identical cross-engine.
+  private val EvalK = 5 // = VectorQueries' TopK
+
+  def retrievalEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = VectorQueries.vecTopk(spark, sfDir)
+      .select(col("probe_id"), col("neighbor_id"))
+    val ann = VectorQueries.vecIvfTopk(spark, sfDir)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+    truth
+      .join(ann, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("rank")).as("hits"), min(col("rank")).as("best"))
+      .select(col("probe_id"), col("hits"),
+        (col("hits") / lit(EvalK.toDouble)).as("recall"),
+        coalesce(lit(1.0) / col("best"), lit(0.0)).as("rr"))
+      .orderBy(col("probe_id"))
+  }
+
+  val retrievalEvalSql: String =
+    s"""WITH truth AS (
+      |  SELECT probe_id, neighbor_id FROM (${VectorQueries.vecTopkSql}) t),
+      |ann AS (
+      |  SELECT probe_id, neighbor_id, rank FROM (${VectorQueries.vecIvfTopkSql}) a),
+      |per AS (
+      |  SELECT t.probe_id, count(a.rank) AS hits, min(a.rank) AS best
+      |  FROM truth t LEFT JOIN ann a
+      |    ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
+      |  GROUP BY t.probe_id)
+      |SELECT probe_id, hits, hits / $EvalK.0 AS recall,
+      |  CASE WHEN best IS NULL THEN 0.0 ELSE 1.0 / best END AS rr
+      |FROM per ORDER BY probe_id""".stripMargin
 }
