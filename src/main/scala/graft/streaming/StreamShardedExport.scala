@@ -38,14 +38,22 @@ object StreamShardedExport {
 
   private val ShardCol = ShardedExport.ShardCol
 
-  /** Start continuously exporting `docs` (a STREAMING frame). */
+  /** Start continuously exporting `docs` (a STREAMING frame). With
+    * `compactEvery` > 0, every Nth epoch also folds the accumulated
+    * per-epoch files into one file per shard ([[compact]]) — in-line in
+    * `foreachBatch` so compaction serializes with commits through the
+    * streaming engine's own one-batch-at-a-time execution; it is
+    * idempotent and marker-published, so a crash mid-compaction on a
+    * redelivered epoch changes nothing a reader can observe. */
   def start(docs: DataFrame, keyCol: String, outDir: String, numShards: Int,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         commitBatch(batch, keyCol, outDir, numShards, id)
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          compact(batch.sparkSession, outDir, numShards)
         ()
       }
       .start()

@@ -104,6 +104,32 @@ class StreamCompactSpec extends AnyFunSuite {
     assert(parquetFiles(dir).size <= Shards)
   }
 
+  test("live stream with compactEvery folds epochs as it runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = newDir()
+    val cp = newDir()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamShardedExport.start(
+      input.toDF().toDF("doc_id", "text"), "doc_id", out,
+      numShards = Shards, checkpoint = cp, compactEvery = 2)
+    try {
+      (0 until 4).foreach { b =>
+        input.addData((b * 50 until (b + 1) * 50).map(i => (i.toLong, s"doc $i")): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 4 epochs at compactEvery=2 → compactions ran; all rows intact
+    assert(StreamShardedExport.committedGenerations(out).nonEmpty,
+      "no compaction ran during the stream")
+    assert(readIds(out) == (0L until 200L))
+    assert(StreamShardedExport.manifest(out).values.sum == 200)
+    // the last fold collapsed everything committed up to it: at most one
+    // uncompacted epoch tail remains per shard on top of the generation
+    assert(parquetFiles(out).size <= 2 * Shards,
+      s"expected ≤ ${2 * Shards} files after in-stream folding, got ${parquetFiles(out).size}")
+  }
+
   test("nothing to fold: single commit or empty dir returns None") {
     val dir = newDir()
     assert(StreamShardedExport.compact(spark, dir, Shards).isEmpty)
