@@ -29,5 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PqEncode(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sq_encode"),
+      new ExpressionInfo(classOf[SqEncode].getName, "sq_encode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SqEncode(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("sq_score"),
+      new ExpressionInfo(classOf[SqScore].getName, "sq_score"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SqScore(exprs(0), exprs(1), exprs(2), exprs(3))))
   }
 }

@@ -327,10 +327,160 @@ case class PqEncode(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** SQ8 scalar-quantization encoder: all D int codes of one vector in a
+  * single fused loop.
+  *
+  * `vec` is the embedding (`array<float|double>`); `ranges` holds the
+  * per-dim bounds as ONE `array<double>` of length 2D (mins then
+  * maxes — the broadcast agg row, NOT driver state); `levels` is the
+  * foldable code count (255). Output `array<int>`:
+  * `q[d] = floor((x[d] − mn[d]) · L / (mx[d] − mn[d]) + 0.5)`, 0 when
+  * the dim is constant — the IDENTICAL association and floor/cast
+  * chain as the compositional `when/floor` column form (and the DuckDB
+  * oracle), so swapping the kernel in changes no hash. Why an
+  * Expression: the column form projects D separate `when(floor(...))`
+  * columns — a codegen method per column and a 64-wide row; this emits
+  * one int[] per row in one loop. */
+case class SqEncode(vec: Expression, ranges: Expression, levels: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = ranges
+  override def third: Expression = levels
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def vecIsFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any, r: Any, l: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val rg = r.asInstanceOf[ArrayData]
+    val lv = l.asInstanceOf[Int].toDouble
+    val n = x.numElements()
+    require(rg.numElements() == 2 * n,
+      s"sq_encode: ranges has ${rg.numElements()} elements, vector needs ${2 * n}")
+    val codes = new Array[Int](n)
+    var d = 0
+    while (d < n) {
+      val xv = if (vecIsFloat) x.getFloat(d).toDouble else x.getDouble(d)
+      val mn = rg.getDouble(d)
+      val mx = rg.getDouble(n + d)
+      codes(d) = if (mx == mn) 0 else math.floor((xv - mn) * lv / (mx - mn) + 0.5).toInt
+      d += 1
+    }
+    ArrayData.toArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, rg, lv) => {
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val codes = ctx.freshName("codes")
+      val mn = ctx.freshName("mn")
+      val mx = ctx.freshName("mx")
+      val xv = ctx.freshName("xv")
+      val rd = if (vecIsFloat) s"(double) $x.getFloat($d)" else s"$x.getDouble($d)"
+      s"""
+         |int $n = $x.numElements();
+         |if ($rg.numElements() != 2 * $n) {
+         |  throw new IllegalArgumentException("sq_encode: ranges has " +
+         |    $rg.numElements() + " elements, vector needs " + (2 * $n));
+         |}
+         |int[] $codes = new int[$n];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $xv = $rd;
+         |  double $mn = $rg.getDouble($d);
+         |  double $mx = $rg.getDouble($n + $d);
+         |  $codes[$d] = ($mx == $mn) ? 0
+         |    : (int) Math.floor(($xv - $mn) * (double) $lv / ($mx - $mn) + 0.5);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(vec = f, ranges = s, levels = t)
+}
+
+/** SQ8 dequantized dot product: `Σ_d (mn[d] + q[d]·((mx[d]−mn[d])/L)) ·
+  * p[d]` in one fused loop — the scoring half of [[SqEncode]], the
+  * identical left-fold IEEE chain as the 64-term column fold it
+  * replaces (scale = (mx−mn)/L FIRST, then mn + q·scale, then ·p, then
+  * fold in d order), so the generated plan shrinks from a ~4·D-node
+  * expression tree per pair to one loop with zero allocation. */
+case class SqScore(codes: Expression, probe: Expression, ranges: Expression, levels: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = codes
+  override def second: Expression = probe
+  override def third: Expression = ranges
+  override def fourth: Expression = levels
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def probeIsFloat: Boolean = probe.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(c: Any, p: Any, r: Any, l: Any): Any = {
+    val q = c.asInstanceOf[ArrayData]
+    val pe = p.asInstanceOf[ArrayData]
+    val rg = r.asInstanceOf[ArrayData]
+    val lv = l.asInstanceOf[Int].toDouble
+    val n = q.numElements()
+    require(pe.numElements() == n && rg.numElements() == 2 * n,
+      s"sq_score: codes=$n probe=${pe.numElements()} ranges=${rg.numElements()}")
+    var acc = 0.0
+    var d = 0
+    while (d < n) {
+      val mn = rg.getDouble(d)
+      val mx = rg.getDouble(n + d)
+      val pv = if (probeIsFloat) pe.getFloat(d).toDouble else pe.getDouble(d)
+      acc += (mn + q.getInt(d) * ((mx - mn) / lv)) * pv
+      d += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, p, rg, lv) => {
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val mn = ctx.freshName("mn")
+      val mx = ctx.freshName("mx")
+      val pv = if (probeIsFloat) s"(double) $p.getFloat($d)" else s"$p.getDouble($d)"
+      s"""
+         |int $n = $q.numElements();
+         |if ($p.numElements() != $n || $rg.numElements() != 2 * $n) {
+         |  throw new IllegalArgumentException("sq_score: codes=" + $n +
+         |    " probe=" + $p.numElements() + " ranges=" + $rg.numElements());
+         |}
+         |double $acc = 0.0;
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $mn = $rg.getDouble($d);
+         |  double $mx = $rg.getDouble($n + $d);
+         |  $acc += ($mn + $q.getInt($d) * (($mx - $mn) / (double) $lv)) * $pv;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, fo: Expression): Expression =
+    copy(codes = f, probe = s, ranges = t, levels = fo)
+}
+
 object VectorFunctions {
   /** Register the native expressions (`cosine_sim`, `vec_dot`,
-    * `pq_encode`) with the session so `expr(...)`/`call_function` and
-    * SQL all resolve to the codegen'd forms. Idempotent. */
+    * `pq_encode`, `sq_encode`, `sq_score`) with the session so
+    * `expr(...)`/`call_function` and SQL all resolve to the codegen'd
+    * forms. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
@@ -340,5 +490,9 @@ object VectorFunctions {
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sq_encode", exprs => SqEncode(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sq_score", exprs => SqScore(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
   }
 }

@@ -984,25 +984,23 @@ object VectorQueries {
     def x(c: Column, d: Int): Column = element_at(c, d).cast("double")
 
     // per-dim ranges: one agg row (bounded 2×D state), broadcast back
+    // as ONE array<double> of [mins ++ maxes] — never driver state
     val mmCols = (1 to Dims).flatMap(d => Seq(
       min(x(col("embedding"), d)).as(s"mn$d"),
       max(x(col("embedding"), d)).as(s"mx$d")))
     val mm = vecs.agg(mmCols.head, mmCols.tail: _*)
+      .select(array(
+        (1 to Dims).map(d => col(s"mn$d")) ++
+          (1 to Dims).map(d => col(s"mx$d")): _*).as("ranges"))
 
-    // encode: pure projection → D int codes + the float norm. scale_d
-    // is computed ONCE as (mx-mn)/255 and dequant is mn + q·scale — the
-    // oracle mirrors this exact association.
-    def scale(d: Int): Column = (col(s"mx$d") - col(s"mn$d")) / lit(SqLevels.toDouble)
+    // encode: pure projection → ONE array<int> of codes + the float
+    // norm, through the fused sq_encode kernel (identical floor/cast
+    // chain as the compositional per-dim columns — the oracle mirrors
+    // the exact association, scale_d = (mx-mn)/255, dequant mn+q·scale)
     val encoded = vecs.join(broadcast(mm))
-      .select(
-        col("vec_id") +:
-          sqrt(call_function("vec_dot", col("embedding"), col("embedding"))).as("vnorm") +:
-          (1 to Dims).map { d =>
-            when(col(s"mx$d") === col(s"mn$d"), lit(0))
-              .otherwise(floor((x(col("embedding"), d) - col(s"mn$d")) * lit(SqLevels.toDouble) /
-                (col(s"mx$d") - col(s"mn$d")) + lit(0.5)).cast("int"))
-              .as(s"q$d")
-          }: _*)
+      .select(col("vec_id"),
+        sqrt(call_function("vec_dot", col("embedding"), col("embedding"))).as("vnorm"),
+        call_function("sq_encode", col("embedding"), col("ranges"), lit(SqLevels)).as("codes"))
 
     // probes carry the ranges (one broadcast row) so the pair expression
     // has everything it needs; the bare projection is shared with the
@@ -1011,10 +1009,10 @@ object VectorQueries {
       .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
     val probes = probeBase.join(broadcast(mm))
 
-    // dequantized dot, left-fold in dim order: 0.0 + (mn1+q1·s1)·p1 + …
-    val approx = (1 to Dims).foldLeft(lit(0.0)) { (acc, d) =>
-      acc + (col(s"mn$d") + col(s"q$d") * scale(d)) * x(col("pemb"), d)
-    } / col("vnorm")
+    // dequantized dot: the fused sq_score kernel computes the same
+    // left-fold 0.0 + (mn1+q1·s1)·p1 + … chain in one loop
+    val approx = call_function("sq_score",
+      col("codes"), col("pemb"), col("ranges"), lit(SqLevels)) / col("vnorm")
 
     val candK = udaf(new TopKAgg(TopK * SqRefine))
     val cands = encoded.join(broadcast(probes), col("vec_id") =!= col("probe_id"))

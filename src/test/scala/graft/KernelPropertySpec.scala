@@ -62,4 +62,66 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sq_encode/sq_score ≡ the compositional when/floor and fold chains across random dims") {
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(20260814)
+    val levels = 255
+    // include a constant dim (mx==mn) and mixed scales
+    Seq(1, 3, 16, 64).foreach { dims =>
+      def v(): Float = {
+        val scale = rnd.nextInt(3) match {
+          case 0 => 1f
+          case 1 => 1e-4f
+          case _ => 1e4f
+        }
+        (rnd.nextFloat() * 2f - 1f) * scale
+      }
+      val rows = (0 until 40).map { i =>
+        val e = Seq.fill(dims)(v()).zipWithIndex
+          .map { case (x, d) => if (d == 1 && dims > 1) 7.5f else x } // dim 1 constant
+        (i.toLong, e)
+      }
+      val probe = Seq.fill(dims)(v())
+      val df = rows.toDF("id", "emb")
+      val mmCols = (1 to dims).flatMap(d => Seq(
+        min(element_at(col("emb"), d).cast("double")).as(s"mn$d"),
+        max(element_at(col("emb"), d).cast("double")).as(s"mx$d")))
+      val mm = df.agg(mmCols.head, mmCols.tail: _*)
+      val ranges = mm.select(array(
+        (1 to dims).map(d => col(s"mn$d")) ++
+          (1 to dims).map(d => col(s"mx$d")): _*).as("ranges"))
+      val joined = df.crossJoin(broadcast(ranges)).crossJoin(broadcast(mm))
+      def scale(d: Int) = (col(s"mx$d") - col(s"mn$d")) / lit(levels.toDouble)
+      val refCodes = (1 to dims).map { d =>
+        when(col(s"mx$d") === col(s"mn$d"), lit(0))
+          .otherwise(floor((element_at(col("emb"), d).cast("double") - col(s"mn$d")) *
+            lit(levels.toDouble) / (col(s"mx$d") - col(s"mn$d")) + lit(0.5)).cast("int"))
+          .as(s"r$d")
+      }
+      val refScore = (1 to dims).foldLeft(lit(0.0)) { (acc, d) =>
+        acc + (col(s"mn$d") + col(s"r$d") * scale(d)) * lit(probe(d - 1)).cast("double")
+      }
+      val withCodes = joined.select(
+        Seq(col("id"), col("ranges")) ++
+          (1 to dims).flatMap(d => Seq(col(s"mn$d"), col(s"mx$d"))) ++
+          Seq(call_function("sq_encode", col("emb"), col("ranges"), lit(levels)).as("codes")) ++
+          refCodes: _*)
+      val out = withCodes.select(
+        col("id"), col("codes"),
+        call_function("sq_score",
+          col("codes"), typedLit(probe), col("ranges"), lit(levels)).as("fscore"),
+        refScore.as("rscore"),
+        array((1 to dims).map(d => col(s"r$d")): _*).as("refcodes"))
+        .collect()
+      out.foreach { r =>
+        val fused = r.getSeq[Int](1)
+        val ref = r.getSeq[Int](4)
+        assert(fused == ref,
+          s"sq_encode mismatch at dims=$dims, id=${r.getLong(0)}: $fused vs $ref")
+        assert(r.getAs[Double]("fscore") == r.getAs[Double]("rscore"),
+          s"sq_score mismatch at dims=$dims, id=${r.getLong(0)}")
+      }
+    }
+  }
 }

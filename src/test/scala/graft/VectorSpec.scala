@@ -55,6 +55,14 @@ class VectorSpec extends AnyFunSuite {
       val sim = s2.sql("SELECT cosine_sim(a, b) AS sim FROM ext_vecs")
         .collect().head.getDouble(0)
       assert(math.abs(sim - 1.0) < 1e-12)
+      // the SQ kernels resolve through the same injection
+      val q = s2.sql(
+        """SELECT sq_encode(a, array(0.0D, 0.0D, 4.0D, 4.0D), 255) AS codes,
+          |  sq_score(sq_encode(a, array(0.0D, 0.0D, 4.0D, 4.0D), 255),
+          |           b, array(0.0D, 0.0D, 4.0D, 4.0D), 255) AS s
+          |FROM ext_vecs""".stripMargin).collect().head
+      assert(q.getSeq[Int](0) == Seq(64, 128)) // 1·255/4+0.5→64, 2·255/4+0.5→128
+      assert(q.getDouble(1) > 0.0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
