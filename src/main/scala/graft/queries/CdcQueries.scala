@@ -182,4 +182,65 @@ object CdcQueries {
       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
+  // --- replication verification: bucket count+checksum table diff -----
+  // The sync-diff-inspector shape over a deterministically perturbed
+  // copy of `orders`: deleted keys (%997), a drifted column (%1003),
+  // and extra keys (%991) — covering the three ways a replica diverges.
+  // See merge/TableDiff.scala for the scale argument (one scan + one
+  // bounded agg per side; only N_buckets rows join).
+  private val DiffBuckets = 16
+
+  private def ordersRepr = concat_ws("|",
+    col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+    col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    date_format(col("o_orderdate"), "yyyy-MM-dd"), col("o_orderpriority"))
+
+  def tableDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.load(spark, sfDir, "orders")
+    val drifted = ord
+      .filter(pmod(col("o_orderkey"), lit(997)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(1003)) === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      .unionByName(ord
+        .filter(pmod(col("o_orderkey"), lit(991)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    graft.merge.TableDiff.diff(
+      graft.merge.TableDiff.bucketSummary(ord, "o_orderkey", ordersRepr, DiffBuckets),
+      graft.merge.TableDiff.bucketSummary(drifted, "o_orderkey", ordersRepr, DiffBuckets))
+  }
+
+  private val diffReprSql =
+    """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+      |  strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)""".stripMargin
+
+  val tableDiffSql: String =
+    s"""WITH dst AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 1003 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 997 != 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 991 = 0),
+      |ssum AS (
+      |  SELECT o_orderkey % $DiffBuckets AS bucket, count(*) AS n,
+      |    sum(CAST(('0x' || substr(md5($diffReprSql), 1, 15)) AS BIGINT)) AS hs
+      |  FROM orders GROUP BY 1),
+      |dsum AS (
+      |  SELECT o_orderkey % $DiffBuckets AS bucket, count(*) AS n,
+      |    sum(CAST(('0x' || substr(md5($diffReprSql), 1, 15)) AS BIGINT)) AS hs
+      |  FROM dst GROUP BY 1)
+      |SELECT coalesce(s.bucket, d.bucket) AS bucket,
+      |  CAST(coalesce(s.n, 0) AS BIGINT) AS src_rows,
+      |  CAST(coalesce(d.n, 0) AS BIGINT) AS dst_rows,
+      |  CAST(CAST(coalesce(s.hs, 0) AS DECIMAL(38,0)) AS VARCHAR) AS src_hsum,
+      |  CAST(CAST(coalesce(d.hs, 0) AS DECIMAL(38,0)) AS VARCHAR) AS dst_hsum,
+      |  CASE WHEN coalesce(s.n, 0) = coalesce(d.n, 0) AND coalesce(s.hs, 0) = coalesce(d.hs, 0)
+      |    THEN 'ok' ELSE 'diff' END AS status
+      |FROM ssum s FULL OUTER JOIN dsum d ON s.bucket = d.bucket
+      |ORDER BY bucket""".stripMargin
 }
