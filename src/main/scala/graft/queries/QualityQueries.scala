@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Declarative data-quality constraint audit — the dbt-test /
+  * Great-Expectations shape every warehouse load runs after the
+  * replication pipeline lands a batch: range, not-null, uniqueness,
+  * referential-integrity and freshness rules evaluated corpus-wide,
+  * reported as one `(rule, checked, violations)` row each.
+  *
+  * Scale shape: all single-table rules for a table fold into ONE
+  * conditional-count hash agg over ONE scan (adding a rule adds a
+  * counter, not a pass); the only join is the referential check, an
+  * anti join on the child's key — at 100 TB that is the same
+  * partitioned anti join the merge path already runs, and everything
+  * else is scan-local. Output is rules-sized (tiny).
+  */
+object QualityQueries {
+
+  def qualityConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+
+    // one scan, one agg: every lineitem rule is a conditional counter
+    val liAgg = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("v_disc"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"))
+    val liLong = liAgg.selectExpr(
+      """stack(3,
+        |  'lineitem.l_quantity.range_1_50', n, v_qty,
+        |  'lineitem.l_discount.range_0_0.1', n, v_disc,
+        |  'lineitem.l_shipdate.not_null', n, v_ship)
+        |AS (rule, checked, violations)""".stripMargin)
+
+    val ordAgg = ord.agg(
+      count(lit(1)).as("n"),
+      (count(col("o_orderkey")) - countDistinct(col("o_orderkey"))).as("v_dup"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+      sum(when(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("v_fresh"))
+    val ordLong = ordAgg.selectExpr(
+      """stack(3,
+        |  'orders.o_orderkey.unique', n, v_dup,
+        |  'orders.o_totalprice.positive', n, v_price,
+        |  'orders.o_orderdate.before_2000', n, v_fresh)
+        |AS (rule, checked, violations)""".stripMargin)
+
+    // referential integrity: child rows without a parent (anti join)
+    val ri = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .crossJoin(broadcast(liAgg.select(col("n").as("checked"))))
+      .select(lit("lineitem.l_orderkey.in_orders").as("rule"),
+        col("checked"), col("violations"))
+
+    liLong.unionByName(ordLong).unionByName(ri).orderBy(col("rule"))
+  }
+
+  val qualityConstraintsSql: String =
+    """WITH li AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+      |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+      |  FROM lineitem),
+      |ord AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v_dup,
+      |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+      |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v_fresh
+      |  FROM orders),
+      |ri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS violations FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |rules AS (
+      |  SELECT 'lineitem.l_quantity.range_1_50' AS rule, n AS checked, v_qty AS violations FROM li
+      |  UNION ALL SELECT 'lineitem.l_discount.range_0_0.1', n, v_disc FROM li
+      |  UNION ALL SELECT 'lineitem.l_shipdate.not_null', n, v_ship FROM li
+      |  UNION ALL SELECT 'orders.o_orderkey.unique', n, v_dup FROM ord
+      |  UNION ALL SELECT 'orders.o_totalprice.positive', n, v_price FROM ord
+      |  UNION ALL SELECT 'orders.o_orderdate.before_2000', n, v_fresh FROM ord
+      |  UNION ALL SELECT 'lineitem.l_orderkey.in_orders', (SELECT n FROM li), violations FROM ri)
+      |SELECT rule, checked, violations FROM rules ORDER BY rule""".stripMargin
+}
