@@ -33,10 +33,17 @@ object ShardedExport {
   private[graft] def shardExpr(keyCol: String, numShards: Int): org.apache.spark.sql.Column =
     pmod(hash(col(keyCol)), lit(numShards))
 
-  /** Write `df` as `numShards` hash-sharded parquet dirs under `outDir`
-    * (`_shard=K/`), plus `_manifest.json`. Returns the manifest. */
-  def writeShards(df: DataFrame, keyCol: String, outDir: String, numShards: Int): Manifest = {
+  /** Write `df` as `numShards` hash-sharded dirs under `outDir`
+    * (`_shard=K/`), plus `_manifest.json`. Returns the manifest.
+    *
+    * `format`: `parquet` (default) or `json` — JSONL is the wire format
+    * many training-data loaders consume directly; the shard layout,
+    * manifest, and key→shard map are IDENTICAL across formats, so a
+    * consumer can switch without re-partitioning anything. */
+  def writeShards(df: DataFrame, keyCol: String, outDir: String, numShards: Int,
+      format: String = "parquet"): Manifest = {
     require(numShards > 0, s"numShards must be positive: $numShards")
+    require(Set("parquet", "json").contains(format), s"unsupported format: $format")
     val root = Paths.get(outDir)
     Files.createDirectories(root.getParent match { case null => root; case p => p })
     val tmp = root.resolveSibling(root.getFileName.toString + ".tmp")
@@ -44,11 +51,12 @@ object ShardedExport {
     val sharded = df.withColumn(ShardCol, shardExpr(keyCol, numShards))
     sharded
       .repartition(numShards, col(ShardCol))
-      .write.partitionBy(ShardCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
+      .write.partitionBy(ShardCol).mode(SaveMode.Overwrite)
+      .format(format).save(tmp.toString)
     // per-shard counts from the written files (counts what actually
     // landed, not what the plan intended)
     val spark = df.sparkSession
-    val counts = spark.read.parquet(tmp.toString)
+    val counts = spark.read.format(format).load(tmp.toString)
       .groupBy(col(ShardCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val manifest = Manifest(numShards, counts.values.sum, counts)
@@ -68,8 +76,9 @@ object ShardedExport {
   }
 
   /** One shard as a DataFrame (partition-pruned read of `_shard=K`). */
-  def readShard(spark: org.apache.spark.sql.SparkSession, outDir: String, shard: Int): DataFrame =
-    spark.read.parquet(outDir)
+  def readShard(spark: org.apache.spark.sql.SparkSession, outDir: String, shard: Int,
+      format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(outDir)
       .filter(col(ShardCol) === shard)
       .drop(ShardCol)
 

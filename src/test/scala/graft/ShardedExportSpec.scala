@@ -34,6 +34,28 @@ class ShardedExportSpec extends AnyFunSuite {
     assert(ShardedExport.readManifest(dir) == m)
   }
 
+  test("jsonl export: same shard map as parquet, line-readable files") {
+    val base = Files.createTempDirectory("graft-jsonl")
+    val docs = (1L to 300L).map(i => (i, s"doc-$i")).toDF("doc_id", "text")
+    val mp = ShardedExport.writeShards(docs, "doc_id", base.resolve("pq").toString, 4)
+    val mj = ShardedExport.writeShards(docs, "doc_id", base.resolve("js").toString, 4, "json")
+    assert(mj == mp, "jsonl manifest diverges from parquet manifest")
+    (0 until 4).foreach { s =>
+      val pq = ShardedExport.readShard(spark, base.resolve("pq").toString, s)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val js = ShardedExport.readShard(spark, base.resolve("js").toString, s, "json")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(js == pq, s"shard $s key set diverges across formats")
+    }
+    // the files really are line-delimited JSON a non-Spark loader can read
+    val aFile = Files.walk(base.resolve("js")).iterator()
+    val jsonFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(aFile).asScala
+      .filter(p => p.getFileName.toString.endsWith(".json")).toList
+    assert(jsonFiles.nonEmpty)
+    val firstLine = Files.readAllLines(jsonFiles.head).get(0)
+    assert(firstLine.startsWith("{") && firstLine.contains("\"doc_id\""), firstLine)
+  }
+
   test("re-export is deterministic: same rows land in the same shards") {
     val base = Files.createTempDirectory("graft-shards-det")
     val docs = (1L to 500L).map(i => (i, s"doc-$i")).toDF("doc_id", "text")
