@@ -72,6 +72,33 @@ class DataLayoutSpec extends AnyFunSuite {
       s"expected ${DataLayout.ZBucketCol} partition filters in:\n$plan")
   }
 
+  test("random rectangles: pruned read equals plain filter for every query") {
+    val rnd = new scala.util.Random(20260814)
+    val dir = Files.createTempDirectory("layout-prop").toString
+    val df = spark.range(5000).selectExpr(
+      "CAST(hash(id) % 100000 AS LONG) AS a",
+      "CAST(hash(id + 7) % 1000 AS LONG) AS b")
+    DataLayout.writeZOrdered(df, dir, "a", "b", bucketBits = 4)
+    val cached = df.cache(); cached.count()
+    (1 to 12).foreach { _ =>
+      val (a1, a2) = {
+        val x = rnd.nextLong() % 100000; val y = rnd.nextLong() % 100000
+        (math.min(x, y), math.max(x, y))
+      }
+      val (b1, b2) = {
+        val x = rnd.nextLong() % 1000; val y = rnd.nextLong() % 1000
+        (math.min(x, y), math.max(x, y))
+      }
+      val pruned = DataLayout.readPruned(spark, dir, "a", a1, a2, "b", b1, b2)
+        .selectExpr("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val plain = cached
+        .filter(col("a").between(a1, a2) && col("b").between(b1, b2))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(pruned == plain, s"rectangle [$a1,$a2]x[$b1,$b2] diverges")
+    }
+    cached.unpersist()
+  }
+
   test("degenerate constant dimension lays out without error") {
     val dir = Files.createTempDirectory("layout-const").toString
     val df = spark.range(100).selectExpr("id AS a", "CAST(7 AS LONG) AS b")
