@@ -59,13 +59,27 @@ object DataLayout {
     * per-bucket stats, not the curve. */
   private def rank16(c: Column, mn: Long, mx: Long): Column = {
     val span = mx - mn
-    if (span + 1 <= 65536L) {
-      val scale = 65536.0 / (span + 1).toDouble
-      floor((c - lit(mn)).cast("double") * scale).cast("long")
-    } else {
-      val w = span / 65536L + 1L
-      ((c - lit(mn)) / lit(w.toDouble)).cast("long")
-    }
+    val raw =
+      if (span + 1 <= 65536L) {
+        val scale = 65536.0 / (span + 1).toDouble
+        floor((c - lit(mn)).cast("double") * scale).cast("long")
+      } else {
+        val w = span / 65536L + 1L
+        ((c - lit(mn)) / lit(w.toDouble)).cast("long")
+      }
+    // appended rows may fall outside the ranges the layout was built
+    // with — clamp so they land in the edge buckets (whose MEASURED
+    // stats then widen to cover them; pruning never trusts the curve)
+    greatest(lit(0L), least(lit(65535L), raw))
+  }
+
+  /** Bucket assignment for a layout's saved constants — the one
+    * definition the initial write AND every append share. */
+  private def bucketExpr(m: LayoutMeta): Column = {
+    val z = interleave(
+      rank16(col(m.colA).cast("long"), m.aMn, m.aMx),
+      rank16(col(m.colB).cast("long"), m.bMn, m.bMx))
+    shiftrightunsigned(z, 2 * Bits - m.bucketBits).cast("int")
   }
 
   /** Morton interleave of two 16-bit ranks: z bit 2i+1 = a bit i,
@@ -81,6 +95,27 @@ object DataLayout {
     Paths.get(layoutDir, "data").toString
   private def statsDir(layoutDir: String): String =
     Paths.get(layoutDir, "stats").toString
+  private def metaPath(layoutDir: String): java.nio.file.Path =
+    Paths.get(layoutDir, "_zorder_meta")
+
+  /** Layout constants captured at [[writeZOrdered]] so appends assign
+    * rows with the SAME curve (normalization ranges must not drift
+    * between generations or identical values land in different
+    * buckets). */
+  final case class LayoutMeta(
+      colA: String, colB: String, bucketBits: Int,
+      aMn: Long, aMx: Long, bMn: Long, bMx: Long)
+
+  private def writeMeta(layoutDir: String, m: LayoutMeta): Unit = {
+    java.nio.file.Files.createDirectories(Paths.get(layoutDir))
+    java.nio.file.Files.writeString(metaPath(layoutDir),
+      s"${m.colA}\n${m.colB}\n${m.bucketBits}\n${m.aMn}\n${m.aMx}\n${m.bMn}\n${m.bMx}\n")
+  }
+
+  def readMeta(layoutDir: String): LayoutMeta = {
+    val ls = java.nio.file.Files.readString(metaPath(layoutDir)).split("\n")
+    LayoutMeta(ls(0), ls(1), ls(2).toInt, ls(3).toLong, ls(4).toLong, ls(5).toLong, ls(6).toLong)
+  }
 
   /** Rewrite `df` under `layoutDir` clustered by the Z-curve over
     * (`colA`, `colB`) into `2^bucketBits` bucket directories, plus the
@@ -97,12 +132,10 @@ object DataLayout {
         min(col(colA).cast("long")), max(col(colA).cast("long")),
         min(col(colB).cast("long")), max(col(colB).cast("long")))
       .head()
-    val (aMn, aMx, bMn, bMx) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    val z = interleave(
-      rank16(col(colA).cast("long"), aMn, aMx),
-      rank16(col(colB).cast("long"), bMn, bMx))
-    val bucket = shiftrightunsigned(z, 2 * Bits - bucketBits).cast("int")
-    val clustered = df.withColumn(ZBucketCol, bucket)
+    val meta = LayoutMeta(colA, colB, bucketBits,
+      r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    writeMeta(layoutDir, meta)
+    val clustered = df.withColumn(ZBucketCol, bucketExpr(meta))
     clustered
       .repartition(col(ZBucketCol))
       .write.mode(SaveMode.Overwrite)
@@ -124,6 +157,45 @@ object DataLayout {
   }
 
   private def spark(df: DataFrame): SparkSession = df.sparkSession
+
+  /** Append an increment to an existing layout WITHOUT a rewrite — the
+    * maintenance path a continuously-ingesting 100 TB table needs. New
+    * rows are assigned with the layout's SAVED curve constants
+    * (out-of-range values clamp into the edge buckets), so identical
+    * values always co-locate with the original generation; the bucket
+    * stats are widened by an outer min/max merge with the increment's
+    * own one-agg stats.
+    *
+    * Crash-ordering: stats are published BEFORE the data lands. A crash
+    * between the two leaves stats looser than the data they describe —
+    * pruning then opens a bucket it didn't strictly need, which is
+    * correct; the reverse order could SKIP a bucket that holds new rows,
+    * which is data loss at read time. */
+  def append(df: DataFrame, layoutDir: String): Unit = {
+    val m = readMeta(layoutDir)
+    val spark = df.sparkSession
+    val incStats = df
+      .withColumn(ZBucketCol, bucketExpr(m))
+      .groupBy(col(ZBucketCol).as("bucket"))
+      .agg(
+        min(col(m.colA).cast("long")).as("aMin"), max(col(m.colA).cast("long")).as("aMax"),
+        min(col(m.colB).cast("long")).as("bMin"), max(col(m.colB).cast("long")).as("bMax"))
+      .collect()
+      .map(r => BucketStats(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val old = readStats(spark, layoutDir)
+    val merged = (old ++ incStats).groupBy(_.bucket).map { case (b, ss) =>
+      BucketStats(b, ss.map(_.aMin).min, ss.map(_.aMax).max,
+        ss.map(_.bMin).min, ss.map(_.bMax).max)
+    }.toSeq.sortBy(_.bucket)
+    import spark.implicits._
+    merged.toDF("bucket", "aMin", "aMax", "bMin", "bMax")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir(layoutDir))
+    df.withColumn(ZBucketCol, bucketExpr(m))
+      .repartition(col(ZBucketCol))
+      .write.mode(SaveMode.Append)
+      .partitionBy(ZBucketCol)
+      .parquet(dataDir(layoutDir))
+  }
 
   /** Stats rows for `layoutDir` — ≤ 2^bucketBits of them, bounded. */
   def readStats(spark: SparkSession, layoutDir: String): Seq[BucketStats] =

@@ -99,6 +99,35 @@ class DataLayoutSpec extends AnyFunSuite {
     cached.unpersist()
   }
 
+  test("append maintains the layout: saved curve, widened stats, exact pruned reads") {
+    val dir = Files.createTempDirectory("layout-append").toString
+    val base = spark.range(2000).selectExpr("id AS a", "CAST(id % 500 AS LONG) AS b")
+    DataLayout.writeZOrdered(base, dir, "a", "b", bucketBits = 4)
+    // increment: half in-range re-keys, half OUTSIDE the original ranges
+    val inc = spark.range(400).selectExpr(
+      "CASE WHEN id < 200 THEN id * 7 ELSE 5000 + id END AS a",
+      "CASE WHEN id < 200 THEN CAST(id % 500 AS LONG) ELSE 900 + id END AS b")
+    DataLayout.append(inc, dir)
+    val everything = base.unionByName(inc)
+    // rectangles inside, straddling, and fully beyond the original range
+    Seq((100L, 900L, 50L, 400L), (1500L, 6000L, 100L, 1400L), (5000L, 6000L, 900L, 1400L))
+      .foreach { case (a1, a2, b1, b2) =>
+        val pruned = DataLayout.readPruned(spark, dir, "a", a1, a2, "b", b1, b2)
+          .selectExpr("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val plain = everything
+          .filter(col("a").between(a1, a2) && col("b").between(b1, b2))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(plain.nonEmpty, s"fixture rectangle [$a1,$a2]x[$b1,$b2] empty")
+        assert(pruned == plain, s"rectangle [$a1,$a2]x[$b1,$b2] diverges after append")
+      }
+    // identical values co-locate across generations: re-appending rows the
+    // base already holds must create no new bucket
+    val before = DataLayout.readStats(spark, dir).map(_.bucket).toSet
+    DataLayout.append(base.limit(50), dir)
+    val after = DataLayout.readStats(spark, dir).map(_.bucket).toSet
+    assert(after == before, "re-appended duplicate keys opened new buckets")
+  }
+
   test("degenerate constant dimension lays out without error") {
     val dir = Files.createTempDirectory("layout-const").toString
     val df = spark.range(100).selectExpr("id AS a", "CAST(7 AS LONG) AS b")
