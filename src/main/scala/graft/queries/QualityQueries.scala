@@ -50,12 +50,15 @@ object QualityQueries {
         |  'orders.o_orderdate.before_2000', n, v_fresh)
         |AS (rule, checked, violations)""".stripMargin)
 
-    // referential integrity: child rows without a parent (anti join)
-    val ri = li.select(col("l_orderkey"))
+    // referential integrity: child keys outer-joined to the parent, ONE
+    // aggregated frame carrying both counters (checked = child rows,
+    // violations = child rows with no parent) — no extra scan for the
+    // denominator
+    val ri = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
       .join(ord.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("violations"))
-      .crossJoin(broadcast(liAgg.select(col("n").as("checked"))))
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .agg(sum(col("cnt")).as("checked"),
+        sum(when(col("o_orderkey").isNull, col("cnt")).otherwise(0L)).as("violations"))
       .select(lit("lineitem.l_orderkey.in_orders").as("rule"),
         col("checked"), col("violations"))
 
@@ -76,8 +79,10 @@ object QualityQueries {
       |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v_fresh
       |  FROM orders),
       |ri AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS violations FROM lineitem l
-      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS checked,
+      |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS violations
+      |  FROM (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1) k
+      |  LEFT JOIN orders o ON o.o_orderkey = k.l_orderkey),
       |rules AS (
       |  SELECT 'lineitem.l_quantity.range_1_50' AS rule, n AS checked, v_qty AS violations FROM li
       |  UNION ALL SELECT 'lineitem.l_discount.range_0_0.1', n, v_disc FROM li
@@ -85,6 +90,6 @@ object QualityQueries {
       |  UNION ALL SELECT 'orders.o_orderkey.unique', n, v_dup FROM ord
       |  UNION ALL SELECT 'orders.o_totalprice.positive', n, v_price FROM ord
       |  UNION ALL SELECT 'orders.o_orderdate.before_2000', n, v_fresh FROM ord
-      |  UNION ALL SELECT 'lineitem.l_orderkey.in_orders', (SELECT n FROM li), violations FROM ri)
+      |  UNION ALL SELECT 'lineitem.l_orderkey.in_orders', checked, violations FROM ri)
       |SELECT rule, checked, violations FROM rules ORDER BY rule""".stripMargin
 }

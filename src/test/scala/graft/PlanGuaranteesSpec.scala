@@ -384,4 +384,40 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(optimized.collect { case l: GlobalLimit => l }.size >= 3,
       s"missing the output limit:\n$optimized")
   }
+
+  test("cdc_table_diff joins summaries, never rows — aggregates sit below the only join") {
+    // the whole design: each side collapses to ≤N_buckets rows BEFORE
+    // the full-outer compare, so the exchange never carries table rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = SparkEntry.queries("cdc_table_diff")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    val joins = optimized.collect { case j: Join => j }
+    assert(joins.size == 1, s"want exactly the summary join, got ${joins.size}:\n$optimized")
+    joins.foreach { j =>
+      assert(j.left.collect { case a: Aggregate => a }.nonEmpty &&
+        j.right.collect { case a: Aggregate => a }.nonEmpty,
+        s"diff joins un-aggregated table rows:\n$j")
+    }
+    assert(!physical(df).contains("Window"), "table diff plans a Window")
+  }
+
+  test("quality_constraints: one conditional-count agg per table scan, RI as one outer join") {
+    val df = SparkEntry.queries("quality_constraints")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), "quality audit plans a Window")
+    assert(!plan.contains("CartesianProduct"), "quality audit plans a cartesian join")
+    assert(plan.contains("LeftOuter"), s"RI check lost its outer join:\n${plan.take(2000)}")
+    // 2 rule scans + 2 RI scans — a per-rule scan would blow this up
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 4, s"quality audit runs $scans scans — rules are not folded:\n${plan.take(2000)}")
+  }
+
+  test("text_bpe_pairs: word table aggregates once, no window, no join") {
+    val df = SparkEntry.queries("text_bpe_pairs")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), "bpe pair count plans a Window")
+    assert(!plan.contains("Join"), s"bpe pair count plans a join:\n${plan.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"bpe pair count scans the corpus $scans times")
+  }
 }
