@@ -132,6 +132,68 @@ object RetrievalQueries {
       .orderBy(col("probe_id"))
   }
 
+  // --- late-interaction (multi-vector) retrieval ----------------------
+  // The ColBERT scoring shape: a document is MANY chunk vectors, and
+  // score(q, d) = Σ_{p ∈ q.chunks} max_{c ∈ d.chunks} sim(p, c) — finer
+  // than one pooled vector because each query chunk independently finds
+  // its best-matching passage. Chunk "embeddings" are the same
+  // deterministic md5 int stub vec_chunk_pool uses (real encoders slot
+  // into the identical plumbing), and sim is an INTEGER dot product, so
+  // the whole maxsim chain is exact and hash-oracle-checked.
+  //
+  // Scale shape: the probe's chunks broadcast (a query is a handful of
+  // vectors); the corpus side is one chunk scan; maxsim is TWO hash
+  // aggs — max per (doc, probe-chunk), then sum per doc — never a
+  // window, and the exchange carries one row per (doc, probe-chunk).
+  private val LiProbeDoc = 1L
+  private val LiTopN = 10
+  private val LiDims = 16 // md5 hex yields 16 byte-pairs
+
+  private def liEmbCols(h: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until LiDims).map(d =>
+      (conv(substring(h, 2 * d + 1, 2), 16, 10).cast("long") % 16).as(s"e$d"))
+
+  def vecLateInteraction(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = TextQueries.chunkFrame(Tables.load(spark, sfDir, "documents"))
+    val emb = chunks
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk_text")).as("h"))
+      .select(col("doc_id") +: col("chunk_idx") +: liEmbCols(col("h")): _*)
+    val probe = emb.filter(col("doc_id") === LiProbeDoc)
+      .select(col("chunk_idx").as("p_idx") +:
+        (0 until LiDims).map(d => col(s"e$d").as(s"p$d")): _*)
+    val dot = (0 until LiDims).foldLeft(lit(0L)) { (acc, d) =>
+      acc + col(s"e$d") * col(s"p$d")
+    }
+    emb.filter(col("doc_id") =!= LiProbeDoc)
+      .join(broadcast(probe))
+      .select(col("doc_id"), col("p_idx"), dot.as("dp"))
+      .groupBy(col("doc_id"), col("p_idx"))
+      .agg(max(col("dp")).as("best"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("best")).as("li_score"))
+      .orderBy(col("li_score").desc, col("doc_id"))
+      .limit(LiTopN)
+  }
+
+  val vecLateInteractionSql: String = {
+    val es = (0 until LiDims).map(d =>
+      s"CAST(('0x' || substr(md5(chunk_text), ${2 * d + 1}, 2)) AS BIGINT) % 16 AS e$d")
+      .mkString(",\n    ")
+    val dot = (0 until LiDims).foldLeft("0") { (acc, d) => s"$acc + c.e$d * p.p$d" }
+    val ps = (0 until LiDims).map(d => s"e$d AS p$d").mkString(", ")
+    s"""WITH chunks AS (${TextQueries.textChunkBodySql}),
+      |emb AS (
+      |  SELECT doc_id, chunk_idx, $es
+      |  FROM chunks),
+      |probe AS (SELECT chunk_idx AS p_idx, $ps FROM emb WHERE doc_id = $LiProbeDoc),
+      |best AS (
+      |  SELECT c.doc_id, p.p_idx, max($dot) AS best
+      |  FROM emb c CROSS JOIN probe p WHERE c.doc_id != $LiProbeDoc
+      |  GROUP BY c.doc_id, p.p_idx)
+      |SELECT doc_id, CAST(sum(best) AS BIGINT) AS li_score
+      |FROM best GROUP BY doc_id ORDER BY li_score DESC, doc_id LIMIT $LiTopN""".stripMargin
+  }
+
   val retrievalEvalSql: String =
     s"""WITH truth AS (
       |  SELECT probe_id, neighbor_id FROM (${VectorQueries.vecTopkSql}) t),

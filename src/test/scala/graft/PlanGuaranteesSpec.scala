@@ -412,6 +412,16 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(scans <= 4, s"quality audit runs $scans scans — rules are not folded:\n${plan.take(2000)}")
   }
 
+  test("vec_late_interaction: probe broadcast, maxsim as two hash aggs, no window") {
+    val df = SparkEntry.queries("vec_late_interaction")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), "late interaction plans a Window")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probe chunks are not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"late interaction plans a cartesian (probe not broadcast):\n${plan.take(2000)}")
+  }
+
   test("text_bpe_pairs: word table aggregates once, no window, no join") {
     val df = SparkEntry.queries("text_bpe_pairs")(spark, sf)
     val plan = physical(df)
