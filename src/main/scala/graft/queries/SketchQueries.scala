@@ -191,6 +191,97 @@ object SketchQueries {
       |FROM events
       |WHERE CAST(('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8)) AS BIGINT) % $SampleMod = 0""".stripMargin
 
+  // --- KMV set-operation algebra: intersection from per-scope sketches --
+  // The audience-overlap question ("how many of day d's users returned
+  // on day d+1") answered from the SAME persisted per-day KMV sketches
+  // the distinct counts use — never a re-scan, never an exact
+  // user_id⨝user_id shuffle across days. Standard KMV intersection
+  // estimator: merge the two sketches into the union sketch (k smallest
+  // distinct hashes of A∪B), let ρ = the fraction of those that appear
+  // in BOTH input sketches, and est(∩) = ρ · est(∪). Below capacity the
+  // union sketch IS the full distinct hash set and the estimate is
+  // exact. All array ops are builtins over ≤k-long sorted arrays; the
+  // pair frame is one row per adjacent day. `true_intersect` rides
+  // along as the eval column (same pattern as sketch_heavy_hitters'
+  // true_count): its exact distinct-pair join is what production SKIPS
+  // at 100 TB — the retention curve comes from sketches alone.
+  private val DayNs = 86400L * 1000000000L
+
+  def sketchDistinctIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val kmv = udaf(new KmvAgg(KmvK))
+    val perDay = ev.filter(col("user_id").isNotNull)
+      .select(expr(s"ts div ${DayNs}L").as("day"),
+        Kmv.keyHash(col("user_id")).as("hv"))
+      .groupBy(col("day"))
+      .agg(kmv(col("hv")).as("ks"))
+    val pairs = perDay.select(col("day"), col("ks").as("ka"))
+      .join(broadcast(perDay.select((col("day") - 1).as("day"), col("ks").as("kb"))),
+        Seq("day"))
+    val u = slice(array_sort(array_union(col("ka"), col("kb"))), 1, KmvK)
+    val est = pairs
+      .select(col("day"), col("ka"), col("kb"), u.as("un"))
+      .select(col("day"),
+        size(col("un")).as("kk"),
+        size(array_intersect(col("un"), array_intersect(col("ka"), col("kb")))).as("ib"),
+        when(size(col("un")) < KmvK, size(col("un")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) /
+            (element_at(col("un"), KmvK).cast("double") / lit(Kmv.Hash60))).as("est_u"))
+      .select(col("day"),
+        round(col("est_u"), 6).as("est_union"),
+        round(col("ib").cast("double") / col("kk").cast("double") * col("est_u"), 6)
+          .as("est_returning"))
+    val ud = ev.filter(col("user_id").isNotNull)
+      .select(expr(s"ts div ${DayNs}L").as("day"), col("user_id")).distinct()
+    val truth = ud
+      .join(ud.select((col("day") - 1).as("day"), col("user_id")), Seq("day", "user_id"),
+        "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("true_returning"))
+    est.join(truth, Seq("day"), "left")
+      .select(col("day"), col("est_union"), col("est_returning"),
+        coalesce(col("true_returning"), lit(0L)).as("true_returning"))
+      .orderBy(col("day"))
+  }
+
+  val sketchDistinctIntersectSql: String =
+    s"""WITH h AS (
+      |  SELECT DISTINCT epoch_ns(ts) // $DayNs AS day,
+      |    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+      |  FROM events WHERE user_id IS NOT NULL),
+      |r AS (
+      |  SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+      |  FROM h),
+      |sk AS (
+      |  SELECT day, list(hv ORDER BY hv) AS ks
+      |  FROM r WHERE rn <= $KmvK GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.day, a.ks AS ka, b.ks AS kb
+      |  FROM sk a JOIN sk b ON b.day = a.day + 1),
+      |wu AS (
+      |  SELECT day, ka, kb,
+      |    list_sort(list_distinct(list_concat(ka, kb)))[1:$KmvK] AS un
+      |  FROM pairs),
+      |calc AS (
+      |  SELECT day, len(un) AS kk,
+      |    len(list_intersect(un, list_intersect(ka, kb))) AS ib,
+      |    CASE WHEN len(un) < $KmvK THEN CAST(len(un) AS DOUBLE)
+      |      ELSE ${KmvK - 1}.0 / (CAST(un[$KmvK] AS DOUBLE) / ${Kmv.Hash60}) END AS est_u
+      |  FROM wu),
+      |ud AS (
+      |  SELECT DISTINCT epoch_ns(ts) // $DayNs AS day, user_id
+      |  FROM events WHERE user_id IS NOT NULL),
+      |ti AS (
+      |  SELECT a.day, count(*) AS true_returning
+      |  FROM ud a WHERE EXISTS (
+      |    SELECT 1 FROM ud b WHERE b.user_id = a.user_id AND b.day = a.day + 1)
+      |  GROUP BY 1)
+      |SELECT c.day, round(est_u, 6) AS est_union,
+      |  round(CAST(ib AS DOUBLE) / CAST(kk AS DOUBLE) * est_u, 6) AS est_returning,
+      |  coalesce(ti.true_returning, 0) AS true_returning
+      |FROM calc c LEFT JOIN ti ON c.day = ti.day
+      |ORDER BY c.day""".stripMargin
+
   // --- sketch re-aggregation: per-group sketches → global rollup --------
   // The OTHER half of the sketch contract, and the reason sketches win
   // at 100 TB: per-scope sketches (per hour, per source, per partition)

@@ -204,4 +204,22 @@ class SketchSpec extends AnyFunSuite {
       assert(math.abs(estTotal.toDouble - n) <= 0.30 * n, s"$t total: $estTotal vs $n")
     }
   }
+
+  test("KMV intersection estimate tracks true day-over-day returning users") {
+    val rows = SketchQueries.sketchDistinctIntersect(spark, sfDir).collect()
+    assert(rows.length > 5, s"only ${rows.length} adjacent-day pairs")
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_returning")
+      val truth = r.getAs[Long]("true_returning").toDouble
+      // k=64 union sketch + binomial rho: comfortably within 35% here
+      assert(math.abs(est - truth) <= 0.35 * truth,
+        s"day ${r.getAs[Long]("day")}: est $est vs true $truth")
+    }
+    // aggregate error should be far tighter than the per-day bound
+    val mre = rows.map { r =>
+      math.abs(r.getAs[Double]("est_returning") - r.getAs[Long]("true_returning")) /
+        r.getAs[Long]("true_returning").toDouble
+    }.sum / rows.length
+    assert(mre <= 0.15, s"mean relative error $mre")
+  }
 }
