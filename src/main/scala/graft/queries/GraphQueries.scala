@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Graph analytics over the near-dup candidate graph — the corpus as a
+  * similarity graph, beyond the connected components `dedup_clusters`
+  * already extracts.
+  *
+  * PageRank gives each document a CENTRALITY inside its near-dup
+  * neighborhood: the canonical-selection and importance-sampling signal
+  * ("keep the version everything else points at") that min-doc-id or
+  * max-length canonical picks cannot express.
+  *
+  * Scale shape: power iteration, each round = one join of the edge list
+  * against the |V|-row rank frame plus one dst-keyed hash-agg — O(|V|+|E|)
+  * per round, the same per-round bill as `clusterLabels`, never a
+  * transitive closure, never a window. Rounds are FIXED here (3) so the
+  * whole computation is one declarative plan the oracle can mirror
+  * CTE-for-CTE; production iterates to an epsilon with the
+  * `localCheckpoint` lineage truncation `clusterLabels` demonstrates.
+  * Undirected near-dup edges mean every node has in- and out-degree ≥ 1,
+  * so there is no dangling-mass term.
+  *
+  * Cross-engine float parity: per-edge contributions are one IEEE
+  * divide, then every SUM goes through DECIMAL(28,14) so partial-agg
+  * merge order cannot perturb it (float sums are the one
+  * order-dependent op in the chain), and the damping update is an
+  * identical literal multiply/add both sides.
+  */
+object GraphQueries {
+
+  private val PrIters = 3
+
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(28, 14)
+    val pairs = DedupQueries.minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .cache() // both union branches read it — uncached, the minhash chain runs twice
+    // undirected edges, with src degree attached once — read 3× (one per
+    // iteration); uncached each read reruns the whole minhash chain
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = e.join(deg, Seq("src")).cache()
+    val nF = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(nF))
+      .select(col("src").as("doc_id"), (lit(1.0d) / col("n").cast(DoubleType)).as("pr"))
+    for (_ <- 1 to PrIters) {
+      pr = edges
+        .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst"), (col("pr") / col("deg").cast(DoubleType)).cast(dec).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .crossJoin(broadcast(nF))
+        .select(col("dst").as("doc_id"),
+          (lit(0.15d) / col("n").cast(DoubleType)
+            + lit(0.85d) * col("s").cast(DoubleType)).as("pr"))
+    }
+    pr.select(col("doc_id"), round(col("pr"), 9).as("pr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val graphPagerankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      val prev = if (i == 1) "p0" else s"it${i - 1}"
+      s"""it${i}s AS (
+        |  SELECT e.dst AS doc_id,
+        |    sum(CAST(p.pr / CAST(e.deg AS DOUBLE) AS DECIMAL(28,14))) AS s
+        |  FROM e2 e JOIN $prev p ON e.src = p.doc_id GROUP BY 1),
+        |it$i AS (
+        |  SELECT doc_id, 0.15 / CAST(n AS DOUBLE) + 0.85 * CAST(s AS DOUBLE) AS pr
+        |  FROM it${i}s CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+      |  SELECT doc_a, doc_b FROM (${DedupQueries.minhashLshSql})
+      |),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |e2 AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+      |n AS (SELECT count(*) AS n FROM deg),
+      |p0 AS (SELECT src AS doc_id, 1.0 / CAST(n AS DOUBLE) AS pr
+      |       FROM deg CROSS JOIN n),
+      |$iters
+      |SELECT doc_id, round(pr, 9) AS pr FROM it$PrIters ORDER BY doc_id""".stripMargin
+  }
+}

@@ -527,6 +527,54 @@ object TextQueries {
       |SELECT doc_id, n_bigrams, sum_bits, sum_bits / n_bigrams AS bits_per_bigram
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // --- inverted index build (impact-ordered, bounded postings) ---------
+  // The retrieval-side index the BM25/fusion queries presume: one row
+  // per term with document frequency, collection frequency, and the
+  // top-[[PostK]] postings by term frequency — the impact-ordered index
+  // prefix WAND-style engines score first. The posting list is built by
+  // the bounded partial-merge [[graft.functions.TopKAgg]], so per-term
+  // state through the exchange is ≤ k entries no matter how many
+  // documents contain the term (a collect_list + sort would ship every
+  // posting of every term through one partition — the classic skew
+  // killer: think of the term "the" at 100 TB).
+  private val PostK = 16
+  def textInvertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{ScoredId, TopKAgg}
+    val docs = Tables.load(spark, sfDir, "documents")
+    val topk = udaf(new TopKAgg(PostK))
+    val tf = docs
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("term"))
+      .filter(col("term").isNotNull) // vs explode: avoids the inferred-filter double tokenize
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        topk(col("tf").cast("double"), col("doc_id")).as("pk"))
+      .select(col("term"), col("df"), col("cf"),
+        posexplode(col("pk")).as(Seq("pos", "p")))
+      .select(col("term"), col("df"), col("cf"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("doc_id"), col("p.sim").cast("long").as("tf"))
+      .orderBy(col("term"), col("rank"))
+  }
+
+  val textInvertedIndexSql: String =
+    s"""WITH tf AS (
+      |  SELECT tok AS term, doc_id, count(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |stats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+      |          FROM tf GROUP BY 1),
+      |r AS (
+      |  SELECT term, doc_id, tf,
+      |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+      |  FROM tf)
+      |SELECT r.term, df, cf, CAST(rn AS INT) AS rank, doc_id, tf
+      |FROM r JOIN stats USING (term) WHERE rn <= $PostK
+      |ORDER BY r.term, rank""".stripMargin
+
   // --- trained linear quality classifier (weak supervision) ------------
   // The fastText-filter shape (CCNet / RefinedWeb quality gating): a
   // LINEAR model over feature-hashed bag-of-words scores every document

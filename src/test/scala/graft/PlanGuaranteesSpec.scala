@@ -422,6 +422,23 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"late interaction plans a cartesian (probe not broadcast):\n${plan.take(2000)}")
   }
 
+  test("text_inverted_index: bounded TopKAgg postings, no window over raw postings") {
+    val df = SparkEntry.queries("text_inverted_index")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"),
+      s"posting build plans a Window (unbounded per-term shuffle):\n${plan.take(2000)}")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TopKAgg did not plan as an ObjectHashAggregate:\n${plan.take(2000)}")
+  }
+
+  test("graph_pagerank: power iteration plans hash joins + aggs, no window, no cartesian") {
+    val df = SparkEntry.queries("graph_pagerank")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), s"pagerank plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"pagerank plans a cartesian (scalar n frame not broadcast?):\n${plan.take(2000)}")
+  }
+
   test("text_bpe_pairs: word table aggregates once, no window, no join") {
     val df = SparkEntry.queries("text_bpe_pairs")(spark, sf)
     val plan = physical(df)
