@@ -89,6 +89,12 @@ object VectorQueries {
   // not corpus size. Recall < 1 by design; the oracle mirrors the same
   // probe policy so parity is exact.
   private val CentroidStride = 25
+
+  /** The sampled coarse quantizer every IVF path shares: one (cent_id,
+    * cemb) row per strided corpus vector — bounded model-sized frame. */
+  private[graft] def sampledCentroids(vecs: DataFrame): DataFrame =
+    vecs.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
   private val NProbe = 2
 
   /** Nearest-centroid assignment as ONE hash aggregation: `max_by`
@@ -97,7 +103,7 @@ object VectorQueries {
     * scored rows (at 1 B vectors × 10 k centroids, 10^13 rows). The
     * `(sim, -cent_id)` ordering key reproduces the window's
     * `sim DESC, cent_id ASC` tie-break deterministically. */
-  private[queries] def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         cosine(col("embedding"), col("cemb")).as("csim"))
@@ -110,7 +116,7 @@ object VectorQueries {
     * both per-probe rankings run through the bounded partial-merge
     * [[TopKAgg]] (shuffle ≤ probes × k rows), never a per-probe window
     * shuffle. */
-  private def probeLists(vecs: DataFrame, cents: DataFrame, assigned: DataFrame): DataFrame = {
+  private[graft] def probeLists(vecs: DataFrame, cents: DataFrame, assigned: DataFrame): DataFrame = {
     val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
     val topNProbe = udaf(new TopKAgg(NProbe))
@@ -137,8 +143,7 @@ object VectorQueries {
   def vecIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
     val vecs = Tables.load(spark, sfDir, "embeddings")
-    val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val cents = sampledCentroids(vecs)
     probeLists(vecs, cents, assignNearest(vecs, cents))
   }
 
@@ -170,8 +175,7 @@ object VectorQueries {
     VectorFunctions.register(spark)
     val dir = prepareIvfIndex(spark, sfDir)
     val vecs = Tables.load(spark, sfDir, "embeddings")
-    val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val cents = sampledCentroids(vecs)
     probeLists(vecs, cents, spark.read.parquet(dir))
   }
 
@@ -663,8 +667,7 @@ object VectorQueries {
     * its centroid id, the centroid embedding, and the double residual. */
   private def residualFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = Tables.load(spark, sfDir, "embeddings")
-    val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val cents = sampledCentroids(vecs)
     assignNearest(vecs, cents).join(broadcast(cents), Seq("cent_id"))
       .select(col("vec_id"), col("cent_id"), col("embedding"),
         zip_with(col("embedding"), col("cemb"),
@@ -694,8 +697,7 @@ object VectorQueries {
   def vecIvfPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
     val vecs = Tables.load(spark, sfDir, "embeddings")
-    val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val cents = sampledCentroids(vecs)
     // ONE assignment pass feeds both codebook training (the pool collect
     // materializes it into the cache) and encoding — unshared, each side
     // would pay its own N×C scoring plus an N-row shuffle. MEMORY_AND_DISK:

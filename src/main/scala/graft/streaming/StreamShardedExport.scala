@@ -74,8 +74,21 @@ object StreamShardedExport {
     * a crash mid-write can never leave a truncated marker that reads
     * as a valid commit. */
   def commitBatch(batch: DataFrame, keyCol: String, outDir: String,
+      numShards: Int, epochId: Long): Boolean =
+    commitWithShards(
+      batch.withColumn(ShardCol, ShardedExport.shardExpr(keyCol, numShards)),
+      outDir, numShards, epochId)
+
+  /** Same landing protocol, but the partition column is ALREADY on the
+    * batch — the seam that lets other partitioned continuous sinks (the
+    * streaming IVF inverted-list table partitions by centroid list, not
+    * by key hash) reuse the marker algebra, compaction, and manifest
+    * unchanged. `numShards` here only sizes the write repartition. */
+  private[streaming] def commitWithShards(batch: DataFrame, outDir: String,
       numShards: Int, epochId: Long): Boolean = {
     require(numShards > 0, s"numShards must be positive: $numShards")
+    require(batch.columns.contains(ShardCol),
+      s"commitWithShards needs a precomputed $ShardCol column")
     val root = Paths.get(outDir)
     val marker = markerPath(root, epochId)
     if (Files.exists(marker)) return false // exactly-once: already landed
@@ -104,12 +117,10 @@ object StreamShardedExport {
     val tmp = root.resolve(
       s".batch-$epochId-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     batch
-      .withColumn(ShardCol, ShardedExport.shardExpr(keyCol, numShards))
       .repartition(numShards, col(ShardCol))
       .write.partitionBy(ShardCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
     // count what actually landed, then publish: rename data, marker LAST
-    val counts = batch.sparkSession.read.schema(
-        batch.schema.add(ShardCol, org.apache.spark.sql.types.IntegerType))
+    val counts = batch.sparkSession.read.schema(batch.schema)
       .parquet(tmp.toString)
       .groupBy(col(ShardCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
