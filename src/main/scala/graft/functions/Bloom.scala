@@ -56,9 +56,16 @@ object Bloom {
 
   def mayContain(words: Array[Long], hash: Column, mBits: Int = DefaultBits,
       k: Int = DefaultK): Column =
+    mayContainCol(lit(words), hash, mBits, k)
+
+  /** Same test with the filter words as a COLUMN — for probing a
+    * bounded frame of per-partition filters (one words row per bucket,
+    * e.g. [[graft.snapshot.BloomIndex]]) instead of one global literal. */
+  def mayContainCol(words: Column, hash: Column, mBits: Int = DefaultBits,
+      k: Int = DefaultK): Column =
     (0 until k).map { i =>
       val idx = probeIndexCol(hash, i, mBits)
-      val word = element_at(lit(words), shiftrightunsigned(idx, 6).cast("int") + 1)
+      val word = element_at(words, shiftrightunsigned(idx, 6).cast("int") + 1)
       val mask = element_at(lit(BitMasks), idx.bitwiseAND(lit(63L)).cast("int") + 1)
       word.bitwiseAND(mask) =!= 0L
     }.reduce(_ && _)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.snapshot.DataLayout
+import graft.snapshot.{BloomIndex, DataLayout}
 
 /** Z-order layout rectangle read over the events log — the
   * data-skipping query path ([[graft.snapshot.DataLayout]]).
@@ -50,4 +50,43 @@ object LayoutQueries {
       |FROM events
       |WHERE epoch_ns(ts) BETWEEN $TsLo AND $TsHi
       |  AND user_id BETWEEN $UserLo AND $UserHi""".stripMargin
+
+  // --- Bloom-index point lookup over the same layout -------------------
+  // event_id is high-cardinality and UNCLUSTERED (the layout z-orders
+  // (ts, user_id)), so every bucket's min/max box contains any probed
+  // id and stats pruning opens everything — the exact case the
+  // per-bucket Bloom index ([[graft.snapshot.BloomIndex]]) exists for.
+  // The probe set is a deterministic id predicate so the oracle is the
+  // plain predicate over the raw table: the hash match certifies the
+  // bloom-pruned read returns exactly the probed rows — skipped buckets
+  // hid nothing, false positives leaked nothing.
+  private val ProbeMod = 997L
+
+  private val bloomDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per sfDir) the event_id Bloom index on the layout. */
+  def prepareBloomIndex(spark: SparkSession, sfDir: String): String =
+    bloomDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = prepareEventsLayout(spark, sfDir)
+      BloomIndex.build(spark, dir, "event_id")
+      dir
+    })
+
+  /** Point-lookup of ~N/997 probe ids through the Bloom-pruned read. */
+  def layoutBloomLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = prepareBloomIndex(spark, sfDir)
+    // production receives the probe list; here it derives from a pure
+    // id predicate so the oracle can mirror it
+    val probes = Tables.load(spark, sfDir, "events")
+      .select(col("event_id")).filter(pmod(col("event_id"), lit(ProbeMod)) === 0)
+    BloomIndex.readLookup(spark, dir, "event_id", probes)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val layoutBloomLookupSql: String =
+    s"""SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value
+      |FROM events WHERE event_id % $ProbeMod = 0
+      |ORDER BY event_id""".stripMargin
 }

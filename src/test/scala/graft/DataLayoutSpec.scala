@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.snapshot.DataLayout
+import graft.snapshot.{BloomIndex, DataLayout}
 
 /** Z-order layout + stats pruning: the pruned rectangle read must equal
   * the plain filtered scan (no row lost to pruning, none invented), the
@@ -134,5 +134,49 @@ class DataLayoutSpec extends AnyFunSuite {
     DataLayout.writeZOrdered(df, dir, "a", "b", bucketBits = 3)
     val back = DataLayout.readPruned(spark, dir, "a", 10, 19, "b", 0, 100)
     assert(back.count() == 10)
+  }
+
+  // --- Bloom-index point lookups over the same layout -------------------
+
+  private lazy val bloomLayoutDir: String = {
+    val dir = layoutDir
+    BloomIndex.build(spark, dir, "event_id")
+    dir
+  }
+
+  test("bloom point lookup opens few buckets where min/max stats prune none") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stats = DataLayout.readStats(spark, bloomLayoutDir)
+    val probeId = 4242L
+    // min/max pruning on the unclustered id column keeps everything
+    val byStats = stats.count(s => true) // every bucket's box spans any id
+    val probes = Seq(probeId).toDF("event_id")
+    val byBloom = BloomIndex.candidateBuckets(spark, bloomLayoutDir, "event_id", probes)
+    assert(byBloom.nonEmpty, "bloom lost the probed key's bucket")
+    assert(byBloom.size * 4 <= byStats,
+      s"bloom kept ${byBloom.size} of $byStats buckets — no skipping")
+  }
+
+  test("bloom lookup equals the plain filter; false positives never leak") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val probes = ev.select(col("event_id"))
+      .filter(pmod(col("event_id"), lit(37L)) === 0)
+    val got = BloomIndex.readLookup(spark, bloomLayoutDir, "event_id", probes)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = ev.filter(pmod(col("event_id"), lit(37L)) === 0)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want), s"${got.length} vs ${want.length} rows")
+  }
+
+  test("bloom lookup read is partition-pruned in the physical plan") {
+    import spark.implicits._
+    val probes = Seq(7L).toDF("event_id")
+    val df = BloomIndex.readLookup(spark, bloomLayoutDir, "event_id", probes)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(DataLayout.ZBucketCol),
+      s"expected ${DataLayout.ZBucketCol} partition filters in:\n$plan")
   }
 }
