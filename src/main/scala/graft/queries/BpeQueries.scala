@@ -127,4 +127,39 @@ object BpeQueries {
     merges.foldLeft(df) { case (d, (a, b)) =>
       d.withColumn(symsCol, mergePair(symsCol, a, b))
     }
+
+  // --- corpus encoder ---------------------------------------------------
+
+  /** Encode the whole corpus with a trained merge list — the
+    * tokenizer-APPLY side, decomposed the only way that scales: the M
+    * chained merge folds run over the DISTINCT-WORD table (vocabulary-
+    * sized — the same collapse the trainer uses), producing one
+    * (word → symbols) row per vocab entry; the corpus then pays one
+    * hash join of its word occurrences against that table and one
+    * per-doc hash agg. Encoding cost is O(vocab × merges + corpus),
+    * never O(corpus × merges) — at 100 TB the fold bill is millions of
+    * words, not trillions of occurrences. Words the tokenizer drops
+    * (len < 2) count one token each, so every word is represented.
+    *
+    * Returns (doc_id, n_words, n_tokens): trained-tokenizer token
+    * counts per document — the budget `corpus_pack` style packing would
+    * consume. Deterministic given the merge list; pinned against the
+    * sequential per-word encoder in `BpeSpec`. */
+  def encodeCorpus(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val occurrences = docs
+      .select(col("doc_id"), explode_outer(
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+    val vocab = occurrences.filter(length(col("w")) >= 2)
+      .select(col("w")).distinct()
+      .select(col("w"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+    val encoded = applyMerges(vocab, "syms", merges)
+      .select(col("w"), size(col("syms")).as("w_tokens"))
+    occurrences
+      .join(encoded, Seq("w"), "left") // short words: 1 token
+      .select(col("doc_id"), coalesce(col("w_tokens"), lit(1)).as("w_tokens"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_tokens"))
+  }
 }

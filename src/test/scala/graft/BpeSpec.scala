@@ -107,4 +107,39 @@ class BpeSpec extends AnyFunSuite {
     // (a,a) count 2 beats (a,b) count 1
     assert(merges == Seq(("a", "a")))
   }
+
+  test("corpus encode via the vocab table equals sequential per-occurrence encoding") {
+    import spark.implicits._
+    val merges = BpeQueries.trainMerges(docsDf, 8)
+    val got = BpeQueries.encodeCorpus(docsDf, merges)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // sequential reference: tokenize each doc, encode every occurrence
+    val ref = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val toks = ws.map { w =>
+        if (w.length < 2) 1L
+        else merges.foldLeft(w.map(_.toString).toList) {
+          case (syms, (a, b)) => refMerge(syms, a, b)
+        }.size.toLong
+      }.sum
+      i.toLong -> ((ws.length.toLong, toks))
+    }.toMap
+    assert(got == ref, s"corpus encode diverges:\n ref=$ref\n got=$got")
+    // trained merges must compress below the character count somewhere
+    val chars = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(_.length.toLong).sum
+    }.toMap
+    assert(got.exists { case (id, (_, tok)) => tok < chars(id) },
+      "no document compressed below its character count")
+  }
+
+  test("more merges never increase the encoded token count") {
+    import spark.implicits._
+    val m8 = BpeQueries.trainMerges(docsDf, 8)
+    def total(ms: Seq[(String, String)]): Long =
+      BpeQueries.encodeCorpus(docsDf, ms)
+        .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    val totals = Seq(total(m8.take(2)), total(m8.take(5)), total(m8))
+    assert(totals == totals.sorted.reverse, s"token totals not monotone: $totals")
+  }
 }
