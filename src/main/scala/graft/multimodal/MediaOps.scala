@@ -86,6 +86,21 @@ object MediaOps {
       col("meta.sample_rate_hz").as("sample_rate_hz")))
   }
 
+  /** 32-bit average-hash over decoded pixel bytes — the perceptual
+    * fingerprint image dedup keys on (aHash: bit i set iff pixel i is
+    * above the mean). All-integer (`32·px > Σpx` instead of a mean
+    * divide), so the codec path and any closed-form expression mirror
+    * agree bit-for-bit. A real decoder feeds real (downsampled 8×4)
+    * luma here; the contract is bytes-in → long-out. */
+  def aHash32(pixels: Array[Byte]): Long = {
+    require(pixels.length >= 32, s"aHash32 needs ≥32 pixels, got ${pixels.length}")
+    val px = Array.tabulate(32)(i => (pixels(i) & 0xff).toLong)
+    val sum = px.sum
+    px.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      if (32L * p > sum) acc | (1L << i) else acc
+    }
+  }
+
   /** Sample every `everyK`-th frame of each video payload into one row
     * per frame `(… , frame_idx, frame)` — the explode side of a
     * frame-level training pipeline. Frame EXTRACTION is stubbed (the

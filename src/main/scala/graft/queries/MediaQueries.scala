@@ -102,4 +102,60 @@ object MediaQueries {
       |SELECT doc_id, frame_idx, md5(mime || ':' || CAST(frame_idx AS VARCHAR)) AS frame_id
       |FROM (SELECT doc_id, mime, unnest(range(0, n_frames, $FrameStride)) AS frame_idx FROM meta)
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // --- perceptual-hash duplicate groups --------------------------------
+  // Image dedup by average-hash: bit i of the 32-bit fingerprint is set
+  // iff decoded pixel i sits above the image mean (all-integer form
+  // 32·pxᵢ > Σpx — no divide, so JVM codec, Spark expression, and the
+  // DuckDB oracle agree bit-for-bit). The fake codec's "pixels" are the
+  // documented (seed + i) & 255 gradient, so the closed-form expression
+  // below IS the decode result (MultimodalSpec pins codec ≡ expression);
+  // a real decoder slots in behind [[MediaOps.aHash32]] unchanged.
+  //
+  // Scale shape: the hash is a per-row projection at ingest (the decode
+  // already happened for meta extraction — at 100 TB you hash then,
+  // never re-decode for dedup), and grouping is ONE hash-agg keyed on
+  // the 32-bit fingerprint — bounded output (≤2³² groups, in practice
+  // ≤ distinct hashes). Hamming-near duplicates reuse the simhash
+  // banded path; exact-fingerprint groups are the fast first pass.
+  def mmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val withPayload = docs.select(col("doc_id"), payload.as("content"))
+    val h = seed(col("content"))
+    val px = (0 until 32).map(i => pmod(h + lit(i.toLong), lit(256L)))
+    val sum = px.reduce(_ + _)
+    val phash = px.zipWithIndex.map { case (p, i) =>
+      when(p * 32 > sum, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withPayload.select(col("doc_id"), phash.as("phash"))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("phash"))
+  }
+
+  val mmPhashDedupSql: String = {
+    val px = (0 until 32).map(i => s"(h + $i) % 256")
+    val sum = px.mkString(" + ")
+    val bits = px.zipWithIndex
+      .map { case (p, i) => s"CASE WHEN ($p) * 32 > s THEN ${1L << i} ELSE 0 END" }
+      .mkString(" + ")
+    s"""WITH media AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4
+      |       WHEN 0 THEN from_hex('89504E470D0A1A0A')
+      |       WHEN 1 THEN from_hex('FFD8FFE0')
+      |       WHEN 2 THEN from_hex('52494646') || encode('xxxxWAVE')
+      |       ELSE encode('') END) || encode(text) AS content
+      |  FROM documents),
+      |seeded AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(hex(content)), 1, 8)) AS BIGINT) AS h
+      |  FROM media),
+      |summed AS (SELECT doc_id, h, $sum AS s FROM seeded),
+      |hashed AS (SELECT doc_id, $bits AS phash FROM summed)
+      |SELECT phash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+      |FROM hashed GROUP BY phash HAVING count(*) >= 2
+      |ORDER BY phash""".stripMargin
+  }
 }

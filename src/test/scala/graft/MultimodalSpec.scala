@@ -100,4 +100,29 @@ class MultimodalSpec extends AnyFunSuite {
       assert(n == FakeMediaCodec.framesOf(h), "frame derivations must agree")
     }
   }
+
+  test("aHash32 through the codec path equals the closed-form fingerprint") {
+    // the perceptual fingerprint mm_phash_dedup keys on must be the
+    // SAME whether computed from decoded pixel bytes (real plumbing)
+    // or from the seed's closed form (the oracle-facing expression)
+    val decoded = FakeMediaCodec.decodeBatch(Seq(png, jpg, wav, txt))
+    Seq(png, jpg, wav, txt).zip(decoded).foreach { case (payload, d) =>
+      val viaCodec = MediaOps.aHash32(d.pixels)
+      val h = FakeMediaCodec.seed(payload)
+      val px = (0 until 32).map(i => (h + i) % 256)
+      val sum = px.sum
+      val closed = px.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+        if (p * 32 > sum) acc | (1L << i) else acc
+      }
+      assert(viaCodec == closed, s"codec $viaCodec vs closed-form $closed")
+    }
+  }
+
+  test("aHash32 separates distinct gradients and is stable") {
+    val a = MediaOps.aHash32(Array.tabulate[Byte](32)(i => i.toByte))
+    val b = MediaOps.aHash32(Array.tabulate[Byte](32)(i => (255 - i).toByte))
+    assert(a == MediaOps.aHash32(Array.tabulate[Byte](40)(i => i.toByte)),
+      "extra pixels beyond 32 changed the hash")
+    assert(a != b, "ascending and descending gradients collide")
+  }
 }
