@@ -470,19 +470,19 @@ object DedupQueries {
   // scale, quadratic poison at 100 TB).
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    // both directions in ONE pass over the pairs (explode, not union —
-    // a union would evaluate the whole minhash verify subtree once per
-    // branch); localCheckpoint truncates LINEAGE so each propagation
-    // round's logical plan starts at the edge set instead of re-carrying
-    // (and re-optimizing) the whole minhash subtree
-    val edges = pairs.select(explode(array(
-        struct(col("doc_a"), col("doc_b")),
-        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
-      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
-    clusterLabels(edges)
+    clusterLabels(bothDirections(pairs))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** Both directions of every undirected pair in ONE pass (explode, not
+    * union — a union would evaluate the whole upstream subtree once per
+    * branch). */
+  private def bothDirections(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
 
   /** Min-label propagation + pointer jumping over a directed edge frame
     * `(doc_a, doc_b)` carrying BOTH directions of every undirected edge.
@@ -533,6 +533,64 @@ object DedupQueries {
       sys.error(s"cluster label propagation did not converge in $maxRounds rounds — " +
         "labels would be incomplete; raise maxRounds")
     labels
+  }
+
+  // --- incremental cluster maintenance ---------------------------------
+  // The continuous-ingest shape for COMPONENTS, completing what
+  // `dedup_incremental` does for pairs: yesterday's labels are a
+  // persisted fixpoint; today's new near-dup pairs must merge clusters
+  // and admit new members WITHOUT re-propagating the whole graph.
+  // Standard contraction argument: every existing cluster collapses to
+  // its representative (its min-id label), each new edge maps its
+  // endpoints through the label table (new docs represent themselves),
+  // and propagation runs only on that CONTRACTED graph — nodes are the
+  // touched representatives + new docs, so the per-round bill is
+  // O(new edges + touched clusters), not O(|V|+|E|) of the full graph.
+  // Re-pointing the label table is one broadcast-sized join (the
+  // relabel frame is touched-reps-only). Exactness: reps are component
+  // minima, so the contracted component's min IS the merged component's
+  // global min.
+
+  /** Fold a batch of new undirected pairs into an existing `(id, label)`
+    * fixpoint. Returns the updated full label table. */
+  private[graft] def clusterLabelsIncremental(labels: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val contracted = newPairs
+      .join(labels.select(col("id").as("doc_a"), col("label").as("ca")), Seq("doc_a"), "left")
+      .join(labels.select(col("id").as("doc_b"), col("label").as("cb")), Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")) // intra-cluster edges are no-ops
+    if (contracted.isEmpty) return labels
+    val relabel = clusterLabels(bothDirections(contracted)).localCheckpoint()
+    val updatedOld = labels
+      .join(relabel.select(col("id").as("label"), col("label").as("nl")), Seq("label"), "left")
+      .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
+    // endpoints absent from the old table are NEW members: they carried
+    // themselves as representatives, so their relabel rows are theirs
+    val newMembers = relabel
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+    updatedOld.union(newMembers)
+  }
+
+  /** `dedup_clusters` computed INCREMENTALLY: a deterministic id rule
+    * splits the verified pairs into a "yesterday" base (labels built by
+    * full propagation) and a "today" increment folded in via
+    * [[clusterLabelsIncremental]]. Same rows, same oracle as
+    * `dedup_clusters` — the hash match certifies incremental ≡ full
+    * recompute. */
+  def dedupClustersIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // read twice (base + increment split)
+    val newDoc = (c: org.apache.spark.sql.Column) => pmod(c, lit(3L)) === 0
+    val base = pairs.filter(!newDoc(col("doc_a")) && !newDoc(col("doc_b")))
+    val inc = pairs.filter(newDoc(col("doc_a")) || newDoc(col("doc_b")))
+    val baseLabels =
+      if (base.isEmpty) base.select(col("doc_a").as("id"), col("doc_a").as("label"))
+      else clusterLabels(bothDirections(base))
+    clusterLabelsIncremental(baseLabels, inc)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** DuckDB mirror: the same minhash pairs, components via a recursive

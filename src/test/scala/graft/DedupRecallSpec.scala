@@ -167,4 +167,44 @@ class DedupRecallSpec extends AnyFunSuite {
       assert(want.nonEmpty, s"seed=$seed corpus must contain true near-dup pairs")
     }
   }
+
+  test("property: incremental label maintenance equals full recompute on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 40 + rnd.nextInt(40)
+      val pairs = (0 until n).map { _ =>
+        val a = rnd.nextInt(60).toLong; var b = rnd.nextInt(60).toLong
+        if (a == b) b = (b + 1) % 60
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      // arbitrary split: ~60% base, rest arrives later (some increments
+      // merge existing clusters, some bring brand-new nodes)
+      val (base, inc) = pairs.partition(_ => rnd.nextBoolean() || rnd.nextBoolean())
+      def both(ps: Seq[(Long, Long)]) =
+        ps.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("doc_a", "doc_b")
+      val full = DedupQueries.clusterLabels(both(pairs))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val baseLabels =
+        if (base.isEmpty) Seq.empty[(Long, Long)].toDF("id", "label")
+        else DedupQueries.clusterLabels(both(base))
+      val updated = DedupQueries
+        .clusterLabelsIncremental(baseLabels, inc.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(updated == full,
+        s"trial $trial: incremental diverged\n full=${full.toSeq.sorted}\n got=${updated.toSeq.sorted}")
+    }
+  }
+
+  test("incremental maintenance handles the no-op and merge-two-clusters cases") {
+    val base = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L)).toDF("doc_a", "doc_b")
+    val labels = DedupQueries.clusterLabels(base)
+    // intra-cluster pair: nothing changes
+    val same = DedupQueries.clusterLabelsIncremental(labels, Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // bridge pair merges both clusters onto the global min rep
+    val merged = DedupQueries.clusterLabelsIncremental(labels, Seq((2L, 11L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L), merged.toString)
+  }
 }
