@@ -36,13 +36,18 @@ object GraphQueries {
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val dec = DecimalType(28, 14)
     val pairs = DedupQueries.minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
-      .cache() // both union branches read it — uncached, the minhash chain runs twice
-    // undirected edges, with src degree attached once — read 3× (one per
-    // iteration); uncached each read reruns the whole minhash chain
-    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both directions in ONE explode pass (a union would evaluate the
+    // minhash subtree once per branch); localCheckpoint MATERIALIZES the
+    // edge set and truncates lineage, so each iteration's plan starts at
+    // the edges instead of re-optimizing the whole minhash chain —
+    // same recipe as clusterLabels' propagation loop
+    val e = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edges = e.join(deg, Seq("src")).cache()
+    val edges = e.join(deg, Seq("src")).localCheckpoint()
     val nF = deg.agg(count(lit(1)).as("n"))
     var pr = deg.crossJoin(broadcast(nF))
       .select(col("src").as("doc_id"), (lit(1.0d) / col("n").cast(DoubleType)).as("pr"))

@@ -120,14 +120,19 @@ object MediaQueries {
   // banded path; exact-fingerprint groups are the fast first pass.
   def mmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val withPayload = docs.select(col("doc_id"), payload.as("content"))
-    val h = seed(col("content"))
-    val px = (0 until 32).map(i => pmod(h + lit(i.toLong), lit(256L)))
-    val sum = px.reduce(_ + _)
-    val phash = px.zipWithIndex.map { case (p, i) =>
-      when(p * 32 > sum, lit(1L << i)).otherwise(lit(0L))
+    // layered projections keep the expression tree linear: seed once,
+    // the 32 pixel terms once, the sum once — inlining everything into
+    // one phash expression repeats the md5 seed and the 32-term sum
+    // inside every bit term (a ~1000-node tree that codegen chokes on)
+    val withSeed = docs.select(col("doc_id"), seed(payload).as("h"))
+    val withPx = withSeed.select(col("doc_id") +:
+      (0 until 32).map(i => pmod(col("h") + lit(i.toLong), lit(256L)).as(s"p$i")): _*)
+    val withSum = withPx.withColumn("s",
+      (0 until 32).map(i => col(s"p$i")).reduce(_ + _))
+    val phash = (0 until 32).map { i =>
+      when(col(s"p$i") * 32 > col("s"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    withPayload.select(col("doc_id"), phash.as("phash"))
+    withSum.select(col("doc_id"), phash.as("phash"))
       .groupBy(col("phash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
       .filter(col("n_docs") >= 2)

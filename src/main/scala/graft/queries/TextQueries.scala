@@ -615,6 +615,8 @@ object TextQueries {
         pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(ClsDims)).as("dim"))
       .groupBy(col("doc_id"), col("pos"), col("dim"))
       .agg(count(lit(1)).as("cnt"))
+      .cache() // feeds weights, totals, AND scoring — uncached, the
+               // tokenize+hash tree evaluates three times
     val w = tf.groupBy(col("dim")).agg(
       sum(when(col("pos"), col("cnt")).otherwise(0L)).as("pos_d"),
       sum(when(!col("pos"), col("cnt")).otherwise(0L)).as("neg_d"))
@@ -643,6 +645,76 @@ object TextQueries {
         (col("score") > (col("mu_pos") + col("mu_neg")) / lit(2.0d)).as("predict_pos"))
       .orderBy(col("doc_id"))
   }
+
+  /** The trained quality-gate model as deployable state: the ClsDims-row
+    * weight frame plus three scalars — what a nightly training job
+    * persists and the streaming scorer broadcasts
+    * ([[graft.streaming.StreamClassifier]]). */
+  case class ClsModel(weights: DataFrame, posTot: Long, negTot: Long,
+      threshold: Double)
+
+  /** (doc_id [, pos], dim, cnt) hashed term frequencies — the feature
+    * extraction both training and scoring share. */
+  private def clsTf(docs: DataFrame, withRule: Boolean): DataFrame = {
+    val stopArr = array(stopEn.map(lit): _*)
+    val t = toks(col("text"))
+    val base =
+      if (withRule)
+        docs.select(col("doc_id"),
+          (size(filter(t, x => array_contains(stopArr, x))) * 100
+            >= size(t) * ClsStopPct).as("pos"), col("text"))
+      else docs.select(col("doc_id"), col("text"))
+    val keys = if (withRule) Seq(col("doc_id"), col("pos")) else Seq(col("doc_id"))
+    base
+      .select(keys :+ explode_outer(toks(col("text"))).as("tok"): _*)
+      .filter(col("tok").isNotNull)
+      .select(keys :+
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(ClsDims)).as("dim"): _*)
+      .groupBy(keys :+ col("dim"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-doc linear score against a weight frame — same arithmetic as
+    * the oracle query (integer dot in DECIMAL(38,0), one divide chain). */
+  private def clsScore(tf: DataFrame, weights: DataFrame, posTot: Long,
+      negTot: Long, keep: Seq[String]): DataFrame = {
+    val dec = DecimalType(38, 0)
+    tf.join(broadcast(weights), Seq("dim"))
+      .groupBy((Seq("doc_id") ++ keep).map(col): _*)
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt").cast(dec) * (col("pos_d").cast(dec) * lit(negTot).cast(dec)
+          - col("neg_d").cast(dec) * lit(posTot).cast(dec))).as("s"))
+      .select((Seq("doc_id") ++ keep).map(col) :+
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType)
+          / lit(posTot.toDouble) / lit(negTot.toDouble)).as("score"): _*)
+  }
+
+  /** Train the weak-supervision quality model on a landed corpus — the
+    * nightly batch side of the train/apply split. One (dim)-keyed
+    * hash-agg for weights, one doc-keyed scoring pass for the
+    * intercept; driver state is ClsDims rows + 3 scalars. */
+  def trainClassifier(docs: DataFrame): ClsModel = {
+    val tf = clsTf(docs, withRule = true).localCheckpoint()
+    val w = tf.groupBy(col("dim")).agg(
+      sum(when(col("pos"), col("cnt")).otherwise(0L)).as("pos_d"),
+      sum(when(!col("pos"), col("cnt")).otherwise(0L)).as("neg_d"))
+      .localCheckpoint()
+    val tot = w.agg(sum(col("pos_d")), sum(col("neg_d"))).head()
+    val (pt, nt) = (tot.getLong(0), tot.getLong(1))
+    val mu = clsScore(tf, w, pt, nt, keep = Seq("pos")).agg(
+      (sum(when(col("pos"), col("score")).cast(DecimalType(28, 14))).cast(DoubleType)
+        / sum(when(col("pos"), 1L)).cast(DoubleType)).as("mu_pos"),
+      (sum(when(!col("pos"), col("score")).cast(DecimalType(28, 14))).cast(DoubleType)
+        / sum(when(!col("pos"), 1L)).cast(DoubleType)).as("mu_neg")).head()
+    ClsModel(w, pt, nt, (mu.getDouble(0) + mu.getDouble(1)) / 2.0d)
+  }
+
+  /** Score any `(doc_id, text)` frame — batch backfill or a micro-batch
+    * inside the stream — against a trained model. */
+  def scoreWithClassifier(docs: DataFrame, m: ClsModel): DataFrame =
+    clsScore(clsTf(docs, withRule = false), m.weights, m.posTot, m.negTot, Nil)
+      .select(col("doc_id"), round(col("score"), 9).as("score"),
+        (col("score") > m.threshold).as("predict_pos"))
 
   val textClassifierScoreSql: String = {
     val stopList = stopEn.map(s => s"'$s'").mkString(", ")

@@ -439,6 +439,35 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"pagerank plans a cartesian (scalar n frame not broadcast?):\n${plan.take(2000)}")
   }
 
+  test("text_classifier_score: model rows broadcast, no window, no cartesian fallback") {
+    val df = SparkEntry.queries("text_classifier_score")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), s"classifier plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"classifier plans a cartesian (weights/totals not broadcast):\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"weight frame is not broadcast:\n${plan.take(2000)}")
+  }
+
+  test("sketch_distinct_intersect: bounded KMV aggs, no window over raw rows, no cartesian") {
+    val df = SparkEntry.queries("sketch_distinct_intersect")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"),
+      s"sketch intersect plans a Window (unbounded distinct shuffle):\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"sketch intersect plans a cartesian:\n${plan.take(2000)}")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"KmvAgg did not plan as ObjectHashAggregate:\n${plan.take(2000)}")
+  }
+
+  test("mm_phash_dedup: one per-row fingerprint projection + one hash agg, no join") {
+    val df = SparkEntry.queries("mm_phash_dedup")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"phash dedup needs no join/window:\n${plan.take(2000)}")
+    assert(plan.contains("HashAggregate"), s"missing hash agg:\n${plan.take(2000)}")
+  }
+
   test("text_bpe_pairs: word table aggregates once, no window, no join") {
     val df = SparkEntry.queries("text_bpe_pairs")(spark, sf)
     val plan = physical(df)
