@@ -1198,8 +1198,11 @@ object Analytics {
       }
       scoped.groupBy(col("user_id")).agg(min(col("tus")).as(tcol))
     }
-    val t1 = step("view", None, "t_view")
-    val t2 = step("click", Some(t1), "t_click")
+    // each step frame is |users|-sized (bounded, « the log) and read
+    // twice — by the next step AND the final join; uncached, t1's
+    // subtree re-evaluates inside t2 and t3 (7 log scans instead of 4)
+    val t1 = step("view", None, "t_view").cache()
+    val t2 = step("click", Some(t1), "t_click").cache()
     val t3 = step("purchase", Some(t2), "t_purchase")
     ev.select(col("user_id")).distinct()
       .join(t1, Seq("user_id"), "left")
