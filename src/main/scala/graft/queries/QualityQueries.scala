@@ -92,4 +92,66 @@ object QualityQueries {
       |  UNION ALL SELECT 'orders.o_orderdate.before_2000', n, v_fresh FROM ord
       |  UNION ALL SELECT 'lineitem.l_orderkey.in_orders', checked, violations FROM ri)
       |SELECT rule, checked, violations FROM rules ORDER BY rule""".stripMargin
+
+  // --- corpus drift monitor (two-sample χ² over hashed token dims) -----
+  // The training-data drift question a continuously-fed corpus must
+  // answer: does today's batch draw tokens from the same distribution
+  // as the landed corpus? Per feature-hash dimension, the two-sample
+  // chi-square statistic in its EXACT-INTEGER form
+  //   χ²_d = (o1·N2 − o2·N1)² / ((o1+o2)·N1·N2)
+  // (algebraically the classic (o−e)²/e summed over both samples) —
+  // numerator and denominator are integer products carried in
+  // DECIMAL(38,0), so both engines divide the identical exact values
+  // and the scores hash-match (no PSI-style logarithms needed). The
+  // population split is a deterministic doc_id rule standing in for
+  // yesterday/today snapshots.
+  //
+  // Scale shape: one tokenize scan → one (dim)-keyed hash agg with two
+  // conditional counters → a dims-sized frame (64 rows) joined to one
+  // broadcast total row. High-χ² dims name WHAT drifted (the hashed
+  // vocabulary slice); the tail sum is the alarm threshold.
+  private val DriftDims = 64
+
+  def corpusDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(38, 0)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tf = docs
+      .select((pmod(col("doc_id"), lit(2L)) === 0).as("a"),
+        explode_outer(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      .filter(col("tok").isNotNull)
+      .select(col("a"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(DriftDims)).as("dim"))
+      .groupBy(col("dim"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("o1"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("o2"))
+    val tot = tf.agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    val num = col("o1").cast(dec) * col("n2").cast(dec) -
+      col("o2").cast(dec) * col("n1").cast(dec)
+    val den = (col("o1") + col("o2")).cast(dec) *
+      col("n1").cast(dec) * col("n2").cast(dec)
+    tf.crossJoin(broadcast(tot))
+      .select(col("dim"), col("o1"), col("o2"),
+        round((num * num).cast(DoubleType) / den.cast(DoubleType), 6).as("chi2"))
+      .orderBy(col("dim"))
+  }
+
+  val corpusDriftSql: String =
+    s"""WITH tf AS (
+      |  SELECT dim,
+      |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS o1,
+      |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS o2
+      |  FROM (
+      |    SELECT doc_id % 2 = 0 AS a,
+      |      CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) % $DriftDims AS dim
+      |    FROM (SELECT doc_id,
+      |            unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      |          FROM documents))
+      |  GROUP BY dim),
+      |tot AS (SELECT sum(o1) AS n1, sum(o2) AS n2 FROM tf)
+      |SELECT dim, CAST(o1 AS BIGINT) AS o1, CAST(o2 AS BIGINT) AS o2,
+      |  round(CAST((CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1)
+      |          * (CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1) AS DOUBLE)
+      |    / CAST(CAST(o1 + o2 AS HUGEINT) * n1 * n2 AS DOUBLE), 6) AS chi2
+      |FROM tf CROSS JOIN tot ORDER BY dim""".stripMargin
 }

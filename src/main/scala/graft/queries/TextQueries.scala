@@ -716,6 +716,44 @@ object TextQueries {
       .select(col("doc_id"), round(col("score"), 9).as("score"),
         (col("score") > m.threshold).as("predict_pos"))
 
+  /** Classifier evaluation summary — the confusion table + derived
+    * rates a gate owner reads before trusting keep/drop decisions (the
+    * retrieval_eval of the classifier family). One hash agg over the
+    * scored frame: four conditional counters, then three exact-integer-
+    * derived ratios. Cross-engine parity: counts are integers; each
+    * rate is one divide, rounded like every ratio query. */
+  def textClassifierEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = textClassifierScore(spark, sfDir)
+    scored.agg(
+        sum(when(col("rule_pos") && col("predict_pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("rule_pos") && col("predict_pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("rule_pos") && !col("predict_pos"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("rule_pos") && !col("predict_pos"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")).cast(DoubleType)
+          / (col("tp") + col("fp") + col("fn") + col("tn")).cast(DoubleType), 6).as("accuracy"),
+        round(col("tp").cast(DoubleType)
+          / (col("tp") + col("fp")).cast(DoubleType), 6).as("precision"),
+        round(col("tp").cast(DoubleType)
+          / (col("tp") + col("fn")).cast(DoubleType), 6).as("recall"))
+  }
+
+  lazy val textClassifierEvalSql: String =
+    s"""WITH sc_eval AS (${textClassifierScoreSql.replace("ORDER BY doc_id", "")}),
+      |cm AS (
+      |  SELECT
+      |    sum(CASE WHEN rule_pos AND predict_pos THEN 1 ELSE 0 END) AS tp,
+      |    sum(CASE WHEN NOT rule_pos AND predict_pos THEN 1 ELSE 0 END) AS fp,
+      |    sum(CASE WHEN rule_pos AND NOT predict_pos THEN 1 ELSE 0 END) AS fn,
+      |    sum(CASE WHEN NOT rule_pos AND NOT predict_pos THEN 1 ELSE 0 END) AS tn
+      |  FROM sc_eval)
+      |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+      |  round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy,
+      |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+      |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall
+      |FROM cm""".stripMargin
+
   val textClassifierScoreSql: String = {
     val stopList = stopEn.map(s => s"'$s'").mkString(", ")
     s"""WITH t AS (
