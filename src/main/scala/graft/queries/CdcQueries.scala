@@ -91,6 +91,50 @@ object CdcQueries {
       |  FROM latest WHERE tidb2dw_flag <> 'D'
       |) ORDER BY o_orderkey""".stripMargin
 
+  // --- time-travel (AS OF) read -----------------------------------------
+  // Snapshot isolation over the replicated table: reconstruct its state
+  // AS OF a commit timestamp by replaying only changes with
+  // commit_ts ≤ asOf over the snapshot — the Delta `VERSION AS OF` /
+  // TiDB `tidb_snapshot` read, expressed with the SAME applyChanges
+  // merge the live path runs (time travel is merge with a bounded
+  // change horizon, not a separate engine). AS OF ts=2 sees inserts and
+  // updates but NOT the ts=3 deletes — rows the present-time read has
+  // already lost. Scale shape: identical to the merge (the commit_ts
+  // filter prunes change files before anything shuffles; on the real
+  // layout that filter is the date-partitioned CDC path prefix).
+  private val AsOfTs = 2L
+
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    val horizon = ordersChangeLog(spark, sfDir)
+      .filter(col(Envelope.CommitTsCol) <= AsOfTs)
+    ChangeApply.applyChanges(target, horizon, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val timeTravelSql: String =
+    s"""WITH changes AS (
+      |  SELECT * FROM ($ordersChangeLogSql) WHERE tidb2dw_commit_ts <= $AsOfTs),
+      |latest AS (
+      |  SELECT * FROM changes
+      |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY tidb2dw_commit_ts DESC) = 1
+      |),
+      |tgt AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+      |FROM (
+      |  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice, t.o_orderdate
+      |  FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = t.o_orderkey)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      |  FROM latest WHERE tidb2dw_flag <> 'D'
+      |) ORDER BY o_orderkey""".stripMargin
+
   /** Composite-PK merge over lineitem (l_orderkey, l_linenumber) —
     * the multi-column PARTITION BY / merge-ON case
     * (cf. `pkg/snowsql/sql.go:126-133`). */
