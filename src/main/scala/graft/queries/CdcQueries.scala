@@ -135,6 +135,86 @@ object CdcQueries {
       |  FROM latest WHERE tidb2dw_flag <> 'D'
       |) ORDER BY o_orderkey""".stripMargin
 
+  // --- change-feed generation (inverse of merge) ------------------------
+  // Given two table versions, EMIT the row-level I/U/D feed that turns
+  // one into the other — how a pipeline backfills CDC from snapshots
+  // when no changefeed existed (and the row-level face of
+  // `cdc_table_diff`, which localizes drift to buckets but does not
+  // name rows). One PK-keyed full outer join; rows present only on the
+  // new side emit I, only on the old side D, both sides with any
+  // non-PK column changed U (struct inequality — one codegen'd
+  // comparison, not per-column joins). Scale shape: the single join is
+  // the same PK-partitioned exchange the merge runs; output is
+  // changed-rows-sized. Here old = the merge target and new = the
+  // merged result, so the feed must reproduce the NET effect of the
+  // change log — the oracle certifies diff(apply(log)) ≡ log's net.
+  def diffFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val old = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+    val newT = ChangeApply.applyChanges(
+      Tables.load(spark, sfDir, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
+      ordersChangeLog(spark, sfDir), Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+    // presence markers, not column-null proxies — a genuinely-NULL data
+    // column must never read as "row absent"
+    val o = old.select(col("o_orderkey") +: lit(true).as("in_old") +:
+      cols.map(c => col(c).as(s"old_$c")): _*)
+    val n = newT.select(col("o_orderkey") +: lit(true).as("in_new") +:
+      cols.map(c => col(c).as(s"new_$c")): _*)
+    val oldImg = struct(cols.map(c => col(s"old_$c")): _*)
+    val newImg = struct(cols.map(c => col(s"new_$c")): _*)
+    o.join(n, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("in_old").isNull && col("in_new").isNotNull, "I")
+          .when(col("in_new").isNull, "D")
+          .when(!(oldImg === newImg), "U").as("flag"),
+        coalesce(col("new_o_custkey"), col("old_o_custkey")).as("o_custkey"),
+        coalesce(col("new_o_orderstatus"), col("old_o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("new_o_totalprice"), col("old_o_totalprice")).as("o_totalprice"),
+        date_format(coalesce(col("new_o_orderdate"), col("old_o_orderdate")), "yyyy-MM-dd")
+          .as("o_orderdate"))
+      .filter(col("flag").isNotNull)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val diffFeedSql: String =
+    s"""WITH changes AS ($ordersChangeLogSql),
+      |latest AS (
+      |  SELECT * FROM changes
+      |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY tidb2dw_commit_ts DESC) = 1
+      |),
+      |tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      |        FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice, t.o_orderdate
+      |  FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = t.o_orderkey)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      |  FROM latest WHERE tidb2dw_flag <> 'D')
+      |SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+      |  CASE WHEN o.o_orderkey IS NULL AND n.o_orderkey IS NOT NULL THEN 'I'
+      |       WHEN n.o_orderkey IS NULL THEN 'D'
+      |       WHEN (o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate)
+      |            <> (n.o_custkey, n.o_orderstatus, n.o_totalprice, n.o_orderdate) THEN 'U'
+      |       END AS flag,
+      |  coalesce(n.o_custkey, o.o_custkey) AS o_custkey,
+      |  coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+      |  coalesce(n.o_totalprice, o.o_totalprice) AS o_totalprice,
+      |  strftime(coalesce(n.o_orderdate, o.o_orderdate), '%Y-%m-%d') AS o_orderdate
+      |FROM tgt o FULL OUTER JOIN merged n ON o.o_orderkey = n.o_orderkey
+      |WHERE (CASE WHEN o.o_orderkey IS NULL AND n.o_orderkey IS NOT NULL THEN 'I'
+      |            WHEN n.o_orderkey IS NULL THEN 'D'
+      |            WHEN (o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate)
+      |                 <> (n.o_custkey, n.o_orderstatus, n.o_totalprice, n.o_orderdate) THEN 'U'
+      |            END) IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Composite-PK merge over lineitem (l_orderkey, l_linenumber) —
     * the multi-column PARTITION BY / merge-ON case
     * (cf. `pkg/snowsql/sql.go:126-133`). */
