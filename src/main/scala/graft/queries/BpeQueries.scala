@@ -156,10 +156,18 @@ object BpeQueries {
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
     val encoded = applyMerges(vocab, "syms", merges)
       .select(col("w"), size(col("syms")).as("w_tokens"))
-    occurrences
+    val counted = occurrences
       .join(encoded, Seq("w"), "left") // short words: 1 token
       .select(col("doc_id"), coalesce(col("w_tokens"), lit(1)).as("w_tokens"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_tokens"))
+    // docs that tokenize to NOTHING (all punctuation/whitespace) still
+    // get a (0, 0) row — dropping them would lose documents from any
+    // downstream token-budget join
+    docs.select(col("doc_id"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 }

@@ -125,14 +125,20 @@ object QualityQueries {
       .groupBy(col("dim"))
       .agg(sum(when(col("a"), 1L).otherwise(0L)).as("o1"),
         sum(when(!col("a"), 1L).otherwise(0L)).as("o2"))
+      .cache() // feeds totals AND scoring — uncached, the tokenize
+               // scan runs twice for a 64-row frame
     val tot = tf.agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
-    val num = col("o1").cast(dec) * col("n2").cast(dec) -
-      col("o2").cast(dec) * col("n1").cast(dec)
-    val den = (col("o1") + col("o2")).cast(dec) *
-      col("n1").cast(dec) * col("n2").cast(dec)
+    // num/den assemble EXACTLY in DECIMAL(38,0); the square runs in
+    // DOUBLE (num² would blow the 38-digit cap near o·N ≈ 1e19 — NULL
+    // chi2 exactly at large-corpus scale). Casting the exact integer to
+    // double first is one identical rounding in both engines.
+    val num = (col("o1").cast(dec) * col("n2").cast(dec) -
+      col("o2").cast(dec) * col("n1").cast(dec)).cast(DoubleType)
+    val den = ((col("o1") + col("o2")).cast(dec) *
+      col("n1").cast(dec) * col("n2").cast(dec)).cast(DoubleType)
     tf.crossJoin(broadcast(tot))
       .select(col("dim"), col("o1"), col("o2"),
-        round((num * num).cast(DoubleType) / den.cast(DoubleType), 6).as("chi2"))
+        round(num * num / den, 6).as("chi2"))
       .orderBy(col("dim"))
   }
 
@@ -150,8 +156,8 @@ object QualityQueries {
       |  GROUP BY dim),
       |tot AS (SELECT sum(o1) AS n1, sum(o2) AS n2 FROM tf)
       |SELECT dim, CAST(o1 AS BIGINT) AS o1, CAST(o2 AS BIGINT) AS o2,
-      |  round(CAST((CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1)
-      |          * (CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1) AS DOUBLE)
+      |  round(CAST(CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1 AS DOUBLE)
+      |      * CAST(CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1 AS DOUBLE)
       |    / CAST(CAST(o1 + o2 AS HUGEINT) * n1 * n2 AS DOUBLE), 6) AS chi2
       |FROM tf CROSS JOIN tot ORDER BY dim""".stripMargin
 }

@@ -215,6 +215,7 @@ object SketchQueries {
         Kmv.keyHash(col("user_id")).as("hv"))
       .groupBy(col("day"))
       .agg(kmv(col("hv")).as("ks"))
+      .cache() // both join sides read it — uncached, the KMV scan runs twice
     val pairs = perDay.select(col("day"), col("ks").as("ka"))
       .join(broadcast(perDay.select((col("day") - 1).as("day"), col("ks").as("kb"))),
         Seq("day"))
@@ -233,6 +234,7 @@ object SketchQueries {
           .as("est_returning"))
     val ud = ev.filter(col("user_id").isNotNull)
       .select(expr(s"ts div ${DayNs}L").as("day"), col("user_id")).distinct()
+      .cache() // eval column only: both sides of the truth semi join
     val truth = ud
       .join(ud.select((col("day") - 1).as("day"), col("user_id")), Seq("day", "user_id"),
         "left_semi")

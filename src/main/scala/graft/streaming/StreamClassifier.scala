@@ -25,13 +25,19 @@ import graft.queries.TextQueries
 object StreamClassifier {
 
   /** Start scoring `docs` (a STREAMING `(doc_id, text)` frame) against
-    * `model`; each micro-batch's scored frame is handed to `sink`. */
-  def scored(docs: DataFrame, model: TextQueries.ClsModel)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
-    docs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+    * `model`; each micro-batch's scored frame is handed to `sink`.
+    * Pass `checkpoint` in production: without it a restart begins at a
+    * fresh temp checkpoint, so offsets rewind and foreachBatch epoch
+    * ids restart at 0 — which breaks any epoch-keyed exactly-once sink
+    * (a redelivered "epoch 0" marker would drop the new batch). */
+  def scored(docs: DataFrame, model: TextQueries.ClsModel,
+      checkpoint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val w = docs.writeStream.outputMode("append")
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, id: Long) =>
         sink(TextQueries.scoreWithClassifier(batch, model), id)
       }
       .start()
+  }
 }

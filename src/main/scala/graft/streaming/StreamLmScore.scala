@@ -23,13 +23,18 @@ import graft.queries.TextQueries
 object StreamLmScore {
 
   /** Start scoring `docs` (a STREAMING `(doc_id, text)` frame) against
-    * `model`; each micro-batch's scored frame is handed to `sink`. */
-  def scored(docs: DataFrame, model: TextQueries.LmModel)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
-    docs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+    * `model`; each micro-batch's scored frame is handed to `sink`.
+    * Pass `checkpoint` in production: a fresh temp checkpoint on
+    * restart rewinds offsets and restarts epoch ids at 0, breaking any
+    * epoch-keyed exactly-once sink downstream. */
+  def scored(docs: DataFrame, model: TextQueries.LmModel,
+      checkpoint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val w = docs.writeStream.outputMode("append")
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, id: Long) =>
         sink(TextQueries.scoreAgainst(batch, model), id)
       }
       .start()
+  }
 }

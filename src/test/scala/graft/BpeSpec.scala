@@ -58,7 +58,8 @@ class BpeSpec extends AnyFunSuite {
     "the lower letter litter sitter lower",
     "newest widest lowest nicest, the newest!",
     "low low lower lowest new news newest",
-    "sit sitting sitter litter fitter 42 low-key")
+    "sit sitting sitter litter fitter 42 low-key",
+    "?! -- ...") // tokenizes to NOTHING — must still encode to (0, 0)
 
   private def docsDf = {
     import spark.implicits._

@@ -45,16 +45,20 @@ def table_hash(df: pd.DataFrame) -> str:
 
 
 def main():
+    # optional 3rd arg: comma-separated query names a FILTERED local
+    # Verify run dumped — only those are checked. Without it, every
+    # oracle key must have a result dir (a query that crashed during a
+    # full Verify shows up as ERROR, never as a silent skip).
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    import os
     for name, sql in sorted(oracle.items()):
-        if not os.path.isdir(f"{out_dir}/{name}"):
-            continue  # filtered local run — only check dumped queries
+        if only is not None and name not in only:
+            continue  # filtered local run — only check the named queries
         try:
             want = canon(con.execute(sql).df())
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))
