@@ -468,6 +468,16 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"missing hash agg:\n${plan.take(2000)}")
   }
 
+  test("cdc_diff_feed: one full-outer PK join, no window, no cartesian") {
+    val df = SparkEntry.queries("cdc_diff_feed")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), s"diff feed plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"diff feed plans a cartesian:\n${plan.take(2000)}")
+    assert(plan.contains("FullOuter"),
+      s"diff feed lost its full outer join:\n${plan.take(2000)}")
+  }
+
   test("text_bpe_pairs: word table aggregates once, no window, no join") {
     val df = SparkEntry.queries("text_bpe_pairs")(spark, sf)
     val plan = physical(df)
