@@ -48,6 +48,8 @@ object Bench {
     // index build is maintenance cost, the query is the pruned lookup
     try queries.LayoutQueries.prepareBloomIndex(spark, sfDir)
     catch { case _: Throwable => () }
+    try queries.LayoutQueries.prepareEventsLayout3(spark, sfDir)
+    catch { case _: Throwable => () }
     // A failed query must never masquerade as a fast one: failures are
     // excluded from the timing map and reported by name in "errors".
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

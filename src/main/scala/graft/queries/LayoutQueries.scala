@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.snapshot.{BloomIndex, DataLayout}
+import graft.snapshot.{BloomIndex, DataLayout, DataLayoutN}
 
 /** Z-order layout rectangle read over the events log — the
   * data-skipping query path ([[graft.snapshot.DataLayout]]).
@@ -88,5 +88,46 @@ object LayoutQueries {
   val layoutBloomLookupSql: String =
     s"""SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value
       |FROM events WHERE event_id % $ProbeMod = 0
+      |ORDER BY event_id""".stripMargin
+
+  // --- 3-dimensional z-order box read ----------------------------------
+  // [[graft.snapshot.DataLayoutN]] over (ts, user_id, floor(value)):
+  // the query constrains ONLY the second and third dimensions (full
+  // time range) — the case a 1-D sort cannot prune at all and a 2-D
+  // curve only prunes half of. The oracle is the plain box predicate,
+  // so the hash match certifies 3-way pruning drops and invents
+  // nothing. `value` is non-negative in this data, so long-cast
+  // truncation ≡ floor on both engines.
+  private val V3UserLo = 30L
+  private val V3UserHi = 59L
+  private val V3ValLo = 100L
+  private val V3ValHi = 240L
+
+  private val layout3Dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per sfDir) the 3-dim z-ordered events layout. */
+  def prepareEventsLayout3(spark: SparkSession, sfDir: String): String =
+    layout3Dirs.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+      DataLayoutN.writeZOrdered(
+        Tables.load(spark, sfDir, "events"), dir, Seq("ts", "user_id", "value"))
+      dir
+    })
+
+  /** 30-user × value-band box, full time range, over the 3-dim layout. */
+  def layoutZorder3Read(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = prepareEventsLayout3(spark, sfDir)
+    DataLayoutN.readPruned(spark, dir,
+        Map("user_id" -> (V3UserLo, V3UserHi), "value" -> (V3ValLo, V3ValHi)))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val layoutZorder3ReadSql: String =
+    s"""SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value
+      |FROM events
+      |WHERE user_id BETWEEN $V3UserLo AND $V3UserHi
+      |  AND CAST(floor(value) AS BIGINT) BETWEEN $V3ValLo AND $V3ValHi
       |ORDER BY event_id""".stripMargin
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.snapshot.{BloomIndex, DataLayout}
+import graft.snapshot.{BloomIndex, DataLayout, DataLayoutN}
 
 /** Z-order layout + stats pruning: the pruned rectangle read must equal
   * the plain filtered scan (no row lost to pruning, none invented), the
@@ -178,5 +178,61 @@ class DataLayoutSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains(DataLayout.ZBucketCol),
       s"expected ${DataLayout.ZBucketCol} partition filters in:\n$plan")
+  }
+
+  // --- N-dimensional layout ---------------------------------------------
+
+  test("3-dim layout: third-dimension-only predicate still prunes; read is exact") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("layout3-spec").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    DataLayoutN.writeZOrdered(ev, dir, Seq("ts", "user_id", "value"), bucketBits = 6)
+    // value-band only: a (ts, user) 2-D curve cannot prune this at all
+    val chosen = DataLayoutN.prunedBuckets(spark, dir, Map("value" -> (0L, 60L)))
+    assert(chosen.nonEmpty && chosen.size * 2 <= 64,
+      s"third-dim-only predicate kept ${chosen.size} of 64 buckets")
+    val got = DataLayoutN.readPruned(spark, dir, Map("value" -> (0L, 60L)))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = ev.filter(col("value").cast("long").between(0L, 60L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want), s"${got.length} vs ${want.length} rows")
+  }
+
+  test("3-dim random boxes: pruned read equals plain filter for every query") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 3000).map(_ =>
+      (rnd.nextInt(1000).toLong, rnd.nextInt(200).toLong, rnd.nextInt(50).toLong))
+      .toDF("a", "b", "c")
+    val dir = Files.createTempDirectory("layout3-rand").toString
+    DataLayoutN.writeZOrdered(df, dir, Seq("a", "b", "c"), bucketBits = 5)
+    (1 to 8).foreach { _ =>
+      def range(max: Int) = { val lo = rnd.nextInt(max); (lo.toLong, (lo + rnd.nextInt(max - lo)).toLong) }
+      val (alo, ahi) = range(1000); val (blo, bhi) = range(200); val (clo, chi) = range(50)
+      val got = DataLayoutN.readPruned(spark, dir,
+        Map("a" -> (alo, ahi), "b" -> (blo, bhi), "c" -> (clo, chi))).count()
+      val want = df.filter(col("a").between(alo, ahi) && col("b").between(blo, bhi) &&
+        col("c").between(clo, chi)).count()
+      assert(got == want, s"box a[$alo,$ahi] b[$blo,$bhi] c[$clo,$chi]: $got vs $want")
+    }
+  }
+
+  test("3-dim append: saved curve, widened stats, exact reads") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (0L until 500L).map(i => (i % 100, i % 37, i % 11)).toDF("a", "b", "c")
+    val dir = Files.createTempDirectory("layout3-append").toString
+    DataLayoutN.writeZOrdered(base, dir, Seq("a", "b", "c"), bucketBits = 4)
+    // increment includes out-of-range values that must clamp + widen stats
+    val inc = Seq((150L, 50L, 20L), (7L, 7L, 7L)).toDF("a", "b", "c")
+    DataLayoutN.append(inc, dir)
+    val all = base.union(inc)
+    val got = DataLayoutN.readPruned(spark, dir,
+      Map("a" -> (0L, 200L), "b" -> (0L, 60L), "c" -> (0L, 30L))).count()
+    assert(got == all.count(), s"append lost rows: $got vs ${all.count()}")
+    val band = DataLayoutN.readPruned(spark, dir, Map("c" -> (7L, 7L))).count()
+    val want = all.filter(col("c") === 7L).count()
+    assert(band == want, s"post-append band read: $band vs $want")
   }
 }
