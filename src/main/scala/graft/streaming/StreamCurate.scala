@@ -34,27 +34,40 @@ import graft.queries.TextQueries
 object StreamCurate {
 
   /** One micro-batch through the full curation chain — shared by the
-    * streaming query and directly callable for stream≡batch assertions. */
+    * streaming query and directly callable for stream≡batch assertions.
+    * With `model` set, the batch-trained LEARNED gate
+    * ([[TextQueries.ClsModel]] via [[StreamClassifier]]'s scorer) runs
+    * AFTER the rule gate — the modern two-stage shape (cheap rules
+    * first, classifier on the survivors); still zero streaming state
+    * (one broadcast weight join per micro-batch). */
   def curateBatch(batch: DataFrame, block: DataFrame, words: Array[Long],
-      qualityThreshold: Double = TextQueries.QualityThreshold): DataFrame =
-    StreamBlocklist.cleanStream(
-        TextQueries.scoredDocs(batch)
-          .filter(col("quality") >= qualityThreshold && col("is_en")),
-        block, words)
+      qualityThreshold: Double = TextQueries.QualityThreshold,
+      model: Option[TextQueries.ClsModel] = None): DataFrame = {
+    val ruleGated = TextQueries.scoredDocs(batch)
+      .filter(col("quality") >= qualityThreshold && col("is_en"))
+    val gated = model.fold(ruleGated) { m =>
+      ruleGated.join(
+        TextQueries.scoreWithClassifier(ruleGated.select(col("doc_id"), col("text")), m)
+          .filter(col("predict_pos")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    }
+    StreamBlocklist.cleanStream(gated, block, words)
       .select(col("doc_id"),
         PiiRedact.redact(col("text")).as("text"),
         round(col("quality"), 6).as("quality"))
+  }
 
   /** Start curating `docs` (a STREAMING `(doc_id, text)` frame) into
     * `outDir`'s exactly-once sharded layout. */
   def start(docs: DataFrame, block: DataFrame, words: Array[Long],
-      outDir: String, numShards: Int, checkpoint: String): StreamingQuery =
+      outDir: String, numShards: Int, checkpoint: String,
+      model: Option[TextQueries.ClsModel] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         StreamShardedExport.commitBatch(
-          curateBatch(batch, block, words), "doc_id", outDir, numShards, id)
+          curateBatch(batch, block, words, model = model), "doc_id", outDir, numShards, id)
         ()
       }
       .start()

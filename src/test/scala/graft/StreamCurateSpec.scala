@@ -65,4 +65,27 @@ class StreamCurateSpec extends AnyFunSuite {
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(landed == direct, s"stream $landed != batch $direct")
   }
+
+  test("learned-gate stage composes: rule survivors also pass the trained classifier") {
+    // train the gate on the real corpus, then curate a batch with the
+    // model in the chain — output must equal rule-gate ∩ classifier-keep,
+    // and the stage must actually drop something on a mixed batch
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sfDir, "documents")
+    val model = graft.queries.TextQueries.trainClassifier(docs)
+    val block = Seq.empty[String].toDF("t").select(fpOf(col("t")).as("bfp"))
+    val words = new Array[Long](1 << 11) // empty bloom — no blocklist hits
+    val batch = docs.select(col("doc_id"), col("text"))
+
+    val withGate = StreamCurate.curateBatch(batch, block, words, model = Some(model))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val withoutGate = StreamCurate.curateBatch(batch, block, words)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keep = graft.queries.TextQueries.scoreWithClassifier(batch, model)
+      .filter(col("predict_pos")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withGate == (withoutGate intersect keep),
+      s"learned gate diverges: ${withGate.size} vs ${(withoutGate intersect keep).size}")
+    assert(withGate.size < withoutGate.size,
+      "classifier stage dropped nothing on the mixed corpus — not composing")
+  }
 }
