@@ -57,7 +57,8 @@ object DataLayout {
     * APPROXIMATE ranking above — layout quality, never correctness,
     * depends on the ranks, because pruning consults measured
     * per-bucket stats, not the curve. */
-  private def rank16(c: Column, mn: Long, mx: Long): Column = {
+  // shared with [[DataLayoutN]] — one rank definition for every curve
+  private[snapshot] def rank16(c: Column, mn: Long, mx: Long): Column = {
     val span = mx - mn
     val raw =
       if (span + 1 <= 65536L) {

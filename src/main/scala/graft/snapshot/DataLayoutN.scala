@@ -34,18 +34,8 @@ object DataLayoutN {
   final case class MetaN(cols: Seq[String], bucketBits: Int,
       mins: Seq[Long], maxs: Seq[Long])
 
-  private def rank16(c: Column, mn: Long, mx: Long): Column = {
-    val span = mx - mn
-    val raw =
-      if (span + 1 <= 65536L) {
-        val scale = 65536.0 / (span + 1).toDouble
-        floor((c - lit(mn)).cast("double") * scale).cast("long")
-      } else {
-        val w = span / 65536L + 1L
-        ((c - lit(mn)) / lit(w.toDouble)).cast("long")
-      }
-    greatest(lit(0L), least(lit(65535L), raw))
-  }
+  private def rank16(c: Column, mn: Long, mx: Long): Column =
+    DataLayout.rank16(c, mn, mx) // one rank definition for every curve
 
   /** Round-robin interleave of D 16-bit ranks into a D×16-bit z-value
     * — D×16 flat shift/mask/or terms, no allocation, no UDF. */
@@ -71,16 +61,18 @@ object DataLayoutN {
   private def statsDir(dir: String) = Paths.get(dir, "stats").toString
   private def metaPath(dir: String) = Paths.get(dir, "_zorder_meta_n")
 
+  // one field per line (like DataLayout's meta) — column names may
+  // contain spaces, so a space-delimited row format would mis-parse
   private def writeMeta(dir: String, m: MetaN): Unit = {
     java.nio.file.Files.createDirectories(Paths.get(dir))
-    val body = m.bucketBits.toString +: m.cols.indices.map(i =>
-      s"${m.cols(i)} ${m.mins(i)} ${m.maxs(i)}")
+    val body = m.bucketBits.toString +: m.cols.indices.flatMap(i =>
+      Seq(m.cols(i), m.mins(i).toString, m.maxs(i).toString))
     java.nio.file.Files.writeString(metaPath(dir), body.mkString("", "\n", "\n"))
   }
 
   def readMeta(dir: String): MetaN = {
     val ls = java.nio.file.Files.readString(metaPath(dir)).split("\n").toSeq
-    val dims = ls.tail.map(_.split(" "))
+    val dims = ls.tail.grouped(3).toSeq
     MetaN(dims.map(_(0)), ls.head.toInt, dims.map(_(1).toLong), dims.map(_(2).toLong))
   }
 
@@ -96,7 +88,7 @@ object DataLayoutN {
     * directories + the per-bucket stats table. Returns bucket count. */
   def writeZOrdered(df: DataFrame, layoutDir: String, cols: Seq[String],
       bucketBits: Int = 6): Int = {
-    require(cols.nonEmpty && cols.length * Bits <= 63,
+    require(cols.nonEmpty && cols.length * Bits <= 64,
       s"1..4 clustering columns supported, got ${cols.length}")
     require(bucketBits >= 1 && bucketBits <= Bits, s"bucketBits out of range: $bucketBits")
     val aggs = cols.flatMap(c =>
@@ -110,9 +102,10 @@ object DataLayoutN {
       .repartition(col(ZBucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(ZBucketCol)
       .parquet(dataDir(layoutDir))
+    val stats = statsAgg(meta)
     df.sparkSession.read.parquet(dataDir(layoutDir))
       .groupBy(col(ZBucketCol).as("bucket"))
-      .agg(statsAgg(meta).head, statsAgg(meta).tail: _*)
+      .agg(stats.head, stats.tail: _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(statsDir(layoutDir))
     1 << bucketBits
@@ -123,9 +116,10 @@ object DataLayoutN {
   def append(df: DataFrame, layoutDir: String): Unit = {
     val m = readMeta(layoutDir)
     val spark = df.sparkSession
+    val incStats = statsAgg(m)
     val inc = df.withColumn(ZBucketCol, bucketExpr(m))
       .groupBy(col(ZBucketCol).as("bucket"))
-      .agg(statsAgg(m).head, statsAgg(m).tail: _*)
+      .agg(incStats.head, incStats.tail: _*)
       .collect()
     val old = spark.read.parquet(statsDir(layoutDir)).collect()
     val cols = Seq("bucket") ++ m.cols.indices.flatMap(i => Seq(mnCol(i), mxCol(i)))

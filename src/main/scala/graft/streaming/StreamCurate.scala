@@ -46,8 +46,12 @@ object StreamCurate {
     val ruleGated = TextQueries.scoredDocs(batch)
       .filter(col("quality") >= qualityThreshold && col("is_en"))
     val gated = model.fold(ruleGated) { m =>
+      // score the RAW batch, not ruleGated: the semi join already
+      // intersects with rule survivors, scoring is per-doc
+      // deterministic, and reusing ruleGated would re-run the whole
+      // scoredDocs pipeline on both join sides every micro-batch
       ruleGated.join(
-        TextQueries.scoreWithClassifier(ruleGated.select(col("doc_id"), col("text")), m)
+        TextQueries.scoreWithClassifier(batch.select(col("doc_id"), col("text")), m)
           .filter(col("predict_pos")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
     }

@@ -235,4 +235,19 @@ class DataLayoutSpec extends AnyFunSuite {
     val want = all.filter(col("c") === 7L).count()
     assert(band == want, s"post-append band read: $band vs $want")
   }
+
+  test("4-dim layout accepts the advertised maximum and reads exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 1500).map(_ =>
+      (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong,
+        rnd.nextInt(100).toLong, rnd.nextInt(100).toLong)).toDF("a", "b", "c", "d")
+    val dir = Files.createTempDirectory("layout4").toString
+    DataLayoutN.writeZOrdered(df, dir, Seq("a", "b", "c", "d"), bucketBits = 4)
+    val got = DataLayoutN.readPruned(spark, dir,
+      Map("b" -> (10L, 40L), "d" -> (50L, 90L))).count()
+    val want = df.filter(col("b").between(10, 40) && col("d").between(50, 90)).count()
+    assert(got == want, s"$got vs $want")
+  }
 }
