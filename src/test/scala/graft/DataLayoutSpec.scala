@@ -236,6 +236,16 @@ class DataLayoutSpec extends AnyFunSuite {
     assert(band == want, s"post-append band read: $band vs $want")
   }
 
+  test("3-dim bucket skip is partition pruning in the physical plan") {
+    val dir = Files.createTempDirectory("layout3-plan").toString
+    DataLayoutN.writeZOrdered(
+      Tables.load(spark, sfDir, "events"), dir, Seq("ts", "user_id", "value"), bucketBits = 6)
+    val df = DataLayoutN.readPruned(spark, dir, Map("value" -> (0L, 60L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(DataLayoutN.ZBucketCol),
+      s"expected ${DataLayoutN.ZBucketCol} partition filters in:\n$plan")
+  }
+
   test("4-dim layout accepts the advertised maximum and reads exactly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
