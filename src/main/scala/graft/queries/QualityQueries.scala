@@ -112,6 +112,41 @@ object QualityQueries {
   // vocabulary slice); the tail sum is the alarm threshold.
   private val DriftDims = 64
 
+  /** (dim, cnt) hashed token counts — the drift feature extraction,
+    * shared by the batch query's populations, the nightly-trained
+    * baseline, and the streaming monitor
+    * ([[graft.streaming.StreamDrift]]). */
+  private[graft] def dimCounts(docs: DataFrame): DataFrame = docs
+    .select(explode_outer(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+    .filter(col("tok").isNotNull)
+    .select(pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+      lit(DriftDims)).as("dim"))
+    .groupBy(col("dim")).agg(count(lit(1)).as("cnt"))
+
+  /** Two-sample χ² of observed (dim, cnt) counts against a baseline
+    * (dim, cnt) frame — the same exact-integer-then-one-divide chain
+    * [[corpusDrift]] runs, factored so batch and stream score through
+    * one definition. Dims present on only one side count 0 on the
+    * other (a NEW token bucket is maximal drift signal, not a crash). */
+  private[graft] def chi2Against(obs: DataFrame, base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(38, 0)
+    val joined = obs.select(col("dim"), col("cnt").as("o1"))
+      .join(base.select(col("dim"), col("cnt").as("o2")), Seq("dim"), "full_outer")
+      .select(col("dim"), coalesce(col("o1"), lit(0L)).as("o1"),
+        coalesce(col("o2"), lit(0L)).as("o2"))
+      .cache() // totals + scoring
+    val tot = joined.agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    val num = (col("o1").cast(dec) * col("n2").cast(dec) -
+      col("o2").cast(dec) * col("n1").cast(dec)).cast(DoubleType)
+    val den = ((col("o1") + col("o2")).cast(dec) *
+      col("n1").cast(dec) * col("n2").cast(dec)).cast(DoubleType)
+    joined.crossJoin(broadcast(tot))
+      .select(col("dim"), col("o1"), col("o2"),
+        round(num * num / den, 6).as("chi2"))
+      .orderBy(col("dim"))
+  }
+
   def corpusDrift(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val dec = DecimalType(38, 0)
