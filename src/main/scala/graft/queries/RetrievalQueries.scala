@@ -132,6 +132,93 @@ object RetrievalQueries {
       .orderBy(col("probe_id"))
   }
 
+  // --- index-served lexical retrieval ---------------------------------
+  // BM25 top-k answered FROM the impact-ordered inverted index
+  // (`text_inverted_index`'s exact shape) instead of a corpus scan —
+  // the WAND-family serving path: only the QUERY TERMS' posting rows
+  // (df + top-[[LexPostK]] docs by tf) are read, joined to the
+  // doc-length table, scored with the same operand-ordered BM25 chain
+  // `text_bm25` uses, and top-k'd. Scale shape: query cost is
+  // Σ postings(query terms) + a broadcast stats row — independent of
+  // corpus size; the full-scan `text_bm25` is the indexing-time /
+  // batch-scoring twin. Truncated-posting semantics are the index
+  // contract (a term contributes only for its impact-ordered prefix),
+  // and the oracle mirrors the SAME truncation, so the hash match
+  // certifies the index path scores exactly what it claims to.
+  // Per-doc contribution sums route through DECIMAL(28,14): with
+  // multiple query terms per doc, a float sum's merge order would
+  // otherwise perturb the fixed-point score.
+  private val LexTerms = Seq("spark", "merge", "window")
+  private val LexPostK = 16
+  private val LexTopN = 10
+
+  def retrievalLexicalTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TopKAgg
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val docs = Tables.load(spark, sfDir, "documents")
+    def toksOf = filter(split(col("text"), " "), t => t =!= "")
+    val tf = docs.select(col("doc_id"), explode_outer(toksOf).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val topk = udaf(new TopKAgg(LexPostK))
+    val post = tf.filter(col("term").isin(LexTerms: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("df"),
+        topk(col("tf").cast(DoubleType), col("doc_id")).as("pk"))
+      .select(col("term"), col("df"), explode(col("pk")).as("p"))
+      .select(col("term"), col("df"), col("p.id").as("doc_id"), col("p.sim").as("tf"))
+    val dl = docs.select(col("doc_id"), size(toksOf).cast(DoubleType).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n"), sum(col("dl")).as("sumdl"))
+    val scored = post.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+    val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val contrib = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+        lit(0.75) * (col("dl") / (col("sumdl") / col("n")))))
+    scored.select(col("doc_id"), contrib.cast(DecimalType(28, 14)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+      .select(col("doc_id"),
+        floor(col("s").cast(DoubleType) * lit(1048576.0)).cast("long").as("score_fp"))
+      .filter(col("score_fp") > 0)
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(LexTopN)
+  }
+
+  val retrievalLexicalTopkSql: String = {
+    val terms = LexTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tf AS (
+      |  SELECT tok AS term, doc_id, count(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |seldf AS (
+      |  SELECT term, count(*)::DOUBLE AS df FROM tf
+      |  WHERE term IN ($terms) GROUP BY 1),
+      |r AS (
+      |  SELECT term, doc_id, tf,
+      |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+      |  FROM tf WHERE term IN ($terms)),
+      |post AS (
+      |  SELECT r.term, seldf.df, r.doc_id, CAST(r.tf AS DOUBLE) AS tf
+      |  FROM r JOIN seldf USING (term) WHERE rn <= $LexPostK),
+      |dlt AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> x != ''))::DOUBLE AS dl
+      |  FROM documents),
+      |stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) AS sumdl FROM dlt),
+      |contrib AS (
+      |  SELECT post.doc_id,
+      |    CAST((n - df + 0.5) / (df + 0.5) * (tf * 2.2) /
+      |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n)))) AS DECIMAL(28,14)) AS c
+      |  FROM post JOIN dlt USING (doc_id) CROSS JOIN stats),
+      |summed AS (
+      |  SELECT doc_id,
+      |    CAST(floor(CAST(sum(c) AS DOUBLE) * 1048576.0) AS BIGINT) AS score_fp
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT doc_id, score_fp FROM summed WHERE score_fp > 0
+      |ORDER BY score_fp DESC, doc_id LIMIT $LexTopN""".stripMargin
+  }
+
   // --- late-interaction (multi-vector) retrieval ----------------------
   // The ColBERT scoring shape: a document is MANY chunk vectors, and
   // score(q, d) = Σ_{p ∈ q.chunks} max_{c ∈ d.chunks} sim(p, c) — finer

@@ -468,6 +468,17 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"missing hash agg:\n${plan.take(2000)}")
   }
 
+  test("retrieval_lexical_topk: bounded postings via TopKAgg, no window, no cartesian") {
+    val df = SparkEntry.queries("retrieval_lexical_topk")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"),
+      s"lexical retrieval plans a Window (unbounded posting shuffle):\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"stats row not broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TopKAgg did not plan as ObjectHashAggregate:\n${plan.take(2000)}")
+  }
+
   test("cdc_diff_feed: one full-outer PK join, no window, no cartesian") {
     val df = SparkEntry.queries("cdc_diff_feed")(spark, sf)
     val plan = physical(df)
