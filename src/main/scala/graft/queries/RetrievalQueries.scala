@@ -294,4 +294,47 @@ object RetrievalQueries {
       |SELECT probe_id, hits, hits / $EvalK.0 AS recall,
       |  CASE WHEN best IS NULL THEN 0.0 ELSE 1.0 / best END AS rr
       |FROM per ORDER BY probe_id""".stripMargin
+
+  // --- multi-method ANN comparison -------------------------------------
+  // The index-SELECTION harness: every candidate method scored with the
+  // same per-probe recall@k / reciprocal-rank metrics against the same
+  // brute-force truth, one row per (method, probe) — what an index swap
+  // decision actually reads (IVF's coarse-quantizer loss vs SQ8's
+  // compression loss, side by side). Truth is computed once and
+  // broadcast-joined to each method's bounded top-k frame; adding a
+  // method is one more union leg.
+  def retrievalEvalMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = VectorQueries.vecTopk(spark, sfDir)
+      .select(col("probe_id"), col("neighbor_id"))
+      .cache() // joined once per evaluated method
+    def evalOf(ann: DataFrame, method: String): DataFrame =
+      truth
+        .join(ann.select(col("probe_id"), col("neighbor_id"), col("rank")),
+          Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(col("rank")).as("hits"), min(col("rank")).as("best"))
+        .select(lit(method).as("method"), col("probe_id"), col("hits"),
+          (col("hits") / lit(EvalK.toDouble)).as("recall"),
+          coalesce(lit(1.0) / col("best"), lit(0.0)).as("rr"))
+    evalOf(VectorQueries.vecIvfTopk(spark, sfDir), "ivf")
+      .unionByName(evalOf(VectorQueries.vecSqTopk(spark, sfDir), "sq8"))
+      .orderBy(col("method"), col("probe_id"))
+  }
+
+  val retrievalEvalMultiSql: String = {
+    def leg(annSql: String, method: String) =
+      s"""SELECT '$method' AS method, probe_id, hits, hits / $EvalK.0 AS recall,
+        |  CASE WHEN best IS NULL THEN 0.0 ELSE 1.0 / best END AS rr
+        |FROM (
+        |  SELECT t.probe_id, count(a.rank) AS hits, min(a.rank) AS best
+        |  FROM truth t LEFT JOIN ($annSql) a
+        |    ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
+        |  GROUP BY t.probe_id)""".stripMargin
+    s"""WITH truth AS (
+      |  SELECT probe_id, neighbor_id FROM (${VectorQueries.vecTopkSql}) t)
+      |${leg(VectorQueries.vecIvfTopkSql, "ivf")}
+      |UNION ALL
+      |${leg(VectorQueries.vecSqTopkSql, "sq8")}
+      |ORDER BY method, probe_id""".stripMargin
+  }
 }
