@@ -65,6 +65,75 @@ object GraphQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- weighted variant -------------------------------------------------
+  // Same power iteration with edges weighted by their verified Jaccard:
+  // a document's rank flows to near-duplicates in PROPORTION to how
+  // similar they are, so the centrality signal weighs a 0.95-overlap
+  // neighbor above a barely-over-threshold one. Per-edge share
+  // w/Σw(src) replaces 1/deg; every float SUM (the per-src weight
+  // total and the per-dst contribution fold) routes through
+  // DECIMAL(28,14) so partial-agg merge order cannot perturb it —
+  // jaccard itself is one IEEE divide of exact integers, identical in
+  // both engines. Same O(|V|+|E|)-per-round bill as the unweighted
+  // walk.
+  def graphPagerankWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(28, 14)
+    val pairs = DedupQueries.minhashLsh(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val e = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst"), col("jaccard").as("w")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst"), col("jaccard").as("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      .localCheckpoint()
+    val wsum = e.groupBy(col("src"))
+      .agg(sum(col("w").cast(dec)).as("wsum"))
+    val edges = e.join(wsum, Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("w") / col("wsum").cast(DoubleType)).as("share"))
+      .localCheckpoint()
+    val nF = wsum.agg(count(lit(1)).as("n"))
+    var pr = wsum.crossJoin(broadcast(nF))
+      .select(col("src").as("doc_id"), (lit(1.0d) / col("n").cast(DoubleType)).as("pr"))
+    for (_ <- 1 to PrIters) {
+      pr = edges
+        .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst"), (col("pr") * col("share")).cast(dec).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .crossJoin(broadcast(nF))
+        .select(col("dst").as("doc_id"),
+          (lit(0.15d) / col("n").cast(DoubleType)
+            + lit(0.85d) * col("s").cast(DoubleType)).as("pr"))
+    }
+    pr.select(col("doc_id"), round(col("pr"), 9).as("pr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val graphPagerankWeightedSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      val prev = if (i == 1) "p0" else s"it${i - 1}"
+      s"""it${i}s AS (
+        |  SELECT e.dst AS doc_id,
+        |    sum(CAST(p.pr * e.share AS DECIMAL(28,14))) AS s
+        |  FROM e2 e JOIN $prev p ON e.src = p.doc_id GROUP BY 1),
+        |it$i AS (
+        |  SELECT doc_id, 0.15 / CAST(n AS DOUBLE) + 0.85 * CAST(s AS DOUBLE) AS pr
+        |  FROM it${i}s CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+      |  SELECT doc_a, doc_b, jaccard FROM (${DedupQueries.minhashLshSql})
+      |),
+      |e AS (SELECT doc_a AS src, doc_b AS dst, jaccard AS w FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a, jaccard FROM pairs),
+      |ws AS (SELECT src, sum(CAST(w AS DECIMAL(28,14))) AS wsum FROM e GROUP BY 1),
+      |e2 AS (SELECT e.src, e.dst, e.w / CAST(ws.wsum AS DOUBLE) AS share
+      |       FROM e JOIN ws USING (src)),
+      |n AS (SELECT count(*) AS n FROM ws),
+      |p0 AS (SELECT src AS doc_id, 1.0 / CAST(n AS DOUBLE) AS pr
+      |       FROM ws CROSS JOIN n),
+      |$iters
+      |SELECT doc_id, round(pr, 9) AS pr FROM it$PrIters ORDER BY doc_id""".stripMargin
+  }
+
   val graphPagerankSql: String = {
     val iters = (1 to PrIters).map { i =>
       val prev = if (i == 1) "p0" else s"it${i - 1}"
