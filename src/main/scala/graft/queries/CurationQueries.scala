@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 
@@ -537,14 +536,7 @@ object CurationQueries {
 
   def corpusResample(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val t = toks(col("text"))
-    val nTok = size(t).cast("double")
-    val stopArr = array(TextQueries.stopEn.map(lit): _*)
-    val quality =
-      size(filter(t, x => array_contains(stopArr, x))).cast("double") / nTok * lit(2.0) +
-      size(array_distinct(t)).cast("double") / nTok +
-      length(regexp_replace(col("text"), "[^a-z0-9]", "")).cast("double") /
-        length(col("text")).cast("double") - lit(1.0)
+    val quality = TextQueries.qualityExpr(col("text"))
     val weight = greatest(lit(0.0), least(lit(1.0), quality / lit(2.0)))
     val u = conv(substring(md5(concat(lit("rs:"), col("doc_id").cast("string"))), 1, 5), 16, 10)
       .cast("long").cast("double") / lit(RsScale.toDouble)
@@ -555,13 +547,9 @@ object CurationQueries {
   }
 
   val corpusResampleSql: String = {
-    val stop = TextQueries.stopEn.map(s => s"'$s'").mkString("[", ", ", "]")
     s"""WITH scored AS (
       |  SELECT doc_id,
-      |    len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks) * 2.0
-      |      + len(list_distinct(toks))::DOUBLE / len(toks)
-      |      + length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)
-      |      - 1.0 AS quality
+      |    ${TextQueries.qualitySqlExpr("toks", "text")} AS quality
       |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
       |        FROM documents)),
       |weighted AS (
@@ -576,57 +564,57 @@ object CurationQueries {
 
   // --- per-source corpus health dashboard ------------------------------
   // The rollup every curation run reports per upstream source (crawl,
-  // dump, registry): volume, token mass, exact-dup rate, and mean
-  // quality. Drives the keep/boost/drop decision per source before any
-  // per-document work. ONE hash agg over a single scan — partial
-  // aggregation map-side, |sources| result rows, so the exchange carries
-  // per-source partials regardless of corpus size. Sums go through
-  // longs (tokens) and DECIMAL(18,4) (quality) so the agg is exact and
+  // dump, registry): volume, token mass, exact-dup rate, and pooled
+  // (token-weighted) quality. Drives the keep/boost/drop decision per
+  // source before any per-document work. ONE hash agg over a single
+  // scan — partial aggregation map-side, |sources| result rows, so the
+  // exchange carries per-source partials regardless of corpus size.
+  // Parity: every summed column is an exact long from
+  // [[TextQueries.qualityCounts]]; the quality double chain runs ONCE
+  // per source over the five exact sums (never sum computed doubles —
+  // the round-4 DECIMAL(18,4) lesson), so the agg is exact and
   // order-independent in both engines.
   def corpusSourceStats(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val t = toks(col("text"))
-    val nTok = size(t).cast("double")
-    val stopArr = array(TextQueries.stopEn.map(lit): _*)
-    val quality =
-      size(filter(t, x => array_contains(stopArr, x))).cast("double") / nTok * lit(2.0) +
-      size(array_distinct(t)).cast("double") / nTok +
-      length(regexp_replace(col("text"), "[^a-z0-9]", "")).cast("double") /
-        length(col("text")).cast("double") - lit(1.0)
+    val counts = TextQueries.qualityCounts(col("text"))
     docs
-      .select(col("source"), col("lang"), size(t).as("n_tok"),
-        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
-        quality.as("q"))
+      .select(Seq(col("source"), col("lang"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp")) ++ counts: _*)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tokens"),
         countDistinct(col("fp")).as("distinct_docs"),
         countDistinct(col("lang")).as("n_langs"),
-        sum(col("q").cast(DecimalType(18, 4))).cast(DoubleType).as("q_sum"))
+        sum(col("stop_hits")).as("s_stop"),
+        sum(col("distinct_toks")).as("s_dist"),
+        sum(col("alnum_chars")).as("s_alnum"),
+        sum(col("n_chars")).as("s_chars"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
         ((col("n_docs") - col("distinct_docs")).cast("double") /
           col("n_docs").cast("double")).as("dup_ratio"),
         col("n_langs"),
-        (col("q_sum") / col("n_docs").cast("double")).as("avg_quality"))
+        TextQueries.qualityFromCounts(col("s_stop"), col("total_tokens"),
+          col("s_dist"), col("s_alnum"), col("s_chars")).as("avg_quality"))
       .orderBy(col("source"))
   }
 
   val corpusSourceStatsSql: String = {
-    val stop = TextQueries.stopEn.map(s => s"'$s'").mkString("[", ", ", "]")
+    val comps = TextQueries.qualityCountsSql("toks", "text")
+      .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n      |    ")
     s"""WITH scored AS (
-      |  SELECT source, lang, len(toks) AS n_tok,
+      |  SELECT source, lang,
       |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
-      |    len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks) * 2.0
-      |      + len(list_distinct(toks))::DOUBLE / len(toks)
-      |      + length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)
-      |      - 1.0 AS q
+      |    $comps
       |  FROM (SELECT source, lang, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
       |        FROM documents))
       |SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
       |  (count(*) - count(DISTINCT fp))::DOUBLE / count(*) AS dup_ratio,
       |  count(DISTINCT lang) AS n_langs,
-      |  CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_quality
+      |  CAST(sum(stop_hits) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) * 2.0
+      |    + CAST(sum(distinct_toks) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+      |    + CAST(sum(alnum_chars) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
+      |    - 1.0 AS avg_quality
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 }

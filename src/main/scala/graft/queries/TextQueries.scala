@@ -24,6 +24,70 @@ object TextQueries {
 
   private[queries] val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  // --- the shared 4-term quality heuristic -----------------------------
+  // ONE definition of the corpus-quality formula (stopword presence ×2 +
+  // lexical diversity + alphanumeric density − 1), used by every query
+  // that gates or reports on quality (`corpus_filter`, `corpus_resample`,
+  // `corpus_source_stats`, the curation chain) and mirrored op-for-op by
+  // one SQL fragment generator — so a parity fix in one place can never
+  // miss a copy. The exact-integer signals are exposed separately
+  // because aggregations must sum THOSE (longs, order-independent) and
+  // apply the double chain once at the end, never sum computed doubles.
+
+  /** Exact-integer signals `(stop_hits, n_tok, distinct_toks,
+    * alnum_chars, n_chars)` behind the quality formula, aliased to those
+    * names — safe to `sum` (longs) in any aggregation. */
+  private[graft] def qualityCounts(text: Column): Seq[Column] = {
+    val t = toks(text)
+    val stopArr = array(stopEn.map(lit): _*)
+    Seq(
+      size(filter(t, x => array_contains(stopArr, x))).cast("long").as("stop_hits"),
+      size(t).cast("long").as("n_tok"),
+      size(array_distinct(t)).cast("long").as("distinct_toks"),
+      length(regexp_replace(text, "[^a-z0-9]", "")).cast("long").as("alnum_chars"),
+      length(text).cast("long").as("n_chars"))
+  }
+
+  /** The quality double chain over exact-integer operands — per-row or
+    * over per-group SUMS of [[qualityCounts]] (the pooled form). Every
+    * op is an IEEE divide/multiply/add on integer-valued doubles, so the
+    * result is bit-identical cross-engine. */
+  private[graft] def qualityFromCounts(stopHits: Column, nTok: Column,
+      distinctToks: Column, alnumChars: Column, nChars: Column): Column =
+    stopHits.cast("double") / nTok.cast("double") * lit(2.0) +
+      distinctToks.cast("double") / nTok.cast("double") +
+      alnumChars.cast("double") / nChars.cast("double") - lit(1.0)
+
+  /** Per-row quality score of a text column. */
+  private[graft] def qualityExpr(text: Column): Column = {
+    val t = toks(text)
+    val stopArr = array(stopEn.map(lit): _*)
+    qualityFromCounts(
+      size(filter(t, x => array_contains(stopArr, x))), size(t),
+      size(array_distinct(t)),
+      length(regexp_replace(text, "[^a-z0-9]", "")), length(text))
+  }
+
+  /** DuckDB mirror of [[qualityExpr]] over a pre-split token-list column
+    * `toksCol` and the raw `textCol` — op-for-op the same chain. */
+  private[graft] def qualitySqlExpr(toksCol: String, textCol: String): String = {
+    val stop = stopEn.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"len(list_filter($toksCol, x -> list_contains($stop, x)))::DOUBLE / len($toksCol) * 2.0" +
+      s" + len(list_distinct($toksCol))::DOUBLE / len($toksCol)" +
+      s" + length(regexp_replace($textCol, '[^a-z0-9]', '', 'g'))::DOUBLE / length($textCol) - 1.0"
+  }
+
+  /** DuckDB mirrors of [[qualityCounts]], in the same order/names. */
+  private[graft] def qualityCountsSql(toksCol: String, textCol: String): Seq[(String, String)] = {
+    val stop = stopEn.map(s => s"'$s'").mkString("[", ", ", "]")
+    Seq(
+      "stop_hits" -> s"len(list_filter($toksCol, x -> list_contains($stop, x)))",
+      "n_tok" -> s"len($toksCol)",
+      "distinct_toks" -> s"len(list_distinct($toksCol))",
+      "alnum_chars" -> s"length(regexp_replace($textCol, '[^a-z0-9]', '', 'g'))",
+      "n_chars" -> s"length($textCol)")
+  }
+
   // --- token counting: whitespace + BPE-ish regex sub-token count ---
   def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
@@ -138,13 +202,7 @@ object TextQueries {
     * nightly curation can never score a document differently. */
   private[graft] def scoredDocs(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
-    val nTok = size(t).cast("double")
-    val stopArr = array(stopEn.map(lit): _*)
-    val quality =
-      size(filter(t, x => array_contains(stopArr, x))).cast("double") / nTok * lit(2.0) +
-      size(array_distinct(t)).cast("double") / nTok +
-      length(regexp_replace(col("text"), "[^a-z0-9]", "")).cast("double") /
-        length(col("text")).cast("double") - lit(1.0)
+    val quality = qualityExpr(col("text"))
     val enArr = array(langStops.toMap.apply("en").map(lit): _*)
     val deArr = array(langStops.toMap.apply("de").map(lit): _*)
     val en = size(filter(t, x => array_contains(enArr, x)))
@@ -164,16 +222,12 @@ object TextQueries {
   }
 
   val corpusFilterSql: String = {
-    val stop = stopEn.map(s => s"'$s'").mkString("[", ", ", "]")
     val enStop = langStops.toMap.apply("en").map(s => s"'$s'").mkString("[", ", ", "]")
     val deStop = langStops.toMap.apply("de").map(s => s"'$s'").mkString("[", ", ", "]")
     s"""WITH scored AS (
       |  SELECT doc_id,
       |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
-      |    len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks) * 2.0
-      |      + len(list_distinct(toks))::DOUBLE / len(toks)
-      |      + length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)
-      |      - 1.0 AS quality,
+      |    ${qualitySqlExpr("toks", "text")} AS quality,
       |    len(list_filter(toks, x -> list_contains($enStop, x)))
       |      >= len(list_filter(toks, x -> list_contains($deStop, x))) AS is_en
       |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
@@ -424,11 +478,15 @@ object TextQueries {
   // bigram frame is persisted so the train and score branches share one
   // explode — at scale, production would instead read the persisted LM.
   //
-  // Oracle parity: counts are exact longs; the smoothed probability and
-  // log2 are IEEE doubles on identical operands; each term is rounded
-  // through DECIMAL(18,4) before summing so the per-doc sum is exact and
-  // order-independent (see Analytics' dsum note).
+  // Oracle parity: counts are exact longs, but log2 is TRANSCENDENTAL —
+  // JVM `StrictMath.log` vs libm `log2` differ in ulps, so the per-term
+  // doubles are not bit-identical cross-engine and no decimal rounding
+  // can repair them after the fact. Each term therefore goes through
+  // 2^20 fixed point — `floor(bits * 2^20)` as a LONG — which absorbs
+  // the ulp noise (quantization step 2^-20 ≫ one ulp) and sums exactly
+  // and order-independently in both engines (the `text_bm25` pattern).
   private val LmAlpha = 0.5
+  private val LmFpScale = 1048576.0 // 2^20
 
   def textLmScore(spark: SparkSession, sfDir: String): DataFrame =
     lmScore(Tables.load(spark, sfDir, "documents"))
@@ -478,9 +536,10 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
         sum(when(col("cb").isNull, col("c")).otherwise(lit(0L))).as("oov_bigrams"),
-        sum(bits.cast(DecimalType(18, 4))).cast(DoubleType).as("sum_bits"))
+        sum(floor(bits * lit(LmFpScale))).as("bits_fp"))
       .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"),
-        (col("sum_bits") / col("n_bigrams")).as("bits_per_bigram"))
+        (col("bits_fp").cast("double") / lit(LmFpScale) /
+          col("n_bigrams").cast("double")).as("bits_per_bigram"))
   }
 
   /** Core of [[textLmScore]] over any `(doc_id, text)` frame: trains on
@@ -501,9 +560,11 @@ object TextQueries {
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
-        sum(bits.cast(DecimalType(18, 4))).cast(DoubleType).as("sum_bits"))
-      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
-        (col("sum_bits") / col("n_bigrams")).as("bits_per_bigram"))
+        sum(floor(bits * lit(LmFpScale))).as("bits_fp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("bits_fp").cast("double") / lit(LmFpScale)).as("sum_bits"),
+        (col("bits_fp").cast("double") / lit(LmFpScale) /
+          col("n_bigrams").cast("double")).as("bits_per_bigram"))
       .orderBy(col("doc_id"))
   }
 
@@ -521,10 +582,12 @@ object TextQueries {
       |v AS (SELECT count(DISTINCT w2) AS v FROM lm),
       |scored AS (
       |  SELECT doc_id, sum(c) AS n_bigrams,
-      |    CAST(sum(CAST(-c * log2((cb + $LmAlpha) / (cu + $LmAlpha * v)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_bits
+      |    sum(CAST(floor(-c * log2((cb + $LmAlpha) / (cu + $LmAlpha * v)) * $LmFpScale) AS BIGINT)) AS bits_fp
       |  FROM db JOIN lm USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
       |  GROUP BY doc_id)
-      |SELECT doc_id, n_bigrams, sum_bits, sum_bits / n_bigrams AS bits_per_bigram
+      |SELECT doc_id, n_bigrams,
+      |  CAST(bits_fp AS DOUBLE) / $LmFpScale AS sum_bits,
+      |  CAST(bits_fp AS DOUBLE) / $LmFpScale / CAST(n_bigrams AS DOUBLE) AS bits_per_bigram
       |FROM scored ORDER BY doc_id""".stripMargin
 
   // --- inverted index build (impact-ordered, bounded postings) ---------

@@ -497,4 +497,17 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"bpe pair count scans the corpus $scans times")
   }
+
+  test("corpus_source_stats: one documents scan, aggregation only — no join, no window") {
+    // the per-source dashboard must stay a single-pass hash aggregation
+    // (exact-integer component sums, quality chain applied post-agg) —
+    // a second scan or a join sneaking in doubles the cost of what is
+    // billed as "one pass over the corpus" at 100 TB
+    val plan = physical(SparkEntry.queries("corpus_source_stats")(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"source stats scans the corpus $scans times:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"source stats plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"source stats plans a join:\n${plan.take(2000)}")
+    assert(plan.contains("HashAggregate"), "source stats lost its hash aggregation")
+  }
 }
