@@ -55,6 +55,16 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        # a typo'd/stale filter name must not read as green: error out
+        # instead of silently checking nothing
+        unknown = sorted(only - set(oracle))
+        if unknown:
+            print(f"ERROR: filter names not in oracle_sql.json: {unknown}")
+            sys.exit(2)
+        if not only:
+            print("ERROR: empty query filter — nothing would be checked")
+            sys.exit(2)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
@@ -88,6 +98,9 @@ def main():
             n_fail += 1
             print(f"ERROR {name}: {e}")
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if n_pass + n_fail == 0:
+        print("ERROR: zero queries checked — refusing to report green")
+        sys.exit(2)
     sys.exit(1 if n_fail else 0)
 
 

@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Pre-commit correctness gate for one or more named queries:
+#   tools/gate.sh q1_pricing,corpus_filter [sfDir]
+# Runs a FILTERED graft.Verify dump for exactly those queries, then the
+# DuckDB-oracle compare on the same set. Every new or touched oracle
+# query goes through this BEFORE its commit (the round-4 lesson: two
+# queries shipped red because they were committed unchecked).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+QUERIES="${1:?usage: tools/gate.sh <query[,query...]> [sfDir]}"
+SF_DIR="${2:-/root/testdata/sf0.01}"
+OUT_DIR="$(mktemp -d /tmp/gate.XXXXXX)"
+trap 'rm -rf "$OUT_DIR"' EXIT
+
+sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR $QUERIES" > "$OUT_DIR/verify.log" 2>&1 || {
+  echo "Verify FAILED — tail of log:"; tail -20 "$OUT_DIR/verify.log"; exit 1; }
+grep -i "\[verify\].*failed" "$OUT_DIR/verify.log" && exit 1
+python3 tools/check.py "$SF_DIR" "$OUT_DIR" "$QUERIES"
