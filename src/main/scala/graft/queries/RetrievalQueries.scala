@@ -219,6 +219,67 @@ object RetrievalQueries {
       |ORDER BY score_fp DESC, doc_id LIMIT $LexTopN""".stripMargin
   }
 
+  // --- index-SERVED lexical retrieval over a PERSISTED index ----------
+  // The true serving path: `retrieval_lexical_topk` above recomputes tf
+  // and doc lengths from the raw corpus inline (the oracle-gate form);
+  // here the index is BUILT ONCE — `text_inverted_index`'s exact output
+  // with each posting's doc length denormalized in, plus a one-row
+  // corpus-stats table — and the query reads ONLY the query terms'
+  // posting rows (parquet filter pushdown on `term`/`rank`) plus the
+  // broadcast stats row. Query cost is Σ postings(query terms),
+  // independent of corpus size; the documents table is never touched
+  // (pinned in PlanGuaranteesSpec). Same result, same oracle — the
+  // index is a deterministic function of the corpus (the
+  // vec_ivf_topk_cached pattern).
+  private val lexIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per sfDir) and persist the serving index: `postings` =
+    * inverted-index rows with doc length attached, `stats` = one row
+    * `(n, sumdl)`. Returns the index directory. */
+  def prepareLexIndex(spark: SparkSession, sfDir: String): String =
+    lexIndexDirs.computeIfAbsent(sfDir, { _ =>
+      import org.apache.spark.sql.types.DoubleType
+      val dir = java.nio.file.Files.createTempDirectory("graft-lexidx").toString
+      val docs = Tables.load(spark, sfDir, "documents")
+      def toksOf = filter(split(col("text"), " "), t => t =!= "")
+      val dl = docs.select(col("doc_id"), size(toksOf).cast(DoubleType).as("dl"))
+      TextQueries.textInvertedIndex(spark, sfDir)
+        .join(dl, Seq("doc_id"))
+        .select(col("term"), col("df"), col("rank"), col("doc_id"),
+          col("tf"), col("dl"))
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      dl.agg(count(lit(1)).cast(DoubleType).as("n"), sum(col("dl")).as("sumdl"))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+      dir
+    })
+
+  /** BM25 top-k answered from the persisted index — the query-path
+    * cost. Scoring chain operand-for-operand identical to
+    * [[retrievalLexicalTopk]] (tf/df are integer-valued doubles either
+    * way), so the result and oracle are shared. */
+  def retrievalLexicalTopkCached(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dir = prepareLexIndex(spark, sfDir)
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(LexTerms: _*) && col("rank") <= LexPostK)
+    val stats = spark.read.parquet(s"$dir/stats")
+    val df = col("df").cast(DoubleType)
+    val tf = col("tf").cast(DoubleType)
+    val idf = (col("n") - df + lit(0.5)) / (df + lit(0.5))
+    val contrib = idf * (tf * lit(2.2)) /
+      (tf + lit(1.2) * (lit(1.0) - lit(0.75) +
+        lit(0.75) * (col("dl") / (col("sumdl") / col("n")))))
+    post.crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.cast(DecimalType(28, 14)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+      .select(col("doc_id"),
+        floor(col("s").cast(DoubleType) * lit(1048576.0)).cast("long").as("score_fp"))
+      .filter(col("score_fp") > 0)
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(LexTopN)
+  }
+
   // --- late-interaction (multi-vector) retrieval ----------------------
   // The ColBERT scoring shape: a document is MANY chunk vectors, and
   // score(q, d) = Σ_{p ∈ q.chunks} max_{c ∈ d.chunks} sim(p, c) — finer

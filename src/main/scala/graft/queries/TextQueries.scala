@@ -590,6 +590,48 @@ object TextQueries {
       |  CAST(bits_fp AS DOUBLE) / $LmFpScale / CAST(n_bigrams AS DOUBLE) AS bits_per_bigram
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // --- LM train/apply split: score held-out docs against the model -----
+  // The true production shape (train nightly on the landed corpus, score
+  // new arrivals): a disjoint doc_id slice is held out and scored via
+  // [[trainLm]] + [[scoreAgainst]] — the exact functions the streaming
+  // face runs — so the oracle gate exercises the LEFT-JOIN OOV branch
+  // the self-trained `text_lm_score` never hits (every test bigram or
+  // context absent from the train side takes the smoothed floor and is
+  // counted in `oov_bigrams`). Same 2^20 fixed-point parity chain.
+  private val LmSplitMod = 3
+
+  def textLmScoreSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val m = trainLm(docs.filter(col("doc_id") % LmSplitMod =!= 0))
+    scoreAgainst(docs.filter(col("doc_id") % LmSplitMod === 0), m)
+      .orderBy(col("doc_id"))
+  }
+
+  val textLmScoreSplitSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, unnest(range(1, len(toks))) AS u(i)
+      |  WHERE len(toks) >= 2),
+      |lm AS (SELECT w1, w2, count(*) AS cb FROM bg
+      |       WHERE doc_id % $LmSplitMod != 0 GROUP BY w1, w2),
+      |ctx AS (SELECT w1, sum(cb) AS cu FROM lm GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w2) AS v FROM lm),
+      |db AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg
+      |       WHERE doc_id % $LmSplitMod = 0 GROUP BY doc_id, w1, w2),
+      |scored AS (
+      |  SELECT doc_id, sum(c) AS n_bigrams,
+      |    sum(CASE WHEN cb IS NULL THEN c ELSE 0 END) AS oov_bigrams,
+      |    sum(CAST(floor(-c * log2((coalesce(cb, 0) + $LmAlpha) /
+      |      (coalesce(cu, 0) + $LmAlpha * v)) * $LmFpScale) AS BIGINT)) AS bits_fp
+      |  FROM db LEFT JOIN lm USING (w1, w2) LEFT JOIN ctx USING (w1) CROSS JOIN v
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, oov_bigrams,
+      |  CAST(bits_fp AS DOUBLE) / $LmFpScale / CAST(n_bigrams AS DOUBLE) AS bits_per_bigram
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   // --- inverted index build (impact-ordered, bounded postings) ---------
   // The retrieval-side index the BM25/fusion queries presume: one row
   // per term with document frequency, collection frequency, and the

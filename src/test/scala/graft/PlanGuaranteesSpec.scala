@@ -498,6 +498,25 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(scans == 1, s"bpe pair count scans the corpus $scans times")
   }
 
+  test("retrieval_lexical_topk_cached serves from the persisted index, never the corpus") {
+    // the serving-path claim: query cost = query-term posting rows +
+    // one broadcast stats row. A documents scan sneaking in means the
+    // index split regressed to the inline build-and-score form.
+    val df = SparkEntry.queries("retrieval_lexical_topk_cached")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("documents.parquet"),
+      s"cached lexical top-k reads the corpus:\n${plan.take(2000)}")
+    assert(plan.contains("postings"), "cached lexical top-k does not read the index table")
+    // term/rank predicates must reach the index scan as pushed filters
+    val f = formatted(df)
+    assert(f.contains("In(term") || f.contains("EqualTo(term"),
+      s"term filter not pushed to the postings scan:\n${f.take(3000)}")
+    // and the result must equal the inline form (same oracle row)
+    val inline = SparkEntry.queries("retrieval_lexical_topk")(spark, sf)
+    assert(df.collect().toSeq == inline.collect().toSeq,
+      "index-served and inline BM25 top-k diverge")
+  }
+
   test("corpus_source_stats: one documents scan, aggregation only — no join, no window") {
     // the per-source dashboard must stay a single-pass hash aggregation
     // (exact-integer component sums, quality chain applied post-agg) —
