@@ -33,8 +33,10 @@ object GraphQueries {
 
   private val PrIters = 3
 
-  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val dec = DecimalType(28, 14)
+  /** The near-dup graph as `(edges with out-degree, degree frame, |V|
+    * scalar frame)` — shared by the fixed-round oracle query and the
+    * epsilon-terminated production loop. */
+  private def degreeEdges(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     val pairs = DedupQueries.minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
     // both directions in ONE explode pass (a union would evaluate the
     // minhash subtree once per branch); localCheckpoint MATERIALIZES the
@@ -49,20 +51,72 @@ object GraphQueries {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edges = e.join(deg, Seq("src")).localCheckpoint()
     val nF = deg.agg(count(lit(1)).as("n"))
+    (edges, deg, nF)
+  }
+
+  /** One damped power-iteration step over `(src, dst, deg)` edges. */
+  private def prStep(edges: DataFrame, pr: DataFrame, nF: DataFrame): DataFrame = {
+    val dec = DecimalType(28, 14)
+    edges
+      .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
+      .select(col("dst"), (col("pr") / col("deg").cast(DoubleType)).cast(dec).as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      .crossJoin(broadcast(nF))
+      .select(col("dst").as("doc_id"),
+        (lit(0.15d) / col("n").cast(DoubleType)
+          + lit(0.85d) * col("s").cast(DoubleType)).as("pr"))
+  }
+
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val (edges, deg, nF) = degreeEdges(spark, sfDir)
     var pr = deg.crossJoin(broadcast(nF))
       .select(col("src").as("doc_id"), (lit(1.0d) / col("n").cast(DoubleType)).as("pr"))
-    for (_ <- 1 to PrIters) {
-      pr = edges
-        .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .select(col("dst"), (col("pr") / col("deg").cast(DoubleType)).cast(dec).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        .crossJoin(broadcast(nF))
-        .select(col("dst").as("doc_id"),
-          (lit(0.15d) / col("n").cast(DoubleType)
-            + lit(0.85d) * col("s").cast(DoubleType)).as("pr"))
-    }
+    for (_ <- 1 to PrIters) pr = prStep(edges, pr, nF)
     pr.select(col("doc_id"), round(col("pr"), 9).as("pr"))
       .orderBy(col("doc_id"))
+  }
+
+  // --- epsilon-terminated production loop -------------------------------
+  // The fixed-round form above exists so the oracle can mirror the plan
+  // CTE-for-CTE; production does not know the round count up front — it
+  // iterates until the rank vector stops moving (Σ|Δpr| < ε). Per-round
+  // bill is identical (one edge join + one dst hash-agg, O(|V|+|E|));
+  // each round's result is localCheckpoint'd so lineage stays one round
+  // deep (the clusterLabels recipe), and the one driver-side value per
+  // round is the 1-row Σ|Δ| scalar. Fails loudly when maxIters rounds
+  // don't converge — a silently-unconverged centrality is worse than an
+  // error at 100 TB.
+
+  /** Iterate [[prStep]] from `init` until `Σ|Δpr| < eps`. `edges` must
+    * carry `(src, dst, deg)`; `init` is `(doc_id, pr)`. */
+  private[graft] def pagerankLoop(edges: DataFrame, init: DataFrame, nF: DataFrame,
+      eps: Double, maxIters: Int): DataFrame = {
+    val dec = DecimalType(28, 14)
+    var pr = init.localCheckpoint()
+    var delta = Double.MaxValue
+    var it = 0
+    while (delta >= eps && it < maxIters) {
+      val next = prStep(edges, pr, nF).localCheckpoint()
+      delta = next.join(pr.withColumnRenamed("pr", "pr_old"), Seq("doc_id"))
+        .agg(sum(abs(col("pr") - col("pr_old")).cast(dec)).as("d"))
+        .head.getDecimal(0).doubleValue()
+      pr = next
+      it += 1
+    }
+    require(delta < eps,
+      s"pagerank failed to converge after $maxIters rounds (last round Σ|Δpr| = $delta)")
+    pr
+  }
+
+  /** Epsilon-terminated PageRank over the near-dup graph — the
+    * production face of [[graphPagerank]] (spec-gated; the oracle row
+    * stays on the fixed-round query). */
+  def pagerankConverged(spark: SparkSession, sfDir: String,
+      eps: Double = 1e-9, maxIters: Int = 60): DataFrame = {
+    val (edges, deg, nF) = degreeEdges(spark, sfDir)
+    val init = deg.crossJoin(broadcast(nF))
+      .select(col("src").as("doc_id"), (lit(1.0d) / col("n").cast(DoubleType)).as("pr"))
+    pagerankLoop(edges, init, nF, eps, maxIters)
   }
 
   // --- weighted variant -------------------------------------------------
