@@ -207,37 +207,71 @@ object StreamShardedExport {
     val gen = (committedGenerations(outDir).map(_ + 1L) :+ 0L).max
     val marker = compactMarkerPath(root, gen)
 
-    val dest = root.resolve(s"batch=compact-$gen")
-    val tmp = root.resolve(
-      s".compact-$gen-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    spark.read.option("basePath", outDir).parquet(dataDirs.map(_.toString): _*)
-      .drop("batch")
-      .repartition(numShards, col(ShardCol))
-      .write.partitionBy(ShardCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val counts = spark.read.parquet(tmp.toString)
-      .groupBy(col(ShardCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    if (Files.exists(marker)) { // a concurrent compactor won this gen
-      ShardedExport.deleteRecursively(tmp)
-      return None
+    // claim the generation ATOMICALLY before building the fold: two
+    // concurrent compactors (an external compact() call while a stream
+    // runs with compactEvery > 0) would otherwise interleave the
+    // dest-swap and marker publish, leaving a marker whose fold list
+    // doesn't match the on-disk data. The loser backs off at the claim.
+    // A claim left by a crashed compactor expires after ClaimTtlMs so a
+    // dead process can't block compaction forever.
+    if (!claimGeneration(root, gen)) return None
+    try {
+      if (Files.exists(marker)) return None // this gen already published
+      val dest = root.resolve(s"batch=compact-$gen")
+      val tmp = root.resolve(
+        s".compact-$gen-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      spark.read.option("basePath", outDir).parquet(dataDirs.map(_.toString): _*)
+        .drop("batch")
+        .repartition(numShards, col(ShardCol))
+        .write.partitionBy(ShardCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val counts = spark.read.parquet(tmp.toString)
+        .groupBy(col(ShardCol)).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      ShardedExport.deleteRecursively(dest)
+      Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+      val per = counts.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
+        .mkString("{", ", ", "}")
+      val markerTmp = marker.resolveSibling(
+        s".compact-$gen.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      Files.writeString(markerTmp,
+        s"""{"gen": $gen, "folds": ${batches.mkString("[", ", ", "]")}, """ +
+          s""""folds_gens": ${gens.mkString("[", ", ", "]")}, """ +
+          s""""total_rows": ${counts.values.sum}, "rows_per_shard": $per}""")
+      try Files.move(markerTmp, marker, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(markerTmp); return None
+      }
+      if (gc) gcFolded(outDir)
+      Some(gen)
+    } finally {
+      Files.deleteIfExists(claimPath(root, gen))
+      ()
     }
-    ShardedExport.deleteRecursively(dest)
-    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-    val per = counts.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
-      .mkString("{", ", ", "}")
-    val markerTmp = marker.resolveSibling(
-      s".compact-$gen.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.writeString(markerTmp,
-      s"""{"gen": $gen, "folds": ${batches.mkString("[", ", ", "]")}, """ +
-        s""""folds_gens": ${gens.mkString("[", ", ", "]")}, """ +
-        s""""total_rows": ${counts.values.sum}, "rows_per_shard": $per}""")
-    try Files.move(markerTmp, marker, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(markerTmp); return None
-    }
-    if (gc) gcFolded(outDir)
-    Some(gen)
+  }
+
+  /** How long a generation claim blocks rival compactors before it is
+    * presumed crashed and stolen. */
+  private[graft] val ClaimTtlMs = 30L * 60 * 1000
+
+  private def claimPath(root: Path, gen: Long): Path =
+    root.resolve(s".compact-$gen.claim")
+
+  /** Atomically claim generation `gen`; false when a LIVE rival holds
+    * it. A claim older than [[ClaimTtlMs]] is stolen (single retry). */
+  private def claimGeneration(root: Path, gen: Long): Boolean = {
+    val claim = claimPath(root, gen)
+    def tryCreate(): Boolean =
+      try { Files.createFile(claim); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (tryCreate()) return true
+    val stale =
+      try System.currentTimeMillis() -
+        Files.getLastModifiedTime(claim).toMillis > ClaimTtlMs
+      catch { case _: java.nio.file.NoSuchFileException => true } // rival just released
+    if (!stale) return false
+    Files.deleteIfExists(claim)
+    tryCreate()
   }
 
   /** Sweep directories and markers of every folded commit — idempotent,

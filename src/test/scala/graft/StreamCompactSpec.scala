@@ -137,4 +137,24 @@ class StreamCompactSpec extends AnyFunSuite {
     assert(StreamShardedExport.compact(spark, dir, Shards).isEmpty)
     assert(readIds(dir) == (0L until 10L))
   }
+
+  test("a live rival's claim makes compact back off; a stale claim is stolen") {
+    val dir = newDir()
+    commit(dir, 0, 0 until 10)
+    commit(dir, 1, 10 until 20)
+    // a rival holds the claim for the generation this compact would take
+    val claim = Paths.get(dir, ".compact-0.claim")
+    Files.createFile(claim)
+    assert(StreamShardedExport.compact(spark, dir, Shards).isEmpty,
+      "compact ran despite a live rival claim")
+    assert(Files.exists(claim), "loser deleted the rival's claim")
+    assert(readIds(dir) == (0L until 20L), "backed-off compact disturbed data")
+    // the rival crashed: age the claim past the TTL — the next compact
+    // steals it and completes
+    Files.setLastModifiedTime(claim, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - StreamShardedExport.ClaimTtlMs - 1000))
+    assert(StreamShardedExport.compact(spark, dir, Shards).contains(0L))
+    assert(readIds(dir) == (0L until 20L))
+    assert(!Files.exists(claim), "winner left its claim behind")
+  }
 }

@@ -61,6 +61,23 @@ class StreamQualitySpec extends AnyFunSuite {
     assert(metrics.get("quality_violations_id_negative", "docs") == 2)
   }
 
+  test("a redelivered epoch does not duplicate quarantined rows") {
+    val qdir = Files.createTempDirectory("quarantine3").toString
+    val metrics = new ReplicationMetrics
+    val batch = Seq((20L, "ok"), (21L, "a perfectly fine document")).toDF("doc_id", "text")
+    // same epoch delivered twice — the crash/restart redelivery shape
+    StreamQuality.gateBatch(batch, 7L, rules, metrics, "docs", qdir)((_, _) => ())
+    StreamQuality.gateBatch(batch, 7L, rules, metrics, "docs", qdir)((_, _) => ())
+    val quar = spark.read.parquet(qdir)
+    assert(quar.count() == 1, "redelivered epoch duplicated quarantine rows")
+    assert(quar.select("epoch").as[Long].head() == 7L,
+      "quarantine rows lost their epoch partition key")
+    // a LATER epoch with new violations still lands
+    StreamQuality.gateBatch(Seq((22L, "no")).toDF("doc_id", "text"),
+      8L, rules, metrics, "docs", qdir)((_, _) => ())
+    assert(spark.read.parquet(qdir).count() == 2)
+  }
+
   test("an all-clean batch quarantines nothing and writes no quarantine files") {
     val qdir = Files.createTempDirectory("quarantine2").toString
     val metrics = new ReplicationMetrics
