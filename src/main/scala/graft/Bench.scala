@@ -50,6 +50,10 @@ object Bench {
     catch { case _: Throwable => () }
     try queries.LayoutQueries.prepareEventsLayout3(spark, sfDir)
     catch { case _: Throwable => () }
+    // the persisted lexical serving index retrieval_lexical_topk_cached
+    // reads — built nightly with the inverted index, queried continuously
+    try queries.RetrievalQueries.prepareLexIndex(spark, sfDir)
+    catch { case _: Throwable => () }
     // A failed query must never masquerade as a fast one: failures are
     // excluded from the timing map and reported by name in "errors".
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

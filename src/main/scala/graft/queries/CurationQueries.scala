@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -616,5 +617,75 @@ object CurationQueries {
       |    + CAST(sum(alnum_chars) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
       |    - 1.0 AS avg_quality
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --- token-budget mixture: quality-ordered waterfill ------------------
+  // "We can afford B training tokens — how much of each source do we
+  // take?" The static allocation pass a mixture plan starts from:
+  // sources are ranked by pooled quality (the exact-integer
+  // corpus_source_stats signal), the budget fills greedily down the
+  // ranking — full sources while they fit, a fractional rate for the
+  // marginal source, zero below it. Budget here is 3/5 of the corpus in
+  // exact integer arithmetic so the query is scale-relative.
+  //
+  // Scale shape: one corpus scan → per-source exact sums (the one hash
+  // agg corpus_source_stats already pays); the waterfill window runs
+  // over |sources| rows — model-sized, not corpus-sized — exactly like
+  // events_anomaly windowing the hourly aggregate. Every allocated
+  // quantity is a long; the only doubles are the final ranked-by
+  // quality chain (bit-identical, exact operands) and the one rate
+  // divide.
+  def corpusBudgetMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val perSrc = docs
+      .select(col("source") +: TextQueries.qualityCounts(col("text")): _*)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        sum(col("stop_hits")).as("s_stop"), sum(col("distinct_toks")).as("s_dist"),
+        sum(col("alnum_chars")).as("s_alnum"), sum(col("n_chars")).as("s_chars"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        TextQueries.qualityFromCounts(col("s_stop"), col("tokens"),
+          col("s_dist"), col("s_alnum"), col("s_chars")).as("quality"))
+    val tot = perSrc.agg(sum(col("tokens")).as("corpus_tokens"))
+    val fill = Window.orderBy(col("quality").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val alloc = greatest(lit(0L), least(col("tokens"),
+      col("budget") - col("prev_cum")))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("corpus_tokens * 3 div 5"))
+      .withColumn("prev_cum", coalesce(sum(col("tokens")).over(fill), lit(0L)))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("quality"), 6).as("quality"),
+        alloc.as("allocated_tokens"),
+        (alloc.cast("double") / col("tokens").cast("double")).as("rate"))
+      .orderBy(col("source"))
+  }
+
+  val corpusBudgetMixtureSql: String = {
+    val comps = TextQueries.qualityCountsSql("toks", "text")
+      .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n      |    ")
+    s"""WITH c AS (
+      |  SELECT source,
+      |    $comps
+      |  FROM (SELECT source, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+      |        FROM documents)),
+      |s AS (
+      |  SELECT source, count(*) AS n_docs, sum(n_tok) AS tokens,
+      |    CAST(sum(stop_hits) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) * 2.0
+      |      + CAST(sum(distinct_toks) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+      |      + CAST(sum(alnum_chars) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
+      |      - 1.0 AS quality
+      |  FROM c GROUP BY source),
+      |t AS (SELECT sum(tokens) AS corpus_tokens FROM s),
+      |r AS (
+      |  SELECT s.*, corpus_tokens * 3 // 5 AS budget,
+      |    coalesce(sum(tokens) OVER (ORDER BY quality DESC, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+      |  FROM s CROSS JOIN t)
+      |SELECT source, n_docs, tokens, round(quality, 6) AS quality,
+      |  greatest(0, least(tokens, budget - prev_cum)) AS allocated_tokens,
+      |  CAST(greatest(0, least(tokens, budget - prev_cum)) AS DOUBLE)
+      |    / CAST(tokens AS DOUBLE) AS rate
+      |FROM r ORDER BY source""".stripMargin
   }
 }

@@ -654,6 +654,87 @@ object DedupQueries {
       |JOIN documents db ON pairs.doc_b = db.doc_id
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // --- SemDeDup: cluster-bucketed semantic dedup -----------------------
+  // The SemDeDup recipe (Abbas et al. 2023): k-means-cluster the MODEL
+  // embeddings, compare pairs only WITHIN a cluster, and among semantic
+  // duplicates keep the member FARTHEST from its centroid (dropping the
+  // prototypical copy preserves cluster diversity — the opposite keep
+  // rule from min-id exact dedup). This is the dedup pass that catches
+  // paraphrases no shingle/minhash pass can see.
+  //
+  // Scale shape: centroid assignment is the shared IVF one-hash-agg
+  // path (exchange = one row per vector); the pairwise stage is a
+  // cent_id-keyed self-join — cost Σ|cluster|², the published SemDeDup
+  // bill, held constant-per-vector by scaling k with N (k = N/stride
+  // here, so E|cluster| = stride at any corpus size). Never all-pairs,
+  // never a window.
+  //
+  // Float parity: both engines compare THEIR OWN cosine values only
+  // (threshold + which-of-two-is-closer), the same in-engine-comparison
+  // contract corpus_diversity_sample's assignment already relies on.
+  private val SemDupStride = 25
+  private val SemDupT = 0.30
+
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val cents = vecs.filter(col("vec_id") % SemDupStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val m = VectorQueries.assignNearest(vecs, cents)
+      .join(broadcast(cents), Seq("cent_id"))
+      .select(col("cent_id"), col("vec_id"), col("embedding"),
+        call_function("cosine_sim", col("embedding"), col("cemb")).as("csim"))
+    val a = m.select(col("cent_id"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("csim").as("ca"))
+    val b = m.select(col("cent_id"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("csim").as("cb"))
+    val pairs = a.join(b, Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ca"), col("cb"),
+        call_function("cosine_sim", col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= SemDupT)
+    // keep-far rule: the pair member CLOSER to the centroid is the dup
+    pairs
+      .select(
+        when(col("ca") > col("cb"), col("id_a"))
+          .when(col("ca") < col("cb"), col("id_b"))
+          .otherwise(col("id_a")).as("dup_id"),
+        when(col("ca") > col("cb"), col("id_b"))
+          .when(col("ca") < col("cb"), col("id_a"))
+          .otherwise(col("id_b")).as("kept"))
+      .groupBy(col("dup_id"))
+      .agg(min(col("kept")).as("keep_id"), count(lit(1)).as("n_pairs"))
+      .orderBy(col("dup_id"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
+      |  WHERE vec_id % $SemDupStride = 0),
+      |assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |m AS (
+      |  SELECT a.cent_id, a.vec_id, e.embedding,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) AS csim
+      |  FROM assigned a
+      |  JOIN embeddings e ON e.vec_id = a.vec_id
+      |  JOIN cents c ON c.cent_id = a.cent_id),
+      |pairs AS (
+      |  SELECT p.vec_id AS id_a, q.vec_id AS id_b, p.csim AS ca, q.csim AS cb,
+      |    list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
+      |  FROM m p JOIN m q ON p.cent_id = q.cent_id AND p.vec_id < q.vec_id),
+      |dups AS (
+      |  SELECT CASE WHEN ca > cb THEN id_a WHEN ca < cb THEN id_b ELSE id_a END AS dup_id,
+      |         CASE WHEN ca > cb THEN id_b WHEN ca < cb THEN id_a ELSE id_b END AS kept
+      |  FROM pairs WHERE sim >= $SemDupT)
+      |SELECT dup_id, min(kept) AS keep_id, count(*) AS n_pairs
+      |FROM dups GROUP BY dup_id ORDER BY dup_id""".stripMargin
+
   // --- embedding-cosine near-dup --------------------------------------
   // Feature-hash each doc into a 64-dim term-frequency vector
   // (dim = md5(token) % 64, value = count), find candidate pairs with
