@@ -1144,4 +1144,62 @@ object VectorQueries {
       |  CAST(list_position($meanList, list_max($meanList)) - 1 AS INTEGER) AS top_dim
       |FROM pooled ORDER BY doc_id""".stripMargin
   }
+
+  // --- embedding-distribution drift: quantizer staleness monitor -------
+  // The vector-side sibling of `corpus_drift`: split the corpus into a
+  // reference and a current slice, assign BOTH through the same coarse
+  // quantizer, and χ²-score each centroid's assignment share. A drifting
+  // embedding distribution (new domain, new encoder version) shows up as
+  // mass moving between inverted lists long before recall degrades —
+  // the retrain-the-quantizer alarm every production ANN index needs.
+  //
+  // Scale shape: assignment is the shared broadcast max_by hash-agg (one
+  // row per vector through the exchange); the χ² table is centroid-sized
+  // (model-sized, not corpus-sized). Parity: counts are exact longs and
+  // the χ² chain is the corpus_drift recipe — num/den assembled in
+  // DECIMAL(38,0), squared in double, no transcendentals.
+  def vecDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    VectorFunctions.register(spark)
+    val dec = DecimalType(38, 0)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val counts = assignNearest(vecs, sampledCentroids(vecs))
+      .select(col("cent_id"), (pmod(col("vec_id"), lit(2L)) === 0).as("a"))
+      .groupBy(col("cent_id"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("o1"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("o2"))
+      .cache() // feeds totals AND scoring — centroid-sized frame
+    val tot = counts.agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    val num = (col("o1").cast(dec) * col("n2").cast(dec) -
+      col("o2").cast(dec) * col("n1").cast(dec)).cast(DoubleType)
+    val den = ((col("o1") + col("o2")).cast(dec) *
+      col("n1").cast(dec) * col("n2").cast(dec)).cast(DoubleType)
+    counts.crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("o1"), col("o2"),
+        round(num * num / den, 6).as("chi2"))
+      .orderBy(col("cent_id"))
+  }
+
+  val vecDriftSql: String =
+    s"""WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
+      |  WHERE vec_id % $CentroidStride = 0),
+      |assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |tf AS (
+      |  SELECT cent_id,
+      |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS o1,
+      |    sum(CASE WHEN vec_id % 2 != 0 THEN 1 ELSE 0 END) AS o2
+      |  FROM assigned GROUP BY cent_id),
+      |tot AS (SELECT sum(o1) AS n1, sum(o2) AS n2 FROM tf)
+      |SELECT cent_id, CAST(o1 AS BIGINT) AS o1, CAST(o2 AS BIGINT) AS o2,
+      |  round(CAST(CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1 AS DOUBLE)
+      |      * CAST(CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1 AS DOUBLE)
+      |    / CAST(CAST(o1 + o2 AS HUGEINT) * n1 * n2 AS DOUBLE), 6) AS chi2
+      |FROM tf CROSS JOIN tot ORDER BY cent_id""".stripMargin
 }
