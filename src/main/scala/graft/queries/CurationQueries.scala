@@ -575,8 +575,13 @@ object CurationQueries {
   // per source over the five exact sums (never sum computed doubles —
   // the round-4 DECIMAL(18,4) lesson), so the agg is exact and
   // order-independent in both engines.
-  def corpusSourceStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+  def corpusSourceStats(spark: SparkSession, sfDir: String): DataFrame =
+    sourceStats(Tables.load(spark, sfDir, "documents"))
+
+  /** The dashboard over any `(source, lang, text)` frame — shared with
+    * the continuous face ([[graft.streaming.StreamSourceStats]]'s spec
+    * compares the merged stream state against this exact chain). */
+  private[graft] def sourceStats(docs: DataFrame): DataFrame = {
     val counts = TextQueries.qualityCounts(col("text"))
     docs
       .select(Seq(col("source"), col("lang"),
@@ -646,6 +651,8 @@ object CurationQueries {
       .select(col("source"), col("n_docs"), col("tokens"),
         TextQueries.qualityFromCounts(col("s_stop"), col("tokens"),
           col("s_dist"), col("s_alnum"), col("s_chars")).as("quality"))
+      .cache() // feeds the budget total AND the waterfill — uncached,
+               // the corpus scan runs twice for a |sources|-row frame
     val tot = perSrc.agg(sum(col("tokens")).as("corpus_tokens"))
     val fill = Window.orderBy(col("quality").desc, col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)

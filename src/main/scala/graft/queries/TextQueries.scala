@@ -859,6 +859,64 @@ object TextQueries {
       |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall
       |FROM cm""".stripMargin
 
+  // --- threshold sweep: the gate's precision/recall curve ---------------
+  // One number (textClassifierEval's accuracy at the trained midpoint)
+  // never answers the gate owner's real question — "how much recall do
+  // I give up to reach precision X?" — so production calibrates the
+  // threshold on a sweep. Grid = 7 evenly spaced cuts between the
+  // observed score extremes (data-derived, so the query is
+  // scale-relative and the oracle can mirror the same chain); the sweep
+  // is ONE pass: scored frame × broadcast 7-row grid → one hash agg of
+  // conditional counters per cut. Counts are exact longs; each rate is
+  // one divide.
+  private val PrGridCuts = 7
+
+  def textClassifierPr(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = textClassifierScore(spark, sfDir)
+      .select(col("doc_id"), col("rule_pos"), col("score"))
+      .cache() // feeds the extremes AND the sweep — one scoring pass
+    val ext = scored.agg(min(col("score")).as("smin"), max(col("score")).as("smax"))
+    val grid = ext
+      .select(explode(sequence(lit(1), lit(PrGridCuts))).as("k"), col("smin"), col("smax"))
+      .select(col("k"),
+        (col("smin") + col("k").cast(DoubleType) * (col("smax") - col("smin"))
+          / lit((PrGridCuts + 1).toDouble)).as("thr"))
+    scored.crossJoin(broadcast(grid))
+      .groupBy(col("k"), col("thr"))
+      .agg(
+        sum(when(col("rule_pos") && col("score") > col("thr"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("rule_pos") && col("score") > col("thr"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("rule_pos") && col("score") <= col("thr"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("rule_pos") && col("score") <= col("thr"), 1L).otherwise(0L)).as("tn"))
+      .select(col("k"), round(col("thr"), 9).as("thr"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast(DoubleType)
+          / (col("tp") + col("fp")).cast(DoubleType), 6).as("precision"),
+        round(col("tp").cast(DoubleType)
+          / (col("tp") + col("fn")).cast(DoubleType), 6).as("recall"))
+      .orderBy(col("k"))
+  }
+
+  lazy val textClassifierPrSql: String =
+    s"""WITH sc_pr AS (${textClassifierScoreSql.replace("ORDER BY doc_id", "")}),
+      |ext AS (SELECT min(score) AS smin, max(score) AS smax FROM sc_pr),
+      |grid AS (
+      |  SELECT k, smin + CAST(k AS DOUBLE) * (smax - smin) / ${(PrGridCuts + 1).toDouble} AS thr
+      |  FROM ext, unnest(range(1, ${PrGridCuts + 1})) AS u(k)),
+      |cm AS (
+      |  SELECT k, thr,
+      |    sum(CASE WHEN rule_pos AND score > thr THEN 1 ELSE 0 END) AS tp,
+      |    sum(CASE WHEN NOT rule_pos AND score > thr THEN 1 ELSE 0 END) AS fp,
+      |    sum(CASE WHEN rule_pos AND score <= thr THEN 1 ELSE 0 END) AS fn,
+      |    sum(CASE WHEN NOT rule_pos AND score <= thr THEN 1 ELSE 0 END) AS tn
+      |  FROM sc_pr CROSS JOIN grid GROUP BY k, thr)
+      |SELECT CAST(k AS BIGINT) AS k, round(thr, 9) AS thr,
+      |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+      |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+      |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall
+      |FROM cm ORDER BY k""".stripMargin
+
   val textClassifierScoreSql: String = {
     val stopList = stopEn.map(s => s"'$s'").mkString(", ")
     s"""WITH t AS (

@@ -266,6 +266,53 @@ object VectorQueries {
     cents
   }
 
+  /** Epsilon-terminated k-means — the production trainer whose round
+    * count is data-dependent (the `pagerankConverged` pattern): Lloyd
+    * steps repeat until total centroid L2 movement drops below `eps`,
+    * failing loudly when `maxIters` can't reach it. Each round's
+    * centroid frame materializes to the driver (bounded — the quantizer
+    * IS model state, exactly like [[trainCentroids]]), so movement is
+    * plain driver-side model math and lineage never stacks rounds.
+    * A centroid whose cluster empties counts as movement 1.0 — the loop
+    * can't "converge" by silently losing cells. Returns the trained
+    * quantizer and the rounds it took. */
+  def kmeansConverged(vecs: DataFrame, seedStride: Int,
+      eps: Double = 1e-4, maxIters: Int = 50): (DataFrame, Int) = {
+    def collectCents(df: DataFrame): Map[Long, Array[Float]] =
+      df.collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    var cents = vecs.filter(col("vec_id") % seedStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    var prev = collectCents(cents)
+    var moved = Double.MaxValue
+    var it = 0
+    while (moved >= eps && it < maxIters) {
+      val next = collectCents(lloydStep(vecs, cents))
+      moved = prev.map { case (id, old) =>
+        next.get(id) match {
+          case Some(nw) =>
+            math.sqrt(old.zip(nw).map { case (a, b) =>
+              (a - b).toDouble * (a - b).toDouble }.sum)
+          case None => 1.0 // cluster emptied — never silent convergence
+        }
+      }.sum
+      prev = next
+      cents = vecs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(prev.toSeq.sortBy(_._1).map { case (id, e) =>
+          org.apache.spark.sql.Row(id, e.toSeq) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cent_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cemb",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, containsNull = true)))))
+      it += 1
+    }
+    require(moved < eps,
+      s"k-means failed to converge after $maxIters rounds (last movement = $moved)")
+    (cents, it)
+  }
+
   def vecIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
     val vecs = Tables.load(spark, sfDir, "embeddings")

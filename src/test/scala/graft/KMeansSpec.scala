@@ -63,4 +63,24 @@ class KMeansSpec extends AnyFunSuite {
     assert(errs.last < errs.head,
       s"training never reduced quantization error: $errs")
   }
+
+  test("epsilon-terminated training converges and matches fixed-round quality") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (cents, rounds) = VectorQueries.kmeansConverged(
+      vecs, seedStride = 10, eps = 1e-3, maxIters = 40)
+    assert(rounds >= 1 && rounds <= 40)
+    // the converged quantizer is at least as good as one fixed Lloyd step
+    val e1 = quantError(vecs, VectorQueries.trainCentroids(vecs, seedStride = 10, iters = 1))
+    val eC = quantError(vecs, cents)
+    assert(eC <= e1 + 1e-9, s"converged error $eC worse than one-step $e1")
+    assert(cents.count() > 0)
+  }
+
+  test("an unreachable epsilon within the round budget fails loudly") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val ex = intercept[IllegalArgumentException] {
+      VectorQueries.kmeansConverged(vecs, seedStride = 10, eps = 0.0, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("failed to converge"))
+  }
 }

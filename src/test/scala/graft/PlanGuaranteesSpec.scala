@@ -517,6 +517,38 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       "index-served and inline BM25 top-k diverge")
   }
 
+  test("dedup_semantic: cluster-keyed pairwise, never cartesian, never a window") {
+    // the SemDeDup bill is Σ|cluster|² through a cent_id-keyed self-join;
+    // a cartesian fallback or a per-pair window is the all-pairs regression
+    val plan = physical(SparkEntry.queries("dedup_semantic")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic dedup degenerated to all-pairs:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"semantic dedup plans a Window:\n${plan.take(2000)}")
+  }
+
+  test("corpus_budget_mixture: the waterfill window runs over the per-source aggregate only") {
+    // the one Window must sit above the hash agg (|sources| rows), never
+    // over per-document rows — the events_anomaly aggregate-first rule
+    val plan = physical(SparkEntry.queries("corpus_budget_mixture")(spark, sf))
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, "expected a window over a hash aggregate")
+    assert(winIdx < aggIdx, // physical plans print top-down: window above agg
+      s"waterfill window is not above the per-source aggregate:\n${plan.take(2000)}")
+    // the per-source frame feeds the budget total AND the waterfill: it
+    // must be cache-shared so the corpus scan runs once at runtime
+    assert(plan.contains("InMemoryTableScan"),
+      s"per-source aggregate not cache-shared — corpus scanned per consumer:\n${plan.take(2000)}")
+    SparkEntry.queries("corpus_budget_mixture")(spark, sf).sparkSession.catalog.clearCache()
+  }
+
+  test("vec_drift: one embeddings scan per slice pass, no window below the assignment agg") {
+    val plan = physical(SparkEntry.queries("vec_drift")(spark, sf))
+    assert(!plan.contains("Window"), s"vec_drift plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      s"vec_drift plans a non-broadcast cartesian:\n${plan.take(2000)}")
+  }
+
   test("corpus_source_stats: one documents scan, aggregation only — no join, no window") {
     // the per-source dashboard must stay a single-pass hash aggregation
     // (exact-integer component sums, quality chain applied post-agg) —
