@@ -640,8 +640,17 @@ object CurationQueries {
   // quantity is a long; the only doubles are the final ranked-by
   // quality chain (bit-identical, exact operands) and the one rate
   // divide.
-  def corpusBudgetMixture(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+  def corpusBudgetMixture(spark: SparkSession, sfDir: String): DataFrame =
+    budgetRates(Tables.load(spark, sfDir, "documents"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("quality"), 6).as("quality"),
+        col("allocated_tokens"),
+        col("rate"))
+      .orderBy(col("source"))
+
+  /** The waterfill's per-source rate frame (unrounded quality carried
+    * through) — shared by the mixture report and [[corpusBudgetApply]]. */
+  private def budgetRates(docs: DataFrame): DataFrame = {
     val perSrc = docs
       .select(col("source") +: TextQueries.qualityCounts(col("text")): _*)
       .groupBy(col("source"))
@@ -661,17 +670,17 @@ object CurationQueries {
     perSrc.crossJoin(broadcast(tot))
       .withColumn("budget", expr("corpus_tokens * 3 div 5"))
       .withColumn("prev_cum", coalesce(sum(col("tokens")).over(fill), lit(0L)))
-      .select(col("source"), col("n_docs"), col("tokens"),
-        round(col("quality"), 6).as("quality"),
+      .select(col("source"), col("n_docs"), col("tokens"), col("quality"),
         alloc.as("allocated_tokens"),
         (alloc.cast("double") / col("tokens").cast("double")).as("rate"))
-      .orderBy(col("source"))
   }
 
-  val corpusBudgetMixtureSql: String = {
+  /** The waterfill WITH-clause prefix (`c`, `s`, `t`, `r`) shared by the
+    * mixture report and the apply oracle — mirrors [[budgetRates]]. */
+  private val budgetRatesSqlCore: String = {
     val comps = TextQueries.qualityCountsSql("toks", "text")
       .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n      |    ")
-    s"""WITH c AS (
+    s"""c AS (
       |  SELECT source,
       |    $comps
       |  FROM (SELECT source, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
@@ -688,11 +697,53 @@ object CurationQueries {
       |  SELECT s.*, corpus_tokens * 3 // 5 AS budget,
       |    coalesce(sum(tokens) OVER (ORDER BY quality DESC, source
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
-      |  FROM s CROSS JOIN t)
+      |  FROM s CROSS JOIN t)""".stripMargin
+  }
+
+  val corpusBudgetMixtureSql: String =
+    s"""WITH $budgetRatesSqlCore
       |SELECT source, n_docs, tokens, round(quality, 6) AS quality,
       |  greatest(0, least(tokens, budget - prev_cum)) AS allocated_tokens,
       |  CAST(greatest(0, least(tokens, budget - prev_cum)) AS DOUBLE)
       |    / CAST(tokens AS DOUBLE) AS rate
       |FROM r ORDER BY source""".stripMargin
+
+  // --- budget application: the plan executed as a keep manifest ---------
+  // The waterfill's output is a PLAN (per-source rates); this is its
+  // EXECUTION: every document accepts or drops by the same deterministic
+  // md5 acceptance corpus_resample uses (`u(doc) < rate(source)`), so
+  // replays, incremental refreshes, and the oracle all keep the
+  // identical manifest. One corpus scan + one broadcast join of the
+  // |sources|-row rate frame — shuffle-free at any scale; the kept token
+  // mass converges to each source's allocation by construction.
+  def corpusBudgetApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rates = budgetRates(docs).select(col("source"), col("rate"))
+    val u = conv(substring(md5(concat(lit("bm:"), col("doc_id").cast("string"))), 1, 5), 16, 10)
+      .cast("long").cast("double") / lit(RsScale.toDouble)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tok"), u.as("u"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+      .orderBy(col("doc_id"))
   }
+
+  val corpusBudgetApplySql: String =
+    s"""WITH $budgetRatesSqlCore,
+      |rates AS (
+      |  SELECT source,
+      |    CAST(greatest(0, least(tokens, budget - prev_cum)) AS DOUBLE)
+      |      / CAST(tokens AS DOUBLE) AS rate
+      |  FROM r),
+      |d AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tok,
+      |    CAST(('0x' || substr(md5('bm:' || CAST(doc_id AS VARCHAR)), 1, 5)) AS BIGINT)::DOUBLE
+      |      / $RsScale.0 AS u
+      |  FROM documents)
+      |SELECT doc_id, source, n_tok
+      |FROM d JOIN rates USING (source)
+      |WHERE u < rate ORDER BY doc_id""".stripMargin
 }

@@ -735,6 +735,83 @@ object DedupQueries {
       |SELECT dup_id, min(kept) AS keep_id, count(*) AS n_pairs
       |FROM dups GROUP BY dup_id ORDER BY dup_id""".stripMargin
 
+  /** Match new vectors against a landed cluster index `(cents,
+    * members)` — one best corpus match per arrival at `sim >=
+    * threshold` (ties → lowest member id). Shared verbatim by the
+    * oracle-gated [[dedupSemanticIncremental]] and the streaming face
+    * ([[graft.streaming.StreamSemanticDedup]]), so ingest-time and
+    * nightly semantic dedup can never disagree. */
+  private[graft] def semanticMatch(batch: DataFrame, cents: DataFrame,
+      members: DataFrame, threshold: Double): DataFrame =
+    VectorQueries.assignNearest(batch.select(col("vec_id"), col("embedding")), cents)
+      .select(col("cent_id"), col("vec_id"), col("embedding"))
+      .join(members
+          .select(col("cent_id"), col("vec_id").as("mid"), col("embedding").as("memb")),
+        Seq("cent_id"))
+      .filter(col("mid") =!= col("vec_id"))
+      .select(col("vec_id"), col("mid"),
+        call_function("cosine_sim", col("embedding"), col("memb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(struct(col("mid"), col("sim")), struct(col("sim"), -col("mid"))).as("best"),
+        count(lit(1)).as("n_matches"))
+      .select(col("vec_id"), col("best.mid").as("dup_of"),
+        col("best.sim").as("sim"), col("n_matches"))
+
+  // --- incremental semantic dedup: new batch vs landed corpus ----------
+  // The continuous-ingest shape of [[dedupSemantic]] (dedup_incremental's
+  // embedding sibling): a new-arrival slice is checked against the
+  // corpus's persisted cluster index — each increment costs
+  // |batch| × E|cluster| comparisons, never batch × corpus, and the
+  // corpus side never re-shuffles per batch.
+  def dedupSemanticIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val corpus = vecs.filter(col("vec_id") % SemIncMod =!= 0)
+    val batch = vecs.filter(col("vec_id") % SemIncMod === 0)
+    val cents = corpus.filter(col("vec_id") % SemDupStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    semanticMatch(batch, cents, VectorQueries.assignNearest(corpus, cents), SemDupT)
+      .select(col("vec_id"), col("dup_of"),
+        round(col("sim"), 6).as("sim"), col("n_matches"))
+      .orderBy(col("vec_id"))
+  }
+  private val SemIncMod = 7
+
+  val dedupSemanticIncrementalSql: String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $SemIncMod != 0),
+      |newv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $SemIncMod = 0),
+      |cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb FROM corpus
+      |  WHERE vec_id % $SemDupStride = 0),
+      |members AS (
+      |  SELECT vec_id, embedding, cent_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM corpus e CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |anew AS (
+      |  SELECT vec_id, embedding, cent_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM newv e CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |scored AS (
+      |  SELECT n.vec_id, m.vec_id AS mid,
+      |    list_cosine_similarity(CAST(n.embedding AS DOUBLE[]), CAST(m.embedding AS DOUBLE[])) AS sim
+      |  FROM anew n JOIN members m ON n.cent_id = m.cent_id AND m.vec_id != n.vec_id),
+      |hits AS (SELECT * FROM scored WHERE sim >= $SemDupT),
+      |ranked AS (
+      |  SELECT vec_id, mid, sim,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, mid) AS rn,
+      |    count(*) OVER (PARTITION BY vec_id) AS n_matches
+      |  FROM hits)
+      |SELECT vec_id, mid AS dup_of, round(sim, 6) AS sim, n_matches
+      |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   // --- embedding-cosine near-dup --------------------------------------
   // Feature-hash each doc into a 64-dim term-frequency vector
   // (dim = md5(token) % 64, value = count), find candidate pairs with

@@ -42,24 +42,8 @@ object StreamSemanticDedup {
     * match at `sim >= threshold` (ties by lowest member id) plus how
     * many members matched. Batch callers and the stream share this
     * exact chain, so stream ≡ batch by construction. */
-  def matchBatch(batch: DataFrame, idx: SemanticIndex, threshold: Double): DataFrame = {
-    VectorQueries.assignNearest(
-        batch.select(col("vec_id"), col("embedding")), idx.cents)
-      .select(col("cent_id"), col("vec_id"), col("embedding"))
-      .join(idx.members
-          .select(col("cent_id"), col("vec_id").as("mid"), col("embedding").as("memb")),
-        Seq("cent_id"))
-      .filter(col("mid") =!= col("vec_id"))
-      .select(col("vec_id"), col("mid"),
-        call_function("cosine_sim", col("embedding"), col("memb")).as("sim"))
-      .filter(col("sim") >= threshold)
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(struct(col("mid"), col("sim")), struct(col("sim"), -col("mid"))).as("best"),
-        count(lit(1)).as("n_matches"))
-      .select(col("vec_id"), col("best.mid").as("dup_of"),
-        col("best.sim").as("sim"), col("n_matches"))
-  }
+  def matchBatch(batch: DataFrame, idx: SemanticIndex, threshold: Double): DataFrame =
+    graft.queries.DedupQueries.semanticMatch(batch, idx.cents, idx.members, threshold)
 
   /** Start matching `vecs` (a STREAMING `(vec_id, embedding)` frame)
     * against `idx`; each micro-batch's matches are handed to `sink`.
