@@ -1293,4 +1293,44 @@ object Analytics {
       |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
       |FROM active a JOIN first f ON a.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
+  // --- hot-key skew report: the salting decision's input ----------------
+  // Before a 100 TB join or agg is salted, someone has to MEASURE the
+  // skew — this is that report: the 20 hottest keys with their traffic
+  // share. Per-key counts are one hash agg; the top-20 goes through the
+  // bounded partial-merge TopKAgg (≤ k rows per partition through the
+  // exchange — a global ORDER BY over per-key counts would sort |keys|
+  // rows to find 20), and the share divide is one exact long→double op.
+  private val SkewTopN = 20
+
+  def eventsKeySkew(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TopKAgg
+    val topk = udaf(new TopKAgg(SkewTopN))
+    val counts = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .cache() // feeds the total AND the top-k — one events scan
+    val tot = counts.agg(sum(col("n")).as("total"))
+    counts
+      .agg(topk(col("n").cast("double"), col("user_id")).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "p")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("user_id"), col("p.sim").cast("long").as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("user_id"), col("n_events"),
+        round(col("n_events").cast("double") / col("total").cast("double"), 6).as("share"))
+      .orderBy(col("rank"))
+  }
+
+  val eventsKeySkewSql: String =
+    s"""WITH counts AS (
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+      |tot AS (SELECT sum(n) AS total FROM counts),
+      |ranked AS (
+      |  SELECT user_id, n,
+      |    row_number() OVER (ORDER BY n DESC, user_id) AS rank
+      |  FROM counts)
+      |SELECT CAST(rank AS INT) AS rank, user_id, CAST(n AS BIGINT) AS n_events,
+      |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+      |FROM ranked CROSS JOIN tot
+      |WHERE rank <= $SkewTopN ORDER BY rank""".stripMargin
 }

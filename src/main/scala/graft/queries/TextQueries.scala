@@ -147,6 +147,34 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // --- token-length histogram: power-of-two buckets ---------------------
+  // The length distribution every curation run reports (truncation-rate
+  // and packing-efficiency telemetry): docs bucketed by floor(log2
+  // (tokens)). The bucket is computed EXACTLY as `length(bin(n)) - 1` —
+  // binary-string length, no transcendental log2 to disagree across
+  // engines — with empty docs in bucket -1. One scan, one |buckets|-row
+  // hash agg.
+  def textLengthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nTok = size(toks(col("text"))).cast("long")
+    val bucket = when(nTok === 0L, lit(-1))
+      .otherwise(length(bin(nTok)) - 1).cast("int")
+    docs.select(bucket.as("bucket"), nTok.as("n_tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        min(col("n_tok")).as("min_tokens"), max(col("n_tok")).as("max_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  val textLengthHistogramSql: String =
+    """WITH d AS (
+      |  SELECT CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tok
+      |  FROM documents)
+      |SELECT CAST(CASE WHEN n_tok = 0 THEN -1 ELSE length(bin(n_tok)) - 1 END AS INT) AS bucket,
+      |  count(*) AS n_docs, sum(n_tok) AS total_tokens,
+      |  min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+      |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // --- language ID: stopword-list voting (n-gram-free heuristic) ---
   private val langStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
