@@ -985,4 +985,188 @@ object TextQueries {
       |  score > (mu_pos + mu_neg) / 2.0 AS predict_pos
       |FROM scored CROSS JOIN mu ORDER BY doc_id""".stripMargin
   }
+
+  // --- CCNet perplexity bucketing --------------------------------------
+  // CCNet (Wenzek et al. 2020) splits each language's corpus into
+  // head/middle/tail by LM perplexity terciles. Here: a PER-LANGUAGE
+  // add-α bigram LM (the `text_lm_score` chain with `lang` added to
+  // every model key), per-doc fixed-point bits-per-bigram, and tercile
+  // cutpoints estimated per language from a deterministic hash-mod
+  // sample (the `sketch_sample_quantile` recipe) — so cut estimation is
+  // sample-sized, the cut table is langs×2 rows broadcast to the
+  // assignment join, and nothing sorts or windows the corpus. At 100 TB
+  // the sample modulus would derive from a cheap count (the PQ-pool
+  // pattern); it is a fixed constant here so the DuckDB oracle can
+  // mirror the filter statically.
+  private val CcnetSampleMod = 2L
+
+  def textCcnetBucket(spark: SparkSession, sfDir: String): DataFrame =
+    ccnetBucket(Tables.load(spark, sfDir, "documents"))
+
+  /** Core of [[textCcnetBucket]] over any `(doc_id, lang, text)` frame. */
+  def ccnetBucket(docs: DataFrame): DataFrame = {
+    // per-lang LM: pairs keyed by (lang, w1, w2)
+    val pairs = docs
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val perDoc = pairs.groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c")).persist()
+    val lm = perDoc.groupBy(col("lang"), col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
+    val ctx = lm.groupBy(col("lang"), col("w1")).agg(sum(col("cb")).as("cu"))
+    val vocab = lm.groupBy(col("lang")).agg(countDistinct(col("w2")).as("v"))
+    val bits = -col("c") *
+      log2((col("cb") + lit(LmAlpha)) / (col("cu") + lit(LmAlpha) * col("v")))
+    val scored = perDoc
+      .join(lm, Seq("lang", "w1", "w2"))
+      .join(ctx, Seq("lang", "w1"))
+      .join(broadcast(vocab), Seq("lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(floor(bits * lit(LmFpScale))).as("bits_fp"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        // floor-div via double (exact < 2^53): Spark `div` truncates
+        // toward zero, DuckDB `//` floors — this is identical both ways
+        floor(col("bits_fp").cast("double") / col("n_bigrams").cast("double"))
+          .cast("long").as("bpb_fp"))
+    val cuts = scored
+      .filter(pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(CcnetSampleMod)) === 0)
+      .groupBy(col("lang"))
+      .agg(
+        round(expr("percentile(bpb_fp, 0.3333333333333333)"), 6).as("c33"),
+        round(expr("percentile(bpb_fp, 0.6666666666666666)"), 6).as("c67"))
+    scored.join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("bpb_fp"),
+        when(col("c33").isNull, lit("head"))
+          .when(col("bpb_fp").cast("double") <= col("c33"), lit("head"))
+          .when(col("bpb_fp").cast("double") <= col("c67"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textCcnetBucketSql: String =
+    s"""WITH pairs AS (
+      |  SELECT doc_id, lang, w1, t[i + 1] AS w2 FROM (
+      |    SELECT doc_id, lang, t, i, t[i] AS w1 FROM (
+      |      SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+      |      FROM (SELECT doc_id, lang,
+      |              list_filter(string_split(text, ' '), x -> x != '') AS t
+      |            FROM documents)
+      |      WHERE len(t) >= 2))),
+      |per_doc AS (
+      |  SELECT doc_id, lang, w1, w2, count(*) AS c
+      |  FROM pairs GROUP BY doc_id, lang, w1, w2),
+      |lm AS (
+      |  SELECT lang, w1, w2, sum(c) AS cb FROM per_doc GROUP BY lang, w1, w2),
+      |ctx AS (SELECT lang, w1, sum(cb) AS cu FROM lm GROUP BY lang, w1),
+      |vocab AS (SELECT lang, count(DISTINCT w2) AS v FROM lm GROUP BY lang),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(floor(CAST(sum(CAST(floor(-c * log2((cb + $LmAlpha) / (cu + $LmAlpha * v))
+      |        * $LmFpScale) AS BIGINT)) AS DOUBLE)
+      |      / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS bpb_fp
+      |  FROM per_doc JOIN lm USING (lang, w1, w2) JOIN ctx USING (lang, w1)
+      |    JOIN vocab USING (lang)
+      |  GROUP BY doc_id, lang),
+      |cuts AS (
+      |  SELECT lang,
+      |    round(quantile_cont(bpb_fp, 0.3333333333333333), 6) AS c33,
+      |    round(quantile_cont(bpb_fp, 0.6666666666666666), 6) AS c67
+      |  FROM scored
+      |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+      |    % $CcnetSampleMod = 0
+      |  GROUP BY lang)
+      |SELECT doc_id, lang, n_bigrams, bpb_fp,
+      |  CASE WHEN c33 IS NULL THEN 'head'
+      |       WHEN CAST(bpb_fp AS DOUBLE) <= c33 THEN 'head'
+      |       WHEN CAST(bpb_fp AS DOUBLE) <= c67 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM scored LEFT JOIN cuts USING (lang)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- Gopher/MassiveText document-level quality rules -----------------
+  // The published MassiveText filter set (Rae et al. 2021, table A1)
+  // restated over this corpus: word-count bounds, mean-word-length
+  // bounds, symbol-to-word ratio, alphabetic-word fraction, and
+  // required-stopword presence. Every rule is an EXACT-INTEGER
+  // comparison (ratio thresholds are cross-multiplied), so the flags are
+  // bit-identical cross-engine by construction; the only double in the
+  // output is `mean_word_len`, one divide over two exact longs. A single
+  // shuffle-free projection + final order — linear at any corpus size.
+  private[queries] val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val GopherMinWords = 50L
+  private val GopherMaxWords = 100000L
+
+  def textGopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRules(Tables.load(spark, sfDir, "documents"))
+
+  /** Core of [[textGopherRules]] over any `(doc_id, lang, text)` frame. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val stopArr = array(gopherStops.map(lit): _*)
+    docs
+      .select(col("doc_id"), col("lang"), t.as("t"), col("text"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("t")).cast("long").as("n_words"),
+        aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)).as("sum_word_len"),
+        size(filter(col("t"), x => x.rlike("[a-z]"))).cast("long").as("alpha_words"),
+        size(filter(stopArr, s => array_contains(col("t"), s))).cast("long").as("stop_present"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          .cast("long").as("n_sym"))
+      .select(
+        col("doc_id"), col("lang"), col("n_words"),
+        (col("sum_word_len").cast("double") / col("n_words").cast("double"))
+          .as("mean_word_len"),
+        col("alpha_words"), col("stop_present"), col("n_sym"),
+        (col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords).as("r_word_count"),
+        // 3 <= mean <= 10  ⇔  3·n <= sum && sum <= 10·n (exact longs)
+        (col("sum_word_len") >= col("n_words") * 3L &&
+          col("sum_word_len") <= col("n_words") * 10L).as("r_mean_len"),
+        // symbol-to-word ratio < 0.1  ⇔  10·n_sym < n_words
+        (col("n_sym") * 10L < col("n_words")).as("r_symbol"),
+        // >= 80 % of words contain an alphabetic char  ⇔  10·alpha >= 8·n
+        (col("alpha_words") * 10L >= col("n_words") * 8L).as("r_alpha"),
+        (col("stop_present") >= 2L).as("r_stop"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textGopherRulesSql: String = {
+    val stop = gopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, lang, n_words,
+      |  CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+      |  alpha_words, stop_present, n_sym,
+      |  n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS r_word_count,
+      |  sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10 AS r_mean_len,
+      |  n_sym * 10 < n_words AS r_symbol,
+      |  alpha_words * 10 >= n_words * 8 AS r_alpha,
+      |  stop_present >= 2 AS r_stop,
+      |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+      |    AND (sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10)
+      |    AND (n_sym * 10 < n_words)
+      |    AND (alpha_words * 10 >= n_words * 8)
+      |    AND (stop_present >= 2) AS pass
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(len(t) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_word_len,
+      |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+      |    CAST(len(list_filter($stop, s -> list_contains(t, s))) AS BIGINT) AS stop_present,
+      |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym
+      |  FROM (SELECT doc_id, lang, text,
+      |          list_filter(string_split(text, ' '), x -> x != '') AS t
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+  }
 }

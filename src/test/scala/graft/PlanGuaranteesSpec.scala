@@ -561,4 +561,38 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"source stats plans a join:\n${plan.take(2000)}")
     assert(plan.contains("HashAggregate"), "source stats lost its hash aggregation")
   }
+
+  test("text_gopher_rules: one scan, pure projection — no join, no window, no agg shuffle") {
+    // every Gopher rule is a per-row integer comparison; the only
+    // post-scan work allowed is the final presentation sort
+    val plan = physical(SparkEntry.queries("text_gopher_rules")(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"gopher rules scans the corpus $scans times:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"gopher rules plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"gopher rules plans a join:\n${plan.take(2000)}")
+  }
+
+  test("dsir scoring: bucket weights broadcast to the token stream — no sort-merge join, no window") {
+    // the weight table is DsirBuckets rows at ANY corpus size; if it
+    // ever shuffles the token stream into a sort-merge join the linear
+    // scale story is gone
+    Seq("corpus_dsir_score", "corpus_dsir_resample").foreach { name =>
+      val plan = physical(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("Window"), s"$name plans a Window:\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name shuffles the token stream into a sort-merge join:\n${plan.take(2000)}")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$name lost its broadcast weight join:\n${plan.take(2000)}")
+    }
+  }
+
+  test("ccnet bucketing: cut assignment is a broadcast join, never a per-lang window") {
+    // CCNet's tercile split is the classic window trap (ntile over a
+    // per-lang sort puts a whole language in one partition); the cut
+    // table must stay langs×2 rows broadcast onto the scored frame
+    val plan = physical(SparkEntry.queries("text_ccnet_bucket")(spark, sf))
+    assert(!plan.contains("Window"), s"ccnet plans a Window:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ccnet lost the broadcast cut join:\n${plan.take(2000)}")
+  }
 }
