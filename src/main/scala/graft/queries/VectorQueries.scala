@@ -320,8 +320,12 @@ object VectorQueries {
     probeLists(vecs, trained, assignNearest(vecs, trained))
   }
 
-  val vecIvfKmeansSql: String =
-    s"""WITH seeds AS (
+  /** Shared DuckDB CTE chain: seed → one Lloyd step → assign-all — the
+    * oracle mirror of `trainCentroids(_, CentroidStride, 1)` +
+    * [[assignNearest]], used by both [[vecIvfKmeansSql]] and
+    * [[corpusClusterBalanceSql]]. */
+  private val kmeansAssignCte: String =
+    s"""seeds AS (
       |  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
       |  WHERE vec_id % $CentroidStride = 0),
       |a0 AS (
@@ -347,7 +351,10 @@ object VectorQueries {
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
       |    FROM embeddings e CROSS JOIN cents c)
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+
+  val vecIvfKmeansSql: String =
+    s"""WITH $kmeansAssignCte,
       |probes AS (
       |  SELECT vec_id AS probe_id, embedding AS pemb FROM embeddings
       |  WHERE vec_id % $ProbeStride = 0),
@@ -367,6 +374,54 @@ object VectorQueries {
       |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM scored)
       |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim,6) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+
+  // --- cluster-balanced corpus sampling --------------------------------
+  // The SemDeDup / DataComp curation move: cluster the corpus embeddings
+  // (same trained quantizer as `vec_ivf_kmeans`) and keep a bounded,
+  // deterministic per-cluster quota so no topic dominates the training
+  // mix. Selection within a cluster is ranked by a doc-id hash (stable
+  // across reruns and engines), and ranking runs through the bounded
+  // partial-merge [[graft.functions.TopKAgg]] — the shuffle carries
+  // ≤ clusters × cap rows at ANY corpus size, where the window
+  // formulation would shuffle every corpus row into one partition per
+  // cluster. Cluster sizes ride along from a clusters-sized broadcast.
+  private val BalanceCap = 10
+
+  def corpusClusterBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val cents = trainCentroids(vecs, CentroidStride, iters = 1)
+    val assigned = assignNearest(vecs, cents).select(col("vec_id"), col("cent_id"))
+    val sizes = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n_docs"))
+    val hkey = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val topCap = udaf(new TopKAgg(BalanceCap))
+    assigned
+      .select(col("cent_id"), (-hkey).cast("double").as("s"), col("vec_id"))
+      .groupBy(col("cent_id"))
+      .agg(topCap(col("s"), col("vec_id")).as("kept"))
+      .join(broadcast(sizes), Seq("cent_id"))
+      .select(col("cent_id").as("cluster_id"), col("n_docs"),
+        posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("cluster_id"), col("n_docs"),
+        (col("pos") + 1).cast("int").as("rank"), col("kv.id").as("doc_id"))
+      .orderBy(col("cluster_id"), col("rank"))
+  }
+
+  val corpusClusterBalanceSql: String =
+    s"""WITH $kmeansAssignCte,
+      |sizes AS (SELECT cent_id, count(*) AS n_docs FROM assigned GROUP BY cent_id),
+      |ranked AS (
+      |  SELECT cent_id, vec_id,
+      |    row_number() OVER (PARTITION BY cent_id
+      |      ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT), vec_id)
+      |      AS rank
+      |  FROM assigned)
+      |SELECT cent_id AS cluster_id, n_docs, rank, vec_id AS doc_id
+      |FROM ranked JOIN sizes USING (cent_id)
+      |WHERE rank <= $BalanceCap
+      |ORDER BY cluster_id, rank""".stripMargin
+
 
   /** Sign-bit LSH candidate pairs `(id_a, id_b)` for ANY frame carrying
     * an id column and a ≥56-dim numeric array column — shared by

@@ -83,6 +83,24 @@ class CurationRulesSpec extends AnyFunSuite {
       s"singleton-bigram docs land in tail: ${Seq(30L, 31L, 32L).map(out)}")
   }
 
+  test("cluster balance: every cluster keeps at most the cap, ranks contiguous, docs unique") {
+    val out = graft.queries.VectorQueries
+      .corpusClusterBalance(spark, "/root/testdata/sf0.001")
+      .collect()
+    val byCluster = out.groupBy(_.getLong(0))
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.length <= 10, s"cluster $c kept ${rows.length} > cap")
+      val ranks = rows.map(_.getInt(2)).sorted
+      assert(ranks.toSeq == (1 to rows.length), s"cluster $c ranks not contiguous: ${ranks.toSeq}")
+      val n = rows.head.getLong(1)
+      assert(rows.length == math.min(n, 10L).toInt,
+        s"cluster $c of size $n must keep min(n, cap) docs, kept ${rows.length}")
+    }
+    val docs = out.map(_.getLong(3))
+    assert(docs.distinct.length == docs.length, "a doc appears in two clusters")
+  }
+
   test("ccnet: a language absent from the cut sample still buckets (head fallback)") {
     import spark.implicits._
     // one single doc whose doc_id hashes out of the sample can leave its

@@ -586,6 +586,15 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_cluster_balance: per-cluster quota via bounded TopKAgg, never a window") {
+    // the per-cluster keep-k is the classic window trap at corpus scale;
+    // TopKAgg's partial merge bounds the exchange to clusters × cap rows
+    val plan = physical(SparkEntry.queries("corpus_cluster_balance")(spark, sf))
+    assert(!plan.contains("Window"), s"cluster balance plans a Window:\n${plan.take(2000)}")
+    assert(plan.contains("TopKAgg") || plan.contains("ObjectHashAggregate"),
+      s"cluster balance lost its bounded top-k aggregate:\n${plan.take(2000)}")
+  }
+
   test("ccnet bucketing: cut assignment is a broadcast join, never a per-lang window") {
     // CCNet's tercile split is the classic window trap (ntile over a
     // per-lang sort puts a whole language in one partition); the cut
