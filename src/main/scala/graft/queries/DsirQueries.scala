@@ -106,6 +106,47 @@ object DsirQueries {
       |    CAST(sum(w_fp) AS BIGINT) AS score_fp
       |  FROM bt JOIN weights USING (b) GROUP BY doc_id)""".stripMargin
 
+  /** Trained DSIR model as deployable state: the bucket weight table
+    * ([[DsirBuckets]] rows — size-independent of the corpus) plus the
+    * unseen-bucket fallback weight (the t=0/r=0 smoothed log-ratio, one
+    * driver-held long). This is what a production pipeline persists
+    * nightly and applies to arrivals. */
+  final case class DsirModel(weights: DataFrame, defaultFp: Long)
+
+  /** Train the hashed importance model on a `(doc_id, lang, text)`
+    * corpus. The two totals collected here are bounded model metadata
+    * (two longs), never corpus rows. */
+  def trainDsir(docs: DataFrame): DsirModel = {
+    val bt = bucketedTokens(docs)
+    val counts = bt.groupBy(col("b")).agg(
+      count(lit(1)).as("r_cnt"),
+      sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("t_cnt")).persist()
+    val Array(rTot, tTot) = counts
+      .agg(sum(col("r_cnt")), sum(col("t_cnt"))).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val weights = counts.select(col("b"),
+      weightFp(col("t_cnt"), col("r_cnt"), lit(tTot), lit(rTot)).as("w_fp"))
+    val default = (math.floor((math.log(1.0 / (tTot.toDouble + DsirBuckets)) -
+      math.log(1.0 / (rTot.toDouble + DsirBuckets))) * DsirFp)).toLong
+    DsirModel(weights, default)
+  }
+
+  /** Score a `(doc_id, lang, text)` frame against a PRETRAINED model —
+    * the apply half of the split [[graft.streaming.StreamDsirScore]]
+    * runs per micro-batch. Tokens hashing to buckets the training
+    * corpus never populated take the smoothed fallback weight via the
+    * left join, so out-of-corpus text is scored, not dropped. */
+  def scoreWithDsir(batch: DataFrame, m: DsirModel): DataFrame =
+    bucketedTokens(batch)
+      .join(broadcast(m.weights), Seq("b"), "left")
+      .select(col("doc_id"), coalesce(col("w_fp"), lit(m.defaultFp)).as("w_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w_fp")).as("score_fp"))
+      .select(col("doc_id"), col("n_tok"), col("score_fp"),
+        floor(col("score_fp").cast("double") / col("n_tok").cast("double"))
+          .cast("long").as("avg_fp"))
+
   val corpusDsirScoreSql: String =
     s"""WITH $scoreCte
       |SELECT doc_id, n_tok, score_fp,

@@ -375,6 +375,78 @@ object VectorQueries {
       |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim,6) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
 
+  // --- Matryoshka (MRL) prefix ANN -------------------------------------
+  // Matryoshka Representation Learning (Kusupati et al. 2022) trains
+  // embeddings whose PREFIX is itself a valid lower-dim embedding, so
+  // ANN can coarse-rank on the first `MrlDims` dims (4× fewer flops and
+  // — with the prefix stored as its own column, as a production layout
+  // would — 4× fewer bytes scanned) and exact-rerank only a bounded
+  // candidate pool on the full vector. Same skeleton as `vec_sq_topk`:
+  // probes broadcast, coarse top `TopK×MrlRefine` and final top-k both
+  // through the bounded partial-merge TopKAgg, never a window.
+  private val MrlDims = 32
+  private val MrlRefine = 8
+
+  def vecMatryoshkaTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val probeBase = vecs.filter(col("vec_id") % ProbeStride === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+    val probes = probeBase
+      .select(col("probe_id"), slice(col("pemb"), 1, MrlDims).as("pemb16"))
+
+    val candK = udaf(new TopKAgg(TopK * MrlRefine))
+    val cands = vecs
+      .select(col("vec_id"), slice(col("embedding"), 1, MrlDims).as("emb16"))
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"),
+        cosine(col("pemb16"), col("emb16")).as("approx_cos"),
+        col("vec_id").as("id"))
+      .groupBy(col("probe_id"))
+      .agg(candK(col("approx_cos"), col("id")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("vec_id"))
+
+    val topk = udaf(new TopKAgg(TopK))
+    cands
+      .join(vecs, Seq("vec_id"))
+      .join(probeBase, Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("id"),
+        cosine(col("pemb"), col("embedding")).as("sim"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.sim"), 6).as("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val vecMatryoshkaTopkSql: String =
+    s"""WITH probes AS (
+      |  SELECT vec_id AS probe_id, embedding AS pemb FROM embeddings
+      |  WHERE vec_id % $ProbeStride = 0),
+      |coarse AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    list_cosine_similarity(CAST(p.pemb[1:$MrlDims] AS DOUBLE[]),
+      |      CAST(e.embedding[1:$MrlDims] AS DOUBLE[])) AS ac
+      |  FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id),
+      |cand AS (
+      |  SELECT probe_id, vec_id FROM (
+      |    SELECT probe_id, vec_id,
+      |      row_number() OVER (PARTITION BY probe_id ORDER BY ac DESC, vec_id) AS rn
+      |    FROM coarse)
+      |  WHERE rn <= ${TopK * MrlRefine}),
+      |scored AS (
+      |  SELECT c.probe_id, c.vec_id,
+      |    list_cosine_similarity(CAST(p.pemb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+      |  FROM cand c JOIN probes p USING (probe_id) JOIN embeddings e USING (vec_id)),
+      |ranked AS (
+      |  SELECT probe_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim,6) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+
   // --- cluster-balanced corpus sampling --------------------------------
   // The SemDeDup / DataComp curation move: cluster the corpus embeddings
   // (same trained quantizer as `vec_ivf_kmeans`) and keep a bounded,

@@ -243,6 +243,29 @@ class VectorSpec extends AnyFunSuite {
       s"SQ8 recall@5 $recall out of bounds — 8-bit ranges should preserve the top-5 almost exactly")
   }
 
+  test("Matryoshka recall@5 vs brute force is measured and bounded; sims are exact") {
+    // the 16-dim prefix is a random projection of sorts on this
+    // synthetic corpus (true MRL embeddings would concentrate more
+    // signal up front) — the 4×k exact-rerank pool should still recover
+    // most of the true top-5, and every emitted sim is a full-vector
+    // cosine so it can never exceed the brute-force sim at equal rank
+    val sf = "/root/testdata/sf0.001"
+    def nn(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf)
+        .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = nn("vec_topk")
+    val mrl = nn("vec_matryoshka_topk")
+    assert(mrl.keySet == exact.keySet, "MRL lost probes")
+    val recall = exact.map { case (p, e) =>
+      mrl(p).intersect(e).size.toDouble / e.size
+    }.sum / exact.size
+    info(f"vec_matryoshka_topk recall@5 = $recall%.3f")
+    assert(recall >= 0.5 && recall <= 1.0,
+      s"MRL recall@5 $recall out of bounds — the prefix coarse rank is not finding neighbors")
+  }
+
   test("PQ recall@5 vs brute force is measured and bounded; sims are exact") {
     // PQ scores in the compressed domain (ADC over M=8 code lookups),
     // then reranks a 4×k pool with exact cosine — so recall can dip
