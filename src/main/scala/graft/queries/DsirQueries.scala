@@ -34,11 +34,11 @@ object DsirQueries {
 
   private val DsirBuckets = 4096
   private val DsirFp = 1048576.0 // 2^20
-  private val TargetLang = "en"
+  private[graft] val TargetLang = "en"
 
   /** Token stream with hashed feature buckets: one row per token
     * occurrence, `(doc_id, lang, b)`. */
-  private def bucketedTokens(docs: DataFrame): DataFrame = docs
+  private[graft] def bucketedTokens(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), col("lang"), explode_outer(toks(col("text"))).as("tok"))
     .filter(col("tok").isNotNull) // explode_outer: see textDecontaminate
     .select(col("doc_id"), col("lang"),
@@ -118,9 +118,18 @@ object DsirQueries {
     * (two longs), never corpus rows. */
   def trainDsir(docs: DataFrame): DsirModel = {
     val bt = bucketedTokens(docs)
-    val counts = bt.groupBy(col("b")).agg(
+    modelFromCounts(bt.groupBy(col("b")).agg(
       count(lit(1)).as("r_cnt"),
-      sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("t_cnt")).persist()
+      sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("t_cnt")))
+  }
+
+  /** Derive the deployable model from a `(b, r_cnt, t_cnt)` bucket-count
+    * frame — the one weight definition shared by batch training and the
+    * continuously-maintained path ([[graft.streaming.StreamDsirMaintain]]),
+    * so the two can never drift. Counts are exact longs, so partials
+    * merged in ANY order give bit-identical weights. */
+  private[graft] def modelFromCounts(countsIn: DataFrame): DsirModel = {
+    val counts = countsIn.persist()
     val Array(rTot, tTot) = counts
       .agg(sum(col("r_cnt")), sum(col("t_cnt"))).head() match {
         case r => Array(r.getLong(0), r.getLong(1))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.snapshot.{BloomIndex, DataLayout, DataLayoutN}
+import graft.snapshot.{BloomIndex, DataLayout, DataLayoutN, ShardedExport}
 
 /** Z-order layout rectangle read over the events log — the
   * data-skipping query path ([[graft.snapshot.DataLayout]]).
@@ -130,4 +130,28 @@ object LayoutQueries {
       |WHERE user_id BETWEEN $V3UserLo AND $V3UserHi
       |  AND CAST(floor(value) AS BIGINT) BETWEEN $V3ValLo AND $V3ValHi
       |ORDER BY event_id""".stripMargin
+
+  // --- epoch-seeded training shuffle assignment ------------------------
+  // The permutation [[graft.snapshot.ShardedExport.writeEpochShuffle]]
+  // lays on disk, emitted as data so the driver can hash-certify it:
+  // shard = epochKey % shards, intra-shard order = the key itself. A new
+  // epoch is a new permutation; no global sort ever runs (the writer's
+  // per-shard `sortWithinPartitions` is a task-local sort).
+  private val ShuffleEpoch = 1L
+  private val ShuffleShards = 8
+
+  def corpusEpochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val skey = ShardedExport.epochKeyExpr("doc_id", ShuffleEpoch)
+    docs.select(col("doc_id"), skey.as("skey"),
+        pmod(skey, lit(ShuffleShards)).as("shard"))
+      .orderBy(col("shard"), col("skey"), col("doc_id"))
+  }
+
+  val corpusEpochShuffleSql: String =
+    s"""SELECT doc_id,
+      |  CAST(('0x'||substr(md5($ShuffleEpoch||':'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS skey,
+      |  CAST(('0x'||substr(md5($ShuffleEpoch||':'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % $ShuffleShards AS shard
+      |FROM documents
+      |ORDER BY shard, skey, doc_id""".stripMargin
 }

@@ -66,6 +66,55 @@ object ShardedExport {
     manifest
   }
 
+  // --- epoch-seeded training shuffle -----------------------------------
+  // Every training epoch wants a DIFFERENT global permutation of the
+  // corpus, and a 100 TB corpus cannot afford a global sort per epoch.
+  // Seeding the shard assignment AND the intra-shard order with
+  // hash(epoch, key) gives a fresh deterministic permutation per epoch
+  // for the cost of one hash-partitioned exchange plus per-task sorts
+  // (`sortWithinPartitions` — no range-partitioning sampling pass, no
+  // single-reducer order). Reruns of the same epoch reproduce the same
+  // layout byte-for-byte, so a crashed export is safely re-runnable.
+
+  /** THE epoch permutation key — md5-prefix of `"epoch:key"`, one
+    * definition shared by the writer and the `corpus_epoch_shuffle`
+    * oracle query (mirrored in DuckDB as
+    * `CAST(('0x'||substr(md5(E||':'||key),1,8)) AS BIGINT)`). */
+  private[graft] def epochKeyExpr(keyCol: String, epoch: Long): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(s"$epoch:"), col(keyCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Write `df` as an epoch-shuffled sharded export: shard =
+    * `epochKey % numShards`, rows inside each shard file ordered by the
+    * epoch key. Layout and manifest match [[writeShards]]. */
+  def writeEpochShuffle(df: DataFrame, keyCol: String, outDir: String,
+      numShards: Int, epoch: Long): Manifest = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val root = Paths.get(outDir)
+    Files.createDirectories(root.getParent match { case null => root; case p => p })
+    val tmp = root.resolveSibling(root.getFileName.toString + ".tmp")
+    deleteRecursively(tmp)
+    val skey = epochKeyExpr(keyCol, epoch)
+    df.withColumn("_skey", skey)
+      .withColumn(ShardCol, pmod(col("_skey"), lit(numShards)))
+      // the partition column leads the sort so the file writer's
+      // required ordering is already satisfied — otherwise it inserts
+      // its own sort by _shard alone and discards the epoch-key order
+      .repartition(numShards, col(ShardCol))
+      .sortWithinPartitions(col(ShardCol), col("_skey"), col(keyCol))
+      .write.partitionBy(ShardCol).mode(SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    val spark = df.sparkSession
+    val counts = spark.read.parquet(tmp.toString)
+      .groupBy(col(ShardCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val manifest = Manifest(numShards, counts.values.sum, counts)
+    Files.writeString(tmp.resolve("_manifest.json"), renderManifest(manifest))
+    deleteRecursively(root)
+    Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+    manifest
+  }
+
   def readManifest(outDir: String): Manifest = {
     val text = Files.readString(Paths.get(outDir, "_manifest.json"))
     val num = """"num_shards"\s*:\s*(\d+)""".r.findFirstMatchIn(text).get.group(1).toInt

@@ -75,4 +75,38 @@ class ShardedExportSpec extends AnyFunSuite {
     assert(ShardedExport.readManifest(base.resolve("a").toString).totalRows == 100L)
     assert(Files.exists(Paths.get(base.resolve("a").toString, "_manifest.json")))
   }
+
+  test("epoch shuffle: fresh permutation per epoch, byte-deterministic per rerun, ordered shards") {
+    val base = Files.createTempDirectory("graft-epochs")
+    val docs = (1L to 1000L).map(i => (i, s"doc-$i")).toDF("doc_id", "text")
+
+    def layout(dir: String): Map[Int, Seq[Long]] =
+      (0 until 8).map { s =>
+        s -> ShardedExport.readShard(spark, dir, s)
+          // files are written sorted; read back in the written row order
+          .select("doc_id", "_skey").collect().map(r => (r.getLong(1), r.getLong(0)))
+          .toSeq.map(_._2)
+      }.toMap
+
+    val e1 = base.resolve("e1").toString
+    val m1 = ShardedExport.writeEpochShuffle(docs, "doc_id", e1, 8, epoch = 1L)
+    assert(m1.totalRows == 1000L && m1.rowsPerShard.values.sum == 1000L)
+
+    // every doc in exactly one shard, each shard file ordered by the key
+    val l1 = layout(e1)
+    assert(l1.values.flatten.toSet.size == 1000)
+    (0 until 8).foreach { s =>
+      val keys = ShardedExport.readShard(spark, e1, s)
+        .select("_skey").as[Long].collect().toSeq
+      assert(keys == keys.sorted, s"shard $s rows not in epoch-key order")
+    }
+
+    // epoch 2 is a DIFFERENT permutation; rerunning epoch 1 reproduces it
+    val e2 = base.resolve("e2").toString
+    ShardedExport.writeEpochShuffle(docs, "doc_id", e2, 8, epoch = 2L)
+    assert(layout(e2) != l1, "epoch 2 must reshuffle")
+    val e1b = base.resolve("e1b").toString
+    ShardedExport.writeEpochShuffle(docs, "doc_id", e1b, 8, epoch = 1L)
+    assert(layout(e1b) == l1, "same epoch must reproduce the same layout")
+  }
 }
