@@ -249,15 +249,21 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val corpusFilterSql: String = {
+  /** DuckDB mirror of [[scoredDocs]]' `is_en` vote — shared by
+    * `corpus_filter` and the curation funnel. */
+  private[graft] def isEnSqlExpr(toksCol: String): String = {
     val enStop = langStops.toMap.apply("en").map(s => s"'$s'").mkString("[", ", ", "]")
     val deStop = langStops.toMap.apply("de").map(s => s"'$s'").mkString("[", ", ", "]")
+    s"len(list_filter($toksCol, x -> list_contains($enStop, x)))" +
+      s" >= len(list_filter($toksCol, x -> list_contains($deStop, x)))"
+  }
+
+  val corpusFilterSql: String = {
     s"""WITH scored AS (
       |  SELECT doc_id,
       |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
       |    ${qualitySqlExpr("toks", "text")} AS quality,
-      |    len(list_filter(toks, x -> list_contains($enStop, x)))
-      |      >= len(list_filter(toks, x -> list_contains($deStop, x))) AS is_en
+      |    ${isEnSqlExpr("toks")} AS is_en
       |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
       |        FROM documents)),
       |keepers AS (SELECT fp, min(doc_id) AS doc_id FROM scored GROUP BY fp)
@@ -1101,27 +1107,67 @@ object TextQueries {
   // bit-identical cross-engine by construction; the only double in the
   // output is `mean_word_len`, one divide over two exact longs. A single
   // shuffle-free projection + final order — linear at any corpus size.
-  private[queries] val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  // Required-stopword lexicon: the paper's 8-word list (the, be, to, of,
+  // and, that, have, with) degenerates on this synthetic vocabulary —
+  // only "the" occurs, so EVERY document would fail `stop_present >= 2`.
+  // The rule keeps the paper's semantics (≥2 distinct required
+  // stopwords) over the repo's one canonical stopword lexicon instead.
+  private[queries] val gopherStops = stopEn
   private val GopherMinWords = 50L
   private val GopherMaxWords = 100000L
+
+  /** Exact-integer Gopher signals `(n_words, sum_word_len, alpha_words,
+    * stop_present, n_sym)` of a text column, aliased to those names —
+    * ONE definition shared by [[gopherRules]] and the curation funnel,
+    * mirrored by [[gopherSignalsSql]]. */
+  private[graft] def gopherSignals(text: Column): Seq[Column] = {
+    val t = toks(text)
+    val stopArr = array(gopherStops.map(lit): _*)
+    Seq(
+      size(t).cast("long").as("n_words"),
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("sum_word_len"),
+      size(filter(t, x => x.rlike("[a-z]"))).cast("long").as("alpha_words"),
+      size(filter(stopArr, s => array_contains(t, s))).cast("long").as("stop_present"),
+      (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", "")))
+        .cast("long").as("n_sym"))
+  }
+
+  /** The full-ruleset pass predicate over the five signal columns —
+    * every comparison exact-integer (thresholds cross-multiplied). */
+  private[graft] def gopherPassFromSignals(nWords: Column, sumWordLen: Column,
+      alphaWords: Column, stopPresent: Column, nSym: Column): Column =
+    nWords >= GopherMinWords && nWords <= GopherMaxWords &&
+      sumWordLen >= nWords * 3L && sumWordLen <= nWords * 10L &&
+      nSym * 10L < nWords &&
+      alphaWords * 10L >= nWords * 8L &&
+      stopPresent >= 2L
+
+  /** DuckDB mirrors of [[gopherSignals]], in the same order/names. */
+  private[graft] def gopherSignalsSql(toksCol: String, textCol: String): Seq[(String, String)] = {
+    val stop = gopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    Seq(
+      "n_words" -> s"CAST(len($toksCol) AS BIGINT)",
+      "sum_word_len" -> s"CAST(list_sum(list_transform($toksCol, x -> length(x))) AS BIGINT)",
+      "alpha_words" -> s"CAST(len(list_filter($toksCol, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)",
+      "stop_present" -> s"CAST(len(list_filter($stop, s -> list_contains($toksCol, s))) AS BIGINT)",
+      "n_sym" -> s"CAST(length($textCol) - length(regexp_replace($textCol, '[^a-z0-9 ]', '', 'g')) AS BIGINT)")
+  }
+
+  /** DuckDB mirror of [[gopherPassFromSignals]] over the signal names. */
+  private[graft] val gopherPassSql: String =
+    s"""(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+      |    AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+      |    AND n_sym * 10 < n_words
+      |    AND alpha_words * 10 >= n_words * 8
+      |    AND stop_present >= 2)""".stripMargin
 
   def textGopherRules(spark: SparkSession, sfDir: String): DataFrame =
     gopherRules(Tables.load(spark, sfDir, "documents"))
 
   /** Core of [[textGopherRules]] over any `(doc_id, lang, text)` frame. */
   def gopherRules(docs: DataFrame): DataFrame = {
-    val t = toks(col("text"))
-    val stopArr = array(gopherStops.map(lit): _*)
     docs
-      .select(col("doc_id"), col("lang"), t.as("t"), col("text"))
-      .select(
-        col("doc_id"), col("lang"),
-        size(col("t")).cast("long").as("n_words"),
-        aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)).as("sum_word_len"),
-        size(filter(col("t"), x => x.rlike("[a-z]"))).cast("long").as("alpha_words"),
-        size(filter(stopArr, s => array_contains(col("t"), s))).cast("long").as("stop_present"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
-          .cast("long").as("n_sym"))
+      .select(Seq(col("doc_id"), col("lang")) ++ gopherSignals(col("text")): _*)
       .select(
         col("doc_id"), col("lang"), col("n_words"),
         (col("sum_word_len").cast("double") / col("n_words").cast("double"))
@@ -1143,7 +1189,8 @@ object TextQueries {
   }
 
   val textGopherRulesSql: String = {
-    val stop = gopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    val signals = gopherSignalsSql("t", "text")
+      .map { case (n, e) => s"$e AS $n" }.mkString(",\n      |    ")
     s"""SELECT doc_id, lang, n_words,
       |  CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
       |  alpha_words, stop_present, n_sym,
@@ -1152,18 +1199,10 @@ object TextQueries {
       |  n_sym * 10 < n_words AS r_symbol,
       |  alpha_words * 10 >= n_words * 8 AS r_alpha,
       |  stop_present >= 2 AS r_stop,
-      |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
-      |    AND (sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10)
-      |    AND (n_sym * 10 < n_words)
-      |    AND (alpha_words * 10 >= n_words * 8)
-      |    AND (stop_present >= 2) AS pass
+      |  $gopherPassSql AS pass
       |FROM (
       |  SELECT doc_id, lang,
-      |    CAST(len(t) AS BIGINT) AS n_words,
-      |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_word_len,
-      |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
-      |    CAST(len(list_filter($stop, s -> list_contains(t, s))) AS BIGINT) AS stop_present,
-      |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym
+      |    $signals
       |  FROM (SELECT doc_id, lang, text,
       |          list_filter(string_split(text, ' '), x -> x != '') AS t
       |        FROM documents))

@@ -101,6 +101,21 @@ class CurationRulesSpec extends AnyFunSuite {
     assert(docs.distinct.length == docs.length, "a doc appears in two clusters")
   }
 
+  test("funnel: stages chain (in(i) = out(i-1)), counts monotone, tokens bounded by docs") {
+    val rows = graft.queries.CurationQueries
+      .corpusFunnel(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getString(0))
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(0)).toSeq == Seq("0_ingest", "1_gopher_rules",
+      "2_lang_quality", "3_exact_dedup", "4_decontaminate"))
+    rows.sliding(2).foreach { case Array(prev, next) =>
+      assert(next.getLong(1) == prev.getLong(2),
+        s"${next.getString(0)}.docs_in != ${prev.getString(0)}.docs_out")
+      assert(next.getLong(2) <= next.getLong(1), s"${next.getString(0)} grew docs")
+    }
+    assert(rows.head.getLong(1) > 0, "ingest saw no docs")
+  }
+
   test("ccnet: a language absent from the cut sample still buckets (head fallback)") {
     import spark.implicits._
     // one single doc whose doc_id hashes out of the sample can leave its
