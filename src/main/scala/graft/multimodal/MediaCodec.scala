@@ -23,6 +23,39 @@ trait MediaCodec extends Serializable {
   def decodeBatch(contents: Seq[Array[Byte]]): Seq[DecodedMedia]
 }
 
+/** Feature-extraction surface — the "CLIP tower" slot of the multimodal
+  * pipeline, batch-shaped exactly like [[MediaCodec]]: one call per
+  * batch of payloads so a real extractor (an ONNX session, a GPU model
+  * server, an RPC sidecar) amortizes setup across the batch. Extracted
+  * vectors flow straight into the existing ANN/dedup operators — the
+  * embedding column is the SAME `array<float>` shape `embeddings.vec`
+  * queries consume. */
+trait MediaEmbedder extends Serializable {
+  /** Embedding dimensionality — constant per extractor. */
+  def dims: Int
+  /** Embed one batch. MUST return exactly one `dims`-length vector per
+    * input, in order. */
+  def embedBatch(contents: Seq[Array[Byte]]): Seq[Array[Float]]
+}
+
+/** Deterministic fake extractor: dim `j` is the first-16-bit md5 prefix
+  * of `hex(content) ++ ":" ++ j`, scaled into [0, 1] — bit-identical to
+  * the SQL-expression fake in `MediaQueries.mmEmbedTopk`, so the DuckDB
+  * oracle checks the extract→ANN plumbing end-to-end. Swap in a real
+  * model by implementing [[MediaEmbedder]]; nothing else changes. */
+final case class FakeMediaEmbedder(dims: Int = 16) extends MediaEmbedder {
+  def embedBatch(contents: Seq[Array[Byte]]): Seq[Array[Float]] =
+    contents.map { c =>
+      val hexStr = c.map(b => f"${b & 0xff}%02X").mkString
+      Array.tabulate(dims) { j =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$hexStr:$j".getBytes("US-ASCII"))
+        val h = ((d(0) & 0xffL) << 8) | (d(1) & 0xffL)
+        (h.toDouble / 65535.0).toFloat
+      }
+    }
+}
+
 /** ======================= DETERMINISTIC FAKE =======================
   * This container ships no image/audio/video libraries, so the decode
   * step is STUBBED: metadata is derived from the md5 of the payload and

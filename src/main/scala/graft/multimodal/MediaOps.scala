@@ -101,6 +101,35 @@ object MediaOps {
     }
   }
 
+  /** Attach a `dims`-length `embedding` column extracted by `embedder`,
+    * batch-at-a-time — the feature-extract stage between decode and the
+    * vector operators. Same mapPartitions batch contract as
+    * [[withMediaMeta]]: the embedder sees `Seq[Array[Byte]]` batches of
+    * ≤ `batchSize`, rows keep their order, and the output column is the
+    * `array<float>` shape every `vec_*` query consumes. */
+  def withMediaEmbedding(
+      df: DataFrame,
+      contentCol: String,
+      embedder: MediaEmbedder,
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("embedding", ArrayType(FloatType, containsNull = false)))
+    val idx = df.schema.fieldIndex(contentCol)
+    val result = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        val embs = embedder.embedBatch(rows.map(_.getAs[Array[Byte]](idx)))
+        require(embs.length == rows.length,
+          s"embedder returned ${embs.length} vectors for ${rows.length} payloads")
+        rows.lazyZip(embs).map { (r, e) =>
+          require(e.length == embedder.dims,
+            s"embedder returned ${e.length} dims, declared ${embedder.dims}")
+          Row.fromSeq(r.toSeq :+ e.toSeq)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(result, schema)
+  }
+
   /** Sample every `everyK`-th frame of each video payload into one row
     * per frame `(… , frame_idx, frame)` — the explode side of a
     * frame-level training pipeline. Frame EXTRACTION is stubbed (the

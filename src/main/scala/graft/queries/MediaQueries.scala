@@ -163,4 +163,73 @@ object MediaQueries {
       |FROM hashed GROUP BY phash HAVING count(*) >= 2
       |ORDER BY phash""".stripMargin
   }
+
+  // --- media similarity through extracted features ---------------------
+  // The extract→ANN path: a batched embedder (the CLIP-tower slot,
+  // [[graft.multimodal.MediaEmbedder]]) turns each payload into the
+  // same `array<float>` the vector operators consume, then media top-k
+  // runs the brute-cosine plan `vec_topk` uses — probes broadcast,
+  // per-probe ranking through the bounded partial-merge TopKAgg, never
+  // a window. Extraction here is the documented md5-chain fake
+  // (expression path ≡ FakeMediaEmbedder batch path, pinned by
+  // MultimodalSpec), so the oracle certifies the full pipeline.
+  private val EmbedDims = 16
+  private val EmbedTopK = 3
+  private val EmbedProbeStride = 100
+
+  /** The SQL-expression twin of [[graft.multimodal.FakeMediaEmbedder]]:
+    * dim j = md5(hex ++ ":" ++ j) first 16 bits, scaled to [0,1]. */
+  private def embedExpr(content: Column): Column =
+    transform(sequence(lit(0), lit(EmbedDims - 1)),
+      j => (conv(substring(md5(concat(hex(content), lit(":"), j.cast("string"))), 1, 4), 16, 10)
+        .cast("double") / lit(65535.0)).cast("float"))
+
+  def mmEmbedTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{TopKAgg, VectorFunctions}
+    VectorFunctions.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = docs.select(col("doc_id"), embedExpr(payload).as("embedding"))
+    val probes = media.filter(col("doc_id") % EmbedProbeStride === 0)
+      .select(col("doc_id").as("probe_id"), col("embedding").as("pemb"))
+    val topk = udaf(new TopKAgg(EmbedTopK))
+    media.join(broadcast(probes), col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"),
+        call_function("cosine_sim", col("pemb"), col("embedding")).as("sim"),
+        col("doc_id").as("id"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.sim"), 6).as("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val mmEmbedTopkSql: String =
+    s"""WITH media AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4
+      |       WHEN 0 THEN from_hex('89504E470D0A1A0A')
+      |       WHEN 1 THEN from_hex('FFD8FFE0')
+      |       WHEN 2 THEN from_hex('52494646') || encode('xxxxWAVE')
+      |       ELSE encode('') END) || encode(text) AS content
+      |  FROM documents),
+      |embedded AS (
+      |  SELECT doc_id,
+      |    CAST([CAST(CAST(('0x' || substr(md5(hex(content) || ':' || j), 1, 4)) AS BIGINT) AS DOUBLE)
+      |            / 65535.0
+      |          for j in range(0, $EmbedDims)] AS REAL[]) AS embedding
+      |  FROM media),
+      |probes AS (
+      |  SELECT doc_id AS probe_id, embedding AS pemb FROM embedded
+      |  WHERE doc_id % $EmbedProbeStride = 0),
+      |scored AS (
+      |  SELECT p.probe_id, e.doc_id,
+      |    list_cosine_similarity(CAST(p.pemb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+      |  FROM probes p JOIN embedded e ON e.doc_id != p.probe_id),
+      |ranked AS (
+      |  SELECT probe_id, doc_id, sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT probe_id, rank, doc_id AS neighbor_id, round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= $EmbedTopK ORDER BY probe_id, rank""".stripMargin
 }

@@ -101,6 +101,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("withMediaEmbedding: batch contract, dims enforced, vectors ≡ expression fake") {
+    import graft.multimodal.FakeMediaEmbedder
+    val emb = FakeMediaEmbedder(dims = 16)
+    val out = MediaOps.withMediaEmbedding(mediaDf, "content", emb, batchSize = 3)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "content", "embedding"))
+    val byId = out.select("id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId.size == 4 && byId.values.forall(_.length == 16))
+    // JVM batch path ≡ the SQL-expression fake mmEmbedTopk scores with
+    val viaExpr = mediaDf.select(col("id"),
+        transform(sequence(lit(0), lit(15)),
+          j => (conv(substring(md5(concat(hex(col("content")), lit(":"), j.cast("string"))), 1, 4), 16, 10)
+            .cast("double") / lit(65535.0)).cast("float")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    byId.foreach { case (id, e) =>
+      assert(e == viaExpr(id), s"embedder and expression fake diverge for payload $id")
+    }
+    // values are genuinely spread over [0,1], not degenerate
+    val flat = byId.values.flatten
+    assert(flat.forall(v => v >= 0f && v <= 1f))
+    assert(flat.max - flat.min > 0.5f, "fake embedding collapsed")
+  }
+
   test("aHash32 through the codec path equals the closed-form fingerprint") {
     // the perceptual fingerprint mm_phash_dedup keys on must be the
     // SAME whether computed from decoded pixel bytes (real plumbing)
