@@ -918,4 +918,73 @@ object DedupQueries {
       |  round(CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
       |FROM wins w JOIN fpc f USING (fp)
       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
+  // --- winnowing (MOSS) fingerprints -----------------------------------
+  // Content-defined substring fingerprints (Schleimer et al. 2003):
+  // hash every k-char gram, slide a w-hash window, keep each window's
+  // MINIMUM. Unlike `dedup_substring`'s fixed-stride sample, winnowing
+  // GUARANTEES any shared substring of length ≥ w+k−1 chars produces a
+  // shared fingerprint (the window min is position-independent), while
+  // still emitting ≤ 1 fingerprint per window — density 2/(w+1) of the
+  // gram stream, tunable, corpus-linear.
+  //
+  // Scale shape: selection is a pure per-row expression pipeline (no
+  // shuffle until the fingerprint hash-agg, which carries the SELECTED
+  // mins only); the gram hash here is the md5-prefix recipe so the
+  // oracle can mirror it char-for-char — a production kernel would swap
+  // in a Karp–Rabin rolling hash as a codegen Expression, changing the
+  // constant per gram, not the plan.
+  private val WinnowK = 16 // gram length (chars)
+  private val WinnowW = 8 // window length (hashes)
+
+  /** Selected winnowing fingerprints of a `(doc_id, text)` frame — one
+    * `(doc_id, fp)` row per distinct window-min per doc. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("text")) - (WinnowK - 1)),
+          p => conv(substring(md5(col("text").substr(p, lit(WinnowK))), 1, 8), 16, 10)
+            .cast("long")).as("hs"))
+    hashed.select(col("doc_id"),
+        explode_outer(array_distinct(
+          transform(sequence(lit(1), size(col("hs")) - (WinnowW - 1)),
+            i => array_min(slice(col("hs"), i, lit(WinnowW)))))).as("fp"))
+      .filter(col("fp").isNotNull) // explode_outer: the pinned re-tokenize lesson
+  }
+
+  def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = winnowFingerprints(Tables.load(spark, sfDir, "documents"))
+    val fpc = fps.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("nd"))
+    fps.join(fpc, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fps"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_fps"))
+      .withColumn("dup_ratio",
+        round(col("dup_fps").cast("double") / col("n_fps"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupWinnowSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE len(text) >= ${WinnowK + WinnowW - 1}),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    [CAST(('0x'||substr(md5(substr(text, p, $WinnowK)),1,8)) AS BIGINT)
+      |     for p in range(1, len(text) - ${WinnowK - 1} + 1)] AS hs
+      |  FROM d),
+      |fps AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(
+      |      [list_min(hs[i:i+${WinnowW - 1}])
+      |       for i in range(1, len(hs) - ${WinnowW - 1} + 1)])) AS fp
+      |  FROM hashed),
+      |fpc AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM fps GROUP BY fp)
+      |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+      |  CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_fps,
+      |  round(CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+      |FROM fps f JOIN fpc c USING (fp)
+      |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,21 +114,47 @@ object RetrievalQueries {
   // broadcastable at any corpus size.
   //
   // Float parity: recall = hits/5.0 and rr = 1.0/best are single IEEE
-  // divisions of small integers — bit-identical cross-engine.
+  // divisions of small integers — bit-identical cross-engine. nDCG's
+  // 1/log2(rank+1) discounts are transcendental, so they are NOT
+  // computed in either engine: both sides share the same 14-decimal
+  // LITERALS (generated once on the JVM), summed through
+  // DECIMAL(28,14) so merge order can't perturb the total, with one
+  // final double divide by the same-literal ideal DCG.
   private val EvalK = 5 // = VectorQueries' TopK
+  private val NdcgDisc: Seq[(Int, String)] = (1 to EvalK).map { r =>
+    r -> BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(14, BigDecimal.RoundingMode.HALF_UP).toString
+  }
+  private val NdcgIdcg: String = NdcgDisc.map(d => BigDecimal(d._2)).sum.toString
+
+  /** Per-row nDCG discount of an ann `rank` column — the literal table
+    * as a when-chain; misses (null rank) contribute nothing. */
+  private def ndcgDiscount(rank: Column): Column =
+    NdcgDisc.foldLeft(lit(null).cast("double")) { case (acc, (r, d)) =>
+      when(rank === r, lit(d.toDouble)).otherwise(acc)
+    }
+
+  /** The shared metric block: hits → recall, best → rr, discount sum →
+    * ndcg (exact decimal route, divided once by the literal IDCG). */
+  private def evalMetrics(grouped: DataFrame): DataFrame =
+    grouped.select(col("*"),
+      (col("hits") / lit(EvalK.toDouble)).as("recall"),
+      coalesce(lit(1.0) / col("best"), lit(0.0)).as("rr"),
+      round(coalesce(col("dcg").cast("double"), lit(0.0)) /
+        lit(NdcgIdcg.toDouble), 9).as("ndcg"))
+      .drop("best", "dcg")
 
   def retrievalEval(spark: SparkSession, sfDir: String): DataFrame = {
     val truth = VectorQueries.vecTopk(spark, sfDir)
       .select(col("probe_id"), col("neighbor_id"))
     val ann = VectorQueries.vecIvfTopk(spark, sfDir)
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
-    truth
+    evalMetrics(truth
       .join(ann, Seq("probe_id", "neighbor_id"), "left")
       .groupBy(col("probe_id"))
-      .agg(count(col("rank")).as("hits"), min(col("rank")).as("best"))
-      .select(col("probe_id"), col("hits"),
-        (col("hits") / lit(EvalK.toDouble)).as("recall"),
-        coalesce(lit(1.0) / col("best"), lit(0.0)).as("rr"))
+      .agg(count(col("rank")).as("hits"), min(col("rank")).as("best"),
+        sum(ndcgDiscount(col("rank"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 14))).as("dcg")))
       .orderBy(col("probe_id"))
   }
 
@@ -342,18 +368,28 @@ object RetrievalQueries {
       |FROM best GROUP BY doc_id ORDER BY li_score DESC, doc_id LIMIT $LiTopN""".stripMargin
   }
 
+  /** DuckDB mirror of [[ndcgDiscount]] + the decimal sum, over `a.rank`. */
+  private def ndcgSumSql: String = {
+    val cases = NdcgDisc
+      .map { case (r, d) => s"WHEN $r THEN CAST($d AS DECIMAL(28,14))" }
+      .mkString(" ")
+    s"sum(CASE a.rank $cases END)"
+  }
+
   val retrievalEvalSql: String =
     s"""WITH truth AS (
       |  SELECT probe_id, neighbor_id FROM (${VectorQueries.vecTopkSql}) t),
-      |ann AS (
-      |  SELECT probe_id, neighbor_id, rank FROM (${VectorQueries.vecIvfTopkSql}) a),
+      |ann0 AS (
+      |  SELECT probe_id, neighbor_id, rank FROM (${VectorQueries.vecIvfTopkSql}) x),
       |per AS (
-      |  SELECT t.probe_id, count(a.rank) AS hits, min(a.rank) AS best
-      |  FROM truth t LEFT JOIN ann a
+      |  SELECT t.probe_id, count(a.rank) AS hits, min(a.rank) AS best,
+      |    $ndcgSumSql AS dcg
+      |  FROM truth t LEFT JOIN ann0 a
       |    ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
       |  GROUP BY t.probe_id)
       |SELECT probe_id, hits, hits / $EvalK.0 AS recall,
-      |  CASE WHEN best IS NULL THEN 0.0 ELSE 1.0 / best END AS rr
+      |  CASE WHEN best IS NULL THEN 0.0 ELSE 1.0 / best END AS rr,
+      |  round(coalesce(CAST(dcg AS DOUBLE), 0.0) / $NdcgIdcg, 9) AS ndcg
       |FROM per ORDER BY probe_id""".stripMargin
 
   // --- multi-method ANN comparison -------------------------------------
@@ -369,14 +405,14 @@ object RetrievalQueries {
       .select(col("probe_id"), col("neighbor_id"))
       .cache() // joined once per evaluated method
     def evalOf(ann: DataFrame, method: String): DataFrame =
-      truth
+      evalMetrics(truth
         .join(ann.select(col("probe_id"), col("neighbor_id"), col("rank")),
           Seq("probe_id", "neighbor_id"), "left")
         .groupBy(col("probe_id"))
-        .agg(count(col("rank")).as("hits"), min(col("rank")).as("best"))
-        .select(lit(method).as("method"), col("probe_id"), col("hits"),
-          (col("hits") / lit(EvalK.toDouble)).as("recall"),
-          coalesce(lit(1.0) / col("best"), lit(0.0)).as("rr"))
+        .agg(count(col("rank")).as("hits"), min(col("rank")).as("best"),
+          sum(ndcgDiscount(col("rank"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 14))).as("dcg"))
+        .select(lit(method).as("method"), col("*")))
     evalOf(VectorQueries.vecIvfTopk(spark, sfDir), "ivf")
       .unionByName(evalOf(VectorQueries.vecSqTopk(spark, sfDir), "sq8"))
       .orderBy(col("method"), col("probe_id"))
@@ -385,9 +421,11 @@ object RetrievalQueries {
   val retrievalEvalMultiSql: String = {
     def leg(annSql: String, method: String) =
       s"""SELECT '$method' AS method, probe_id, hits, hits / $EvalK.0 AS recall,
-        |  CASE WHEN best IS NULL THEN 0.0 ELSE 1.0 / best END AS rr
+        |  CASE WHEN best IS NULL THEN 0.0 ELSE 1.0 / best END AS rr,
+        |  round(coalesce(CAST(dcg AS DOUBLE), 0.0) / $NdcgIdcg, 9) AS ndcg
         |FROM (
-        |  SELECT t.probe_id, count(a.rank) AS hits, min(a.rank) AS best
+        |  SELECT t.probe_id, count(a.rank) AS hits, min(a.rank) AS best,
+        |    $ndcgSumSql AS dcg
         |  FROM truth t LEFT JOIN ($annSql) a
         |    ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
         |  GROUP BY t.probe_id)""".stripMargin

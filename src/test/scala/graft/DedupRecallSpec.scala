@@ -107,6 +107,29 @@ class DedupRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing guarantee: any shared substring of length >= w+k-1 shares a fingerprint") {
+    import spark.implicits._
+    // shared passage of 40 chars (> 8+16-1 = 23) planted in two docs
+    // with different surroundings; a third doc shares nothing
+    val passage = "the quick brown fox jumps over the dairy"
+    val docs = Seq(
+      (1L, s"AAAA bbbb cccc dddd $passage eeee ffff gggg hhhh"),
+      (2L, s"zzzz yyyy xxxx wwww vvvv uuuu $passage tttt ssss"),
+      (3L, "totally unrelated content with nothing shared at all here okay")
+    ).toDF("doc_id", "text")
+    val fps = DedupQueries.winnowFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "docs sharing a 40-char passage must share a winnowing fingerprint")
+    assert(fps(3L).intersect(fps(1L)).isEmpty && fps(3L).intersect(fps(2L)).isEmpty,
+      "unrelated text must not collide")
+    // density: winnowing selects ~2/(w+1) of gram positions, never more
+    // than one per window start
+    val nGrams = docs.filter($"doc_id" === 3L).head.getString(1).length - 15
+    assert(fps(3L).size <= nGrams - 7, "more fingerprints than windows")
+  }
+
   test("corpus_split: no near-dup pair straddles the train/val boundary") {
     // the operator's whole reason to exist — every clustered doc must
     // land on the same side as its cluster representative, and both
