@@ -494,5 +494,9 @@ object VectorFunctions {
       "sq_encode", exprs => SqEncode(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "sq_score", exprs => SqScore(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow_fps", exprs => WinnowFpsExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
   }
 }

@@ -1010,17 +1010,94 @@ object TextQueries {
     ccnetBucket(Tables.load(spark, sfDir, "documents"))
 
   /** Core of [[textCcnetBucket]] over any `(doc_id, lang, text)` frame. */
+  /** Adjacent-pair stream of a `(doc_id, lang, text)` frame, keyed by
+    * language — shared by the self-contained query and the train/apply
+    * split. */
+  private def ccnetPairs(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("lang"), toks(col("text")).as("toks"))
+    .filter(size(col("toks")) >= 2)
+    .select(col("doc_id"), col("lang"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+    .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Trained CCNet artifact: per-language bigram LM (`lm`, `ctx`,
+    * `vocab` — corpus-sublinear frames) plus the per-language tercile
+    * cut table (`cuts`, langs×2 rows) — what a production pipeline
+    * persists nightly and applies to every arriving snapshot shard. */
+  final case class CcnetModel(lm: DataFrame, ctx: DataFrame,
+      vocab: DataFrame, cuts: DataFrame)
+
+  /** Train the per-language LM and tercile cuts on a corpus. */
+  def trainCcnet(docs: DataFrame): CcnetModel = {
+    val perDoc = ccnetPairs(docs)
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c")).persist()
+    val lm = perDoc.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(sum(col("c")).as("cb")).persist()
+    val ctx = lm.groupBy(col("lang"), col("w1")).agg(sum(col("cb")).as("cu"))
+    val vocab = lm.groupBy(col("lang")).agg(countDistinct(col("w2")).as("v"))
+    val bits = -col("c") *
+      log2((col("cb") + lit(LmAlpha)) / (col("cu") + lit(LmAlpha) * col("v")))
+    val scored = perDoc
+      .join(lm, Seq("lang", "w1", "w2"))
+      .join(ctx, Seq("lang", "w1"))
+      .join(broadcast(vocab), Seq("lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(floor(bits * lit(LmFpScale))).as("bits_fp"))
+      .select(col("doc_id"), col("lang"),
+        floor(col("bits_fp").cast("double") / col("n_bigrams").cast("double"))
+          .cast("long").as("bpb_fp"))
+    val cuts = scored
+      .filter(pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(CcnetSampleMod)) === 0)
+      .groupBy(col("lang"))
+      .agg(
+        round(expr("percentile(bpb_fp, 0.3333333333333333)"), 6).as("c33"),
+        round(expr("percentile(bpb_fp, 0.6666666666666666)"), 6).as("c67"))
+    CcnetModel(lm, ctx, vocab, cuts)
+  }
+
+  /** Bucket a `(doc_id, lang, text)` frame against a PRETRAINED model —
+    * the apply half [[graft.streaming.StreamCcnetBucket]] runs per
+    * micro-batch. Unseen bigrams/contexts take the smoothed floor via
+    * left joins (the `scoreAgainst` shape); a language with no trained
+    * vocab scores against `v = 1`, and a language with no cut row
+    * buckets `head` — new text is classified, never dropped. */
+  def bucketAgainst(batch: DataFrame, m: CcnetModel): DataFrame = {
+    val perDoc = ccnetPairs(batch)
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val cb = coalesce(col("cb"), lit(0L))
+    val cu = coalesce(col("cu"), lit(0L))
+    val v = coalesce(col("v"), lit(1L))
+    val bits = -col("c") *
+      log2((cb + lit(LmAlpha)) / (cu + lit(LmAlpha) * v))
+    perDoc
+      .join(m.lm, Seq("lang", "w1", "w2"), "left")
+      .join(m.ctx, Seq("lang", "w1"), "left")
+      .join(broadcast(m.vocab), Seq("lang"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(floor(bits * lit(LmFpScale))).as("bits_fp"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        floor(col("bits_fp").cast("double") / col("n_bigrams").cast("double"))
+          .cast("long").as("bpb_fp"))
+      .join(broadcast(m.cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("bpb_fp"),
+        when(col("c33").isNull, lit("head"))
+          .when(col("bpb_fp").cast("double") <= col("c33"), lit("head"))
+          .when(col("bpb_fp").cast("double") <= col("c67"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   def ccnetBucket(docs: DataFrame): DataFrame = {
     // per-lang LM: pairs keyed by (lang, w1, w2)
-    val pairs = docs
-      .select(col("doc_id"), col("lang"), toks(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairs = ccnetPairs(docs)
     val perDoc = pairs.groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c")).persist()
     val lm = perDoc.groupBy(col("lang"), col("w1"), col("w2")).agg(sum(col("c")).as("cb"))

@@ -21,6 +21,32 @@ class KernelPropertySpec extends AnyFunSuite {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  test("winnow_fps ≡ the compositional hash→window-min→distinct chain across random texts") {
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh "
+    val texts = (0 until 60).map { i =>
+      i.toLong -> (0 until (23 + rnd.nextInt(160)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val k = 16; val w = 8
+    val kernel = texts.toDF("id", "text")
+      .select(col("id"), call_function("winnow_fps", col("text"), lit(k), lit(w)).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // reference: plain Scala Horner + window-min + distinct
+    def ref(t: String): Set[Long] = {
+      val bs = t.getBytes("UTF-8")
+      val hs = (0 to bs.length - k).map { p =>
+        bs.slice(p, p + k).map(_ & 0xffL)
+          .reduceLeft((a, c) => (a * 257L + c) % 2147483647L)
+      }
+      (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+    }
+    texts.foreach { case (id, t) =>
+      assert(kernel(id) == ref(t), s"kernel diverges from reference on text $id")
+    }
+  }
+
   test("pq_encode ≡ compositional argmin and vec_dot ≡ HOF fold across random geometries") {
     graft.functions.VectorFunctions.register(spark)
     val rnd = new scala.util.Random(20260813)
