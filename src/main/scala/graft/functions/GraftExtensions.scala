@@ -39,5 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SqScore].getName, "sq_score"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SqScore(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFpsExpr].getName, "winnow_fps"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowFpsExpr(exprs(0),
+          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
   }
 }

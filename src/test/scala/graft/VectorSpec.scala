@@ -63,6 +63,11 @@ class VectorSpec extends AnyFunSuite {
           |FROM ext_vecs""".stripMargin).collect().head
       assert(q.getSeq[Int](0) == Seq(64, 128)) // 1·255/4+0.5→64, 2·255/4+0.5→128
       assert(q.getDouble(1) > 0.0)
+      // the winnowing kernel resolves through the same injection
+      val wf = s2.sql(
+        "SELECT winnow_fps('abcdefghijklmnopqrstuvwxyz', 16, 8) AS fps")
+        .collect().head.getSeq[Long](0)
+      assert(wf.nonEmpty && wf.forall(h => h >= 0L && h < 2147483647L))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
