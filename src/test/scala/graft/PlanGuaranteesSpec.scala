@@ -597,6 +597,17 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"cluster balance lost its bounded top-k aggregate:\n${plan.take(2000)}")
   }
 
+  test("corpus_funnel: scalar gates ride the scan, no window, bounded scan count") {
+    // all four stage flags must evaluate without a window; the corpus
+    // is scanned once for the flag projection plus decontamination's
+    // two gram passes — a growing scan count means a gate stopped
+    // sharing the base projection
+    val plan = physical(SparkEntry.queries("corpus_funnel")(spark, sf))
+    assert(!plan.contains("Window"), s"funnel plans a Window:\n${plan.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 4, s"funnel scans the corpus $scans times:\n${plan.take(2000)}")
+  }
+
   test("ccnet bucketing: cut assignment is a broadcast join, never a per-lang window") {
     // CCNet's tercile split is the classic window trap (ntile over a
     // per-lang sort puts a whole language in one partition); the cut
