@@ -1219,6 +1219,14 @@ object TextQueries {
       alphaWords * 10L >= nWords * 8L &&
       stopPresent >= 2L
 
+  /** The full-ruleset pass as one predicate over a text column —
+    * [[gopherSignals]] fed straight into [[gopherPassFromSignals]],
+    * for callers gating a stream or a filter chain. */
+  private[graft] def gopherPassExpr(text: Column): Column = {
+    val Seq(nw, swl, aw, sp, ns) = gopherSignals(text)
+    gopherPassFromSignals(nw, swl, aw, sp, ns)
+  }
+
   /** DuckDB mirrors of [[gopherSignals]], in the same order/names. */
   private[graft] def gopherSignalsSql(toksCol: String, textCol: String): Seq[(String, String)] = {
     val stop = gopherStops.map(s => s"'$s'").mkString("[", ", ", "]")

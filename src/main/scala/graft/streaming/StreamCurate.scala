@@ -42,9 +42,18 @@ object StreamCurate {
     * (one broadcast weight join per micro-batch). */
   def curateBatch(batch: DataFrame, block: DataFrame, words: Array[Long],
       qualityThreshold: Double = TextQueries.QualityThreshold,
-      model: Option[TextQueries.ClsModel] = None): DataFrame = {
-    val ruleGated = TextQueries.scoredDocs(batch)
+      model: Option[TextQueries.ClsModel] = None,
+      gopherGate: Boolean = false): DataFrame = {
+    // with `gopherGate`, the full Gopher/MassiveText rule set runs as
+    // part of the cheap rule stage — the SAME gopherSignals/pass
+    // definitions `text_gopher_rules` and `corpus_funnel` report on,
+    // so the funnel's stage-1 numbers describe exactly what this gate
+    // admits; still a pure per-row predicate, zero streaming state
+    val scored = TextQueries.scoredDocs(batch)
       .filter(col("quality") >= qualityThreshold && col("is_en"))
+    val ruleGated =
+      if (gopherGate) scored.filter(TextQueries.gopherPassExpr(col("text")))
+      else scored
     val gated = model.fold(ruleGated) { m =>
       // score the RAW batch, not ruleGated: the semi join already
       // intersects with rule survivors, scoring is per-doc

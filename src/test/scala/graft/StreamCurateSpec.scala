@@ -88,4 +88,27 @@ class StreamCurateSpec extends AnyFunSuite {
     assert(withGate.size < withoutGate.size,
       "classifier stage dropped nothing on the mixed corpus — not composing")
   }
+
+  test("gopher-gate stage composes: rule survivors also pass the full rule set") {
+    // the same shared definitions text_gopher_rules/corpus_funnel
+    // report on — output must equal quality-gate ∩ gopher-pass, and
+    // the stage must actually drop something on the real corpus
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("lang", lit("en"))
+    val block = Seq.empty[String].toDF("t").select(fpOf(col("t")).as("bfp"))
+    val words = new Array[Long](1 << 11)
+    val batch = docs.select(col("doc_id"), col("lang"), col("text"))
+
+    val withGate = StreamCurate.curateBatch(batch, block, words, gopherGate = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val withoutGate = StreamCurate.curateBatch(batch, block, words)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pass = graft.queries.TextQueries.gopherRules(batch)
+      .filter(col("pass")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withGate == (withoutGate intersect pass),
+      s"gopher gate diverges: ${withGate.size} vs ${(withoutGate intersect pass).size}")
+    assert(withGate.size < withoutGate.size,
+      "gopher stage dropped nothing on the real corpus — not composing")
+  }
 }
