@@ -761,15 +761,18 @@ object CurationQueries {
   // gates it reports on); the only joins are the fp-keyed canonical agg
   // (same exchange the dedup itself pays) and a broadcast of the
   // decontamination hits (eval-suite-sized). Output is stages-sized.
-  def corpusFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = TextQueries.scoredDocs(Tables.load(spark, sfDir, "documents"))
-      .select(Seq(col("doc_id"), col("fp"), col("quality"), col("is_en"),
+  /** Per-doc cumulative stage flags `(doc_id, source, n_tok, s1..s4)` —
+    * the shared core of [[corpusFunnel]] and [[corpusFunnelBySource]]. */
+  private def funnelFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = TextQueries.scoredDocs(
+        Tables.load(spark, sfDir, "documents"), extra = Seq("source"))
+      .select(Seq(col("doc_id"), col("source"), col("fp"), col("quality"), col("is_en"),
         size(toks(col("text"))).cast("long").as("n_tok")) ++
         TextQueries.gopherSignals(col("text")): _*)
     val canon = base.groupBy(col("fp")).agg(min(col("doc_id")).as("canon_id"))
     val contam = textDecontaminate(spark, sfDir)
       .select(col("doc_id"), lit(true).as("contam"))
-    val flags = base
+    base
       .join(canon, Seq("fp"))
       .join(broadcast(contam), Seq("doc_id"), "left")
       .withColumn("s1", TextQueries.gopherPassFromSignals(col("n_words"),
@@ -778,7 +781,10 @@ object CurationQueries {
         col("quality") >= TextQueries.QualityThreshold && col("is_en"))
       .withColumn("s3", col("s2") && col("doc_id") === col("canon_id"))
       .withColumn("s4", col("s3") && coalesce(col("contam"), lit(false)) === false)
-    flags
+  }
+
+  def corpusFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    funnelFlags(spark, sfDir)
       .agg(
         count(lit(1)).as("total"), sum(col("n_tok")).as("t0"),
         sum(when(col("s1"), 1L).otherwise(0L)).as("c1"),
@@ -803,22 +809,24 @@ object CurationQueries {
       .orderBy(col("stage"))
   }
 
-  val corpusFunnelSql: String = {
+  /** The shared base/canon/contam/flags CTE chain (flags carry
+    * `source` so the by-source variant groups the same frame). */
+  private def funnelFlagsCte: String = {
     val signals = TextQueries.gopherSignalsSql("toks", "text")
       .map { case (n, e) => s"$e AS $n" }.mkString(",\n      |    ")
-    s"""WITH base AS (
-      |  SELECT doc_id,
+    s"""base AS (
+      |  SELECT doc_id, source,
       |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
       |    ${TextQueries.qualitySqlExpr("toks", "text")} AS quality,
       |    ${TextQueries.isEnSqlExpr("toks")} AS is_en,
       |    CAST(len(toks) AS BIGINT) AS n_tok,
       |    $signals
-      |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+      |  FROM (SELECT doc_id, source, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
       |        FROM documents)),
       |canon AS (SELECT fp, min(doc_id) AS canon_id FROM base GROUP BY fp),
       |contam AS (SELECT doc_id FROM ($textDecontaminateSql)),
       |flags AS (
-      |  SELECT b.n_tok,
+      |  SELECT b.source, b.n_tok,
       |    ${TextQueries.gopherPassSql} AS s1,
       |    (${TextQueries.gopherPassSql}
       |      AND quality >= ${TextQueries.QualityThreshold} AND is_en) AS s2,
@@ -828,7 +836,11 @@ object CurationQueries {
       |    (${TextQueries.gopherPassSql}
       |      AND quality >= ${TextQueries.QualityThreshold} AND is_en
       |      AND b.doc_id = c.canon_id AND ct.doc_id IS NULL) AS s4
-      |  FROM base b JOIN canon c USING (fp) LEFT JOIN contam ct ON b.doc_id = ct.doc_id),
+      |  FROM base b JOIN canon c USING (fp) LEFT JOIN contam ct ON b.doc_id = ct.doc_id)""".stripMargin
+  }
+
+  val corpusFunnelSql: String =
+    s"""WITH $funnelFlagsCte,
       |agg AS (
       |  SELECT CAST(count(*) AS BIGINT) AS total, CAST(sum(n_tok) AS BIGINT) AS t0,
       |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
@@ -850,5 +862,61 @@ object CurationQueries {
       |  CASE WHEN docs_in = 0 THEN NULL
       |       ELSE round(CAST(docs_out AS DOUBLE) / CAST(docs_in AS DOUBLE), 6) END AS kept_frac
       |FROM funnel ORDER BY stage""".stripMargin
+
+  // --- per-source funnel breakdown -------------------------------------
+  // The same cumulative stages grouped by source — which corpora lose
+  // documents at which gate, the table a mixture owner reads before
+  // re-weighting. One extra grouping key on the same flags frame; output
+  // is sources × stages rows.
+  def corpusFunnelBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    funnelFlags(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("total"), sum(col("n_tok")).as("t0"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s1"), col("n_tok")).otherwise(0L)).as("t1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("s2"), col("n_tok")).otherwise(0L)).as("t2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("c3"),
+        sum(when(col("s3"), col("n_tok")).otherwise(0L)).as("t3"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("c4"),
+        sum(when(col("s4"), col("n_tok")).otherwise(0L)).as("t4"))
+      .select(col("source"), expr(
+        """stack(5,
+          |  '0_ingest', total, total, t0,
+          |  '1_gopher_rules', total, c1, t1,
+          |  '2_lang_quality', c1, c2, t2,
+          |  '3_exact_dedup', c2, c3, t3,
+          |  '4_decontaminate', c3, c4, t4)
+          |AS (stage, docs_in, docs_out, tokens_out)""".stripMargin))
+      .withColumn("kept_frac",
+        when(col("docs_in") === 0L, lit(null))
+          .otherwise(round(col("docs_out").cast("double") / col("docs_in").cast("double"), 6)))
+      .orderBy(col("source"), col("stage"))
   }
+
+  val corpusFunnelBySourceSql: String =
+    s"""WITH $funnelFlagsCte,
+      |agg AS (
+      |  SELECT source,
+      |    CAST(count(*) AS BIGINT) AS total, CAST(sum(n_tok) AS BIGINT) AS t0,
+      |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN s1 THEN n_tok ELSE 0 END) AS BIGINT) AS t1,
+      |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(sum(CASE WHEN s2 THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+      |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+      |    CAST(sum(CASE WHEN s3 THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+      |    CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+      |    CAST(sum(CASE WHEN s4 THEN n_tok ELSE 0 END) AS BIGINT) AS t4
+      |  FROM flags GROUP BY source),
+      |funnel AS (
+      |  SELECT source, '0_ingest' AS stage, total AS docs_in, total AS docs_out, t0 AS tokens_out FROM agg
+      |  UNION ALL SELECT source, '1_gopher_rules', total, c1, t1 FROM agg
+      |  UNION ALL SELECT source, '2_lang_quality', c1, c2, t2 FROM agg
+      |  UNION ALL SELECT source, '3_exact_dedup', c2, c3, t3 FROM agg
+      |  UNION ALL SELECT source, '4_decontaminate', c3, c4, t4 FROM agg)
+      |SELECT source, stage, docs_in, docs_out, tokens_out,
+      |  CASE WHEN docs_in = 0 THEN NULL
+      |       ELSE round(CAST(docs_out AS DOUBLE) / CAST(docs_in AS DOUBLE), 6) END AS kept_frac
+      |FROM funnel ORDER BY source, stage""".stripMargin
 }

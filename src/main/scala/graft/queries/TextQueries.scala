@@ -228,16 +228,16 @@ object TextQueries {
     * is_en)` — ONE definition shared by the batch `corpus_filter` and
     * the streaming [[graft.streaming.StreamCurate]], so ingest-time and
     * nightly curation can never score a document differently. */
-  private[graft] def scoredDocs(docs: DataFrame): DataFrame = {
+  private[graft] def scoredDocs(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val t = toks(col("text"))
     val quality = qualityExpr(col("text"))
     val enArr = array(langStops.toMap.apply("en").map(lit): _*)
     val deArr = array(langStops.toMap.apply("de").map(lit): _*)
     val en = size(filter(t, x => array_contains(enArr, x)))
     val de = size(filter(t, x => array_contains(deArr, x)))
-    docs.select(col("doc_id"), col("text"),
+    docs.select(col("doc_id") +: extra.map(col) ++: Seq(col("text"),
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
-      quality.as("quality"), (en >= de).as("is_en"))
+      quality.as("quality"), (en >= de).as("is_en")): _*)
   }
 
   def corpusFilter(spark: SparkSession, sfDir: String): DataFrame = {
