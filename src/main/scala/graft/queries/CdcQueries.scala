@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -60,6 +61,44 @@ object CdcQueries {
       |FROM changes
       |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY tidb2dw_commit_ts DESC) = 1
       |ORDER BY o_orderkey""".stripMargin
+
+  /** SCD type-2 dimension history from the change log: every I/U event
+    * opens a row version at its commit_ts, closed by the NEXT event on
+    * the same key (update or delete), open-ended (`is_current`) when no
+    * later event exists. This is the warehouse-side product shape the
+    * reference's merge sink collapses away (it keeps only the latest
+    * image, `replicate/increment.go` merge path); history tables need
+    * the full version chain instead.
+    *
+    * Scale: one window partitioned by the PRIMARY KEY — per-key
+    * cardinality is the key's version count (bounded by churn, not
+    * corpus size), and keys hash-partition evenly, so the sort inside
+    * each partition is tiny and there is exactly one shuffle. */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col(Envelope.CommitTsCol))
+    ordersChangeLog(spark, sfDir)
+      .withColumn("valid_to", lead(col(Envelope.CommitTsCol), 1).over(w))
+      .filter(col(Envelope.FlagCol) =!= Envelope.Delete)
+      .select(col("o_orderkey"),
+        col(Envelope.CommitTsCol).as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
+  val scd2Sql: String =
+    s"""WITH changes AS ($ordersChangeLogSql),
+      |versions AS (
+      |  SELECT o_orderkey, tidb2dw_flag, tidb2dw_commit_ts AS valid_from,
+      |    lead(tidb2dw_commit_ts) OVER (PARTITION BY o_orderkey ORDER BY tidb2dw_commit_ts) AS valid_to,
+      |    o_orderstatus, o_totalprice
+      |  FROM changes)
+      |SELECT o_orderkey, valid_from, valid_to,
+      |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current,
+      |  o_orderstatus, o_totalprice
+      |FROM versions WHERE tidb2dw_flag != 'D'
+      |ORDER BY o_orderkey, valid_from""".stripMargin
 
   /** J1/J2 MERGE: target = even-keyed half of orders; batch = full change
     * log. Odd keys arrive as inserts, %3 as updates, %5 as deletes. */

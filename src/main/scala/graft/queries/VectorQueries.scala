@@ -79,6 +79,73 @@ object VectorQueries {
       |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim, 6) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
 
+  // --- kNN label propagation from a labeled seed set -------------------
+  // The semi-supervised labeling operator every corpus-annotation
+  // pipeline runs: a small human/model-labeled seed set assigns labels
+  // to the whole corpus by majority vote of each document's k nearest
+  // labeled neighbors. The seed set is bounded by construction (it is
+  // the labeled data, not the corpus), so it broadcasts; the corpus is
+  // scanned ONCE and the per-target top-k is a hash aggregation
+  // (`TopKAgg` partial-aggregates map-side) — no window over N×S scored
+  // rows, no shuffle of the corpus itself. Votes aggregate N×k rows.
+  private val SeedStride = 10 // vec_id % 10 == 0 → the labeled seed set
+
+  def vecKnnLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val seeds = vecs.filter(col("vec_id") % SeedStride === 0)
+      .join(docs, col("vec_id") === col("doc_id"))
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb"),
+        col("lang").as("seed_lang"))
+    val targets = vecs.filter(col("vec_id") % SeedStride =!= 0)
+    val topk = udaf(new TopKAgg(TopK))
+    val scored = targets.join(broadcast(seeds))
+      .select(col("vec_id"),
+        cosine(col("embedding"), col("seed_emb")).as("sim"),
+        col("seed_id").as("id"))
+    val knn = scored.groupBy(col("vec_id"))
+      .agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("vec_id"), explode(col("nn")).as("n"))
+      .select(col("vec_id"), col("n.id").as("seed_id"))
+    // Majority vote; ties break to the lexicographically smallest label
+    // via min_by over (-votes, label) — one more hash agg, window-free.
+    knn.join(broadcast(seeds.select(col("seed_id"), col("seed_lang"))), Seq("seed_id"))
+      .groupBy(col("vec_id"), col("seed_lang"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(
+        struct(col("seed_lang").as("lang"), col("votes").as("votes")),
+        struct((-col("votes")).as("neg_votes"), col("seed_lang").as("lang"))).as("win"))
+      .select(col("vec_id").as("doc_id"), col("win.lang").as("pred_lang"),
+        col("win.votes").as("votes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vecKnnLabelSql: String =
+    s"""WITH seeds AS (
+      |  SELECT e.vec_id AS seed_id, e.embedding AS seed_emb, d.lang AS seed_lang
+      |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      |  WHERE e.vec_id % $SeedStride = 0),
+      |targets AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % $SeedStride != 0),
+      |scored AS (
+      |  SELECT t.vec_id, s.seed_id, s.seed_lang,
+      |    list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), CAST(s.seed_emb AS DOUBLE[])) AS sim
+      |  FROM targets t CROSS JOIN seeds s),
+      |knn AS (
+      |  SELECT vec_id, seed_lang,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rnk
+      |  FROM scored),
+      |votes AS (
+      |  SELECT vec_id, seed_lang, count(*) AS votes
+      |  FROM knn WHERE rnk <= $TopK GROUP BY vec_id, seed_lang)
+      |SELECT vec_id AS doc_id, seed_lang AS pred_lang, votes
+      |FROM votes
+      |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, seed_lang) = 1
+      |ORDER BY doc_id""".stripMargin
+
   // --- IVF-flat ANN: coarse quantizer + inverted lists -----------------
   // Build: one scan of the corpus assigns every vector to its nearest
   // centroid (centroids broadcast — an IVF quantizer is BOUNDED by
