@@ -1333,4 +1333,49 @@ object Analytics {
       |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
       |FROM ranked CROSS JOIN tot
       |WHERE rank <= $SkewTopN ORDER BY rank""".stripMargin
+
+  // --- pivot / unpivot -------------------------------------------------
+  // The relational PIVOT with an EXPLICIT value list — the only form
+  // that scales: Spark's inferred-values pivot needs a driver-side
+  // distinct pass first, and a warehouse report has a fixed column
+  // contract anyway. Under the hood this is ONE hash aggregation with a
+  // conditional counter per pivoted value (adding a column adds a
+  // counter, not a pass), so the plan is a single scan + single agg.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventsPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .count()
+      .na.fill(0L, EventTypes)
+      .select(col("user_id") +: EventTypes.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+
+  val eventsPivotSql: String =
+    s"""SELECT user_id,
+      |${EventTypes.map(t => s"  count(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n")}
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** The inverse face: melt the pivoted report back to long form with
+    * Spark's native `unpivot` (keeps the zero cells an aggregate would
+    * drop — the difference between a report and a group-by). Same
+    * single-scan plan; `unpivot` is a per-row expand, no shuffle added
+    * beyond the pivot's own agg. */
+  def eventsUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    eventsPivot(spark, sfDir)
+      .unpivot(Array(col("user_id")),
+        EventTypes.map(t => col(s"n_$t")).toArray, "event_type", "n_events")
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val eventsUnpivotSql: String =
+    s"""WITH pivoted AS ($eventsPivotSql),
+      |melted AS (
+      |${EventTypes.map(t =>
+        s"  SELECT user_id, '$t' AS event_type, n_$t AS n_events FROM pivoted")
+        .mkString("\n  UNION ALL\n")}
+      |)
+      |SELECT user_id, event_type, CAST(n_events AS BIGINT) AS n_events
+      |FROM melted ORDER BY user_id, event_type""".stripMargin
 }

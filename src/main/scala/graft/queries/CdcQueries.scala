@@ -19,7 +19,7 @@ import graft.merge.ChangeApply
   */
 object CdcQueries {
 
-  private def ordersChangeLog(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def ordersChangeLog(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.load(spark, sfDir, "orders")
     val base = ord.select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
