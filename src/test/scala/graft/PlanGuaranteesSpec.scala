@@ -617,4 +617,25 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"ccnet lost the broadcast cut join:\n${plan.take(2000)}")
   }
+
+  test("knn label propagation: seeds broadcast, no window over the scored corpus") {
+    // the corpus×seeds scored frame is the big side — a row_number
+    // window there re-shuffles N×S rows; top-k must stay the TopKAgg
+    // hash agg and the vote must stay min_by, with the seed set (and
+    // its label map) reaching the corpus as broadcasts
+    val plan = physical(SparkEntry.queries("vec_knn_label")(spark, sf))
+    assert(!plan.contains("Window"), s"knn label plans a Window:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"knn label lost the seed broadcast:\n${plan.take(2000)}")
+  }
+
+  test("pivot report: one scan of events, one conditional-counter aggregation") {
+    // the explicit-value pivot must compile to a single hash agg over a
+    // single scan — a second scan means the pivot fell back to a
+    // per-value pass, a Window means it stopped being an aggregation
+    val plan = physical(SparkEntry.queries("events_pivot")(spark, sf))
+    assert(!plan.contains("Window"), s"pivot plans a Window:\n${plan.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"pivot scans events $scans times:\n${plan.take(2000)}")
+  }
 }
