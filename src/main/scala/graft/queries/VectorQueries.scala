@@ -146,6 +146,31 @@ object VectorQueries {
       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, seed_lang) = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** Label-propagation quality report: per TRUE language, how many
+    * documents the kNN vote labeled correctly. Exact-integer counts with
+    * one final mirrored divide (the classifier_eval recipe). */
+  def vecKnnLabelEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    vecKnnLabel(spark, sfDir).join(truth, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("lang"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs").cast("double"), 6)
+          .as("accuracy"))
+      .orderBy(col("lang"))
+  }
+
+  val vecKnnLabelEvalSql: String =
+    s"""WITH preds AS ($vecKnnLabelSql)
+      |SELECT d.lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  round(CAST(sum(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS accuracy
+      |FROM preds p JOIN documents d ON d.doc_id = p.doc_id
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   // --- IVF-flat ANN: coarse quantizer + inverted lists -----------------
   // Build: one scan of the corpus assigns every vector to its nearest
   // centroid (centroids broadcast — an IVF quantizer is BOUNDED by
