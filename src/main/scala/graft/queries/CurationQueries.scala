@@ -574,7 +574,12 @@ object CurationQueries {
   // [[TextQueries.qualityCounts]]; the quality double chain runs ONCE
   // per source over the five exact sums (never sum computed doubles —
   // the round-4 DECIMAL(18,4) lesson), so the agg is exact and
-  // order-independent in both engines.
+  // order-independent in both engines. The gated OUTPUT is integer-only
+  // (`dup_e6` by pure integer division, `quality_e6` = floor of the
+  // bit-identical chain ×1e6) and every oracle aggregate is cast to
+  // BIGINT — DuckDB's `sum(BIGINT)` returns HUGEINT, and a
+  // dtype-sensitive result hash reads that as red even when every
+  // value matches.
   def corpusSourceStats(spark: SparkSession, sfDir: String): DataFrame =
     sourceStats(Tables.load(spark, sfDir, "documents"))
 
@@ -597,11 +602,11 @@ object CurationQueries {
         sum(col("alnum_chars")).as("s_alnum"),
         sum(col("n_chars")).as("s_chars"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
-        ((col("n_docs") - col("distinct_docs")).cast("double") /
-          col("n_docs").cast("double")).as("dup_ratio"),
+        expr("(n_docs - distinct_docs) * 1000000 div n_docs").as("dup_e6"),
         col("n_langs"),
-        TextQueries.qualityFromCounts(col("s_stop"), col("total_tokens"),
-          col("s_dist"), col("s_alnum"), col("s_chars")).as("avg_quality"))
+        floor(TextQueries.qualityFromCounts(col("s_stop"), col("total_tokens"),
+          col("s_dist"), col("s_alnum"), col("s_chars")) * lit(1000000.0))
+          .as("quality_e6"))
       .orderBy(col("source"))
   }
 
@@ -614,13 +619,14 @@ object CurationQueries {
       |    $comps
       |  FROM (SELECT source, lang, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
       |        FROM documents))
-      |SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
-      |  (count(*) - count(DISTINCT fp))::DOUBLE / count(*) AS dup_ratio,
-      |  count(DISTINCT lang) AS n_langs,
-      |  CAST(sum(stop_hits) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) * 2.0
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*) AS BIGINT) AS dup_e6,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(floor((CAST(sum(stop_hits) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) * 2.0
       |    + CAST(sum(distinct_toks) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
       |    + CAST(sum(alnum_chars) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
-      |    - 1.0 AS avg_quality
+      |    - 1.0) * 1000000.0) AS BIGINT) AS quality_e6
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 
@@ -643,9 +649,12 @@ object CurationQueries {
   def corpusBudgetMixture(spark: SparkSession, sfDir: String): DataFrame =
     budgetRates(Tables.load(spark, sfDir, "documents"))
       .select(col("source"), col("n_docs"), col("tokens"),
-        round(col("quality"), 6).as("quality"),
+        floor(col("quality") * lit(1000000.0)).as("quality_e6"),
         col("allocated_tokens"),
-        col("rate"))
+        // pure integer micro-rate; `allocated * 1e6` fits a long while
+        // a source holds < 2^43 ≈ 9e12 tokens (DECIMAL territory past
+        // that — the fixture and any per-source shard are far below)
+        expr("allocated_tokens * 1000000L div tokens").as("rate_e6"))
       .orderBy(col("source"))
 
   /** The waterfill's per-source rate frame (unrounded quality carried
@@ -660,8 +669,12 @@ object CurationQueries {
       .select(col("source"), col("n_docs"), col("tokens"),
         TextQueries.qualityFromCounts(col("s_stop"), col("tokens"),
           col("s_dist"), col("s_alnum"), col("s_chars")).as("quality"))
-      .cache() // feeds the budget total AND the waterfill — uncached,
-               // the corpus scan runs twice for a |sources|-row frame
+      // feeds the budget total AND the waterfill — unshared, the corpus
+      // scan would run twice for a |sources|-row frame. An EAGER
+      // localCheckpoint (not cache) so the materialized blocks are
+      // context-cleaned when the frame is unreferenced — repeated
+      // Verify/Bench invocations must not accumulate storage memory.
+      .localCheckpoint(true)
     val tot = perSrc.agg(sum(col("tokens")).as("corpus_tokens"))
     val fill = Window.orderBy(col("quality").desc, col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -686,26 +699,27 @@ object CurationQueries {
       |  FROM (SELECT source, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
       |        FROM documents)),
       |s AS (
-      |  SELECT source, count(*) AS n_docs, sum(n_tok) AS tokens,
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS tokens,
       |    CAST(sum(stop_hits) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) * 2.0
       |      + CAST(sum(distinct_toks) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
       |      + CAST(sum(alnum_chars) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
       |      - 1.0 AS quality
       |  FROM c GROUP BY source),
-      |t AS (SELECT sum(tokens) AS corpus_tokens FROM s),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS corpus_tokens FROM s),
       |r AS (
       |  SELECT s.*, corpus_tokens * 3 // 5 AS budget,
-      |    coalesce(sum(tokens) OVER (ORDER BY quality DESC, source
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+      |    CAST(coalesce(sum(tokens) OVER (ORDER BY quality DESC, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_cum
       |  FROM s CROSS JOIN t)""".stripMargin
   }
 
   val corpusBudgetMixtureSql: String =
     s"""WITH $budgetRatesSqlCore
-      |SELECT source, n_docs, tokens, round(quality, 6) AS quality,
-      |  greatest(0, least(tokens, budget - prev_cum)) AS allocated_tokens,
-      |  CAST(greatest(0, least(tokens, budget - prev_cum)) AS DOUBLE)
-      |    / CAST(tokens AS DOUBLE) AS rate
+      |SELECT source, n_docs, tokens,
+      |  CAST(floor(quality * 1000000.0) AS BIGINT) AS quality_e6,
+      |  CAST(greatest(0, least(tokens, budget - prev_cum)) AS BIGINT) AS allocated_tokens,
+      |  CAST(greatest(0, least(tokens, budget - prev_cum)) * 1000000 // tokens AS BIGINT) AS rate_e6
       |FROM r ORDER BY source""".stripMargin
 
   // --- budget application: the plan executed as a keep manifest ---------

@@ -171,8 +171,8 @@ object TextQueries {
       |  SELECT CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tok
       |  FROM documents)
       |SELECT CAST(CASE WHEN n_tok = 0 THEN -1 ELSE length(bin(n_tok)) - 1 END AS INT) AS bucket,
-      |  count(*) AS n_docs, sum(n_tok) AS total_tokens,
-      |  min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+      |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(min(n_tok) AS BIGINT) AS min_tokens, CAST(max(n_tok) AS BIGINT) AS max_tokens
       |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // --- language ID: stopword-list voting (n-gram-free heuristic) ---
@@ -519,11 +519,20 @@ object TextQueries {
   // 2^20 fixed point — `floor(bits * 2^20)` as a LONG — which absorbs
   // the ulp noise (quantization step 2^-20 ≫ one ulp) and sums exactly
   // and order-independently in both engines (the `text_bm25` pattern).
+  // The GATED outputs are integer-only (`bits_fp`, and `bpb_e6` =
+  // micro-bits-per-bigram by pure integer division) so no hashing
+  // scheme — dtype-sensitive or not — can read equal values as red;
+  // the double faces stay on [[lmScore]]/[[scoreAgainst]] for internal
+  // consumers (specs, the streaming scorer, the tercile buckets).
   private val LmAlpha = 0.5
   private val LmFpScale = 1048576.0 // 2^20
+  // `bits_fp * 1e6` fits a long while sum-of-bits < 2^43 ≈ 8.8e12 —
+  // i.e. any single document below ~4e11 bigrams, far past real docs.
+  private val BpbE6 = "bits_fp * 1000000L div (1048576L * n_bigrams)"
 
   def textLmScore(spark: SparkSession, sfDir: String): DataFrame =
     lmScore(Tables.load(spark, sfDir, "documents"))
+      .select("doc_id", "n_bigrams", "bits_fp", "bpb_e6")
 
   /** Adjacent token pairs of a `(doc_id, text)` frame — one Generate. */
   private def lmPairs(docs: DataFrame): DataFrame = docs
@@ -571,7 +580,8 @@ object TextQueries {
       .agg(sum(col("c")).as("n_bigrams"),
         sum(when(col("cb").isNull, col("c")).otherwise(lit(0L))).as("oov_bigrams"),
         sum(floor(bits * lit(LmFpScale))).as("bits_fp"))
-      .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"),
+      .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"), col("bits_fp"),
+        expr(BpbE6).as("bpb_e6"),
         (col("bits_fp").cast("double") / lit(LmFpScale) /
           col("n_bigrams").cast("double")).as("bits_per_bigram"))
   }
@@ -595,7 +605,8 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
         sum(floor(bits * lit(LmFpScale))).as("bits_fp"))
-      .select(col("doc_id"), col("n_bigrams"),
+      .select(col("doc_id"), col("n_bigrams"), col("bits_fp"),
+        expr(BpbE6).as("bpb_e6"),
         (col("bits_fp").cast("double") / lit(LmFpScale)).as("sum_bits"),
         (col("bits_fp").cast("double") / lit(LmFpScale) /
           col("n_bigrams").cast("double")).as("bits_per_bigram"))
@@ -615,13 +626,12 @@ object TextQueries {
       |ctx AS (SELECT w1, sum(cb) AS cu FROM lm GROUP BY w1),
       |v AS (SELECT count(DISTINCT w2) AS v FROM lm),
       |scored AS (
-      |  SELECT doc_id, sum(c) AS n_bigrams,
-      |    sum(CAST(floor(-c * log2((cb + $LmAlpha) / (cu + $LmAlpha * v)) * $LmFpScale) AS BIGINT)) AS bits_fp
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(CAST(floor(-c * log2((cb + $LmAlpha) / (cu + $LmAlpha * v)) * $LmFpScale) AS BIGINT)) AS BIGINT) AS bits_fp
       |  FROM db JOIN lm USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
       |  GROUP BY doc_id)
-      |SELECT doc_id, n_bigrams,
-      |  CAST(bits_fp AS DOUBLE) / $LmFpScale AS sum_bits,
-      |  CAST(bits_fp AS DOUBLE) / $LmFpScale / CAST(n_bigrams AS DOUBLE) AS bits_per_bigram
+      |SELECT doc_id, n_bigrams, bits_fp,
+      |  CAST(bits_fp * 1000000 // (1048576 * n_bigrams) AS BIGINT) AS bpb_e6
       |FROM scored ORDER BY doc_id""".stripMargin
 
   // --- LM train/apply split: score held-out docs against the model -----
@@ -638,6 +648,7 @@ object TextQueries {
     val docs = Tables.load(spark, sfDir, "documents")
     val m = trainLm(docs.filter(col("doc_id") % LmSplitMod =!= 0))
     scoreAgainst(docs.filter(col("doc_id") % LmSplitMod === 0), m)
+      .select("doc_id", "n_bigrams", "oov_bigrams", "bits_fp", "bpb_e6")
       .orderBy(col("doc_id"))
   }
 
@@ -656,14 +667,14 @@ object TextQueries {
       |db AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg
       |       WHERE doc_id % $LmSplitMod = 0 GROUP BY doc_id, w1, w2),
       |scored AS (
-      |  SELECT doc_id, sum(c) AS n_bigrams,
-      |    sum(CASE WHEN cb IS NULL THEN c ELSE 0 END) AS oov_bigrams,
-      |    sum(CAST(floor(-c * log2((coalesce(cb, 0) + $LmAlpha) /
-      |      (coalesce(cu, 0) + $LmAlpha * v)) * $LmFpScale) AS BIGINT)) AS bits_fp
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(CASE WHEN cb IS NULL THEN c ELSE 0 END) AS BIGINT) AS oov_bigrams,
+      |    CAST(sum(CAST(floor(-c * log2((coalesce(cb, 0) + $LmAlpha) /
+      |      (coalesce(cu, 0) + $LmAlpha * v)) * $LmFpScale) AS BIGINT)) AS BIGINT) AS bits_fp
       |  FROM db LEFT JOIN lm USING (w1, w2) LEFT JOIN ctx USING (w1) CROSS JOIN v
       |  GROUP BY doc_id)
-      |SELECT doc_id, n_bigrams, oov_bigrams,
-      |  CAST(bits_fp AS DOUBLE) / $LmFpScale / CAST(n_bigrams AS DOUBLE) AS bits_per_bigram
+      |SELECT doc_id, n_bigrams, oov_bigrams, bits_fp,
+      |  CAST(bits_fp * 1000000 // (1048576 * n_bigrams) AS BIGINT) AS bpb_e6
       |FROM scored ORDER BY doc_id""".stripMargin
 
   // --- inverted index build (impact-ordered, bounded postings) ---------
@@ -994,17 +1005,29 @@ object TextQueries {
 
   // --- CCNet perplexity bucketing --------------------------------------
   // CCNet (Wenzek et al. 2020) splits each language's corpus into
-  // head/middle/tail by LM perplexity terciles. Here: a PER-LANGUAGE
-  // add-α bigram LM (the `text_lm_score` chain with `lang` added to
-  // every model key), per-doc fixed-point bits-per-bigram, and tercile
-  // cutpoints estimated per language from a deterministic hash-mod
-  // sample (the `sketch_sample_quantile` recipe) — so cut estimation is
-  // sample-sized, the cut table is langs×2 rows broadcast to the
-  // assignment join, and nothing sorts or windows the corpus. At 100 TB
-  // the sample modulus would derive from a cheap count (the PQ-pool
-  // pattern); it is a fixed constant here so the DuckDB oracle can
-  // mirror the filter statically.
+  // head/middle/tail by perplexity under a LM trained on a FIXED
+  // REFERENCE corpus (Wikipedia in the paper) — NOT on the corpus being
+  // bucketed, so the model stays bounded while the corpus grows. Here
+  // the reference is a deterministic hash-mod slice of the documents
+  // (the `ccref:` salt), the PER-LANGUAGE add-α bigram LM + tercile
+  // cuts are trained on that slice alone ([[trainCcnet]]), and the FULL
+  // corpus is scored against the pretrained model ([[bucketAgainst]] —
+  // unseen bigrams take the smoothed OOV floor via left joins). The
+  // cut table is langs×2 rows broadcast to the assignment join, and
+  // nothing sorts or windows the corpus. At 100 TB both moduli would
+  // derive from a cheap count so the reference pool is ABSOLUTE-size
+  // (the PQ-pool pattern); they are fixed constants here so the DuckDB
+  // oracle can mirror the filters statically.
   private val CcnetSampleMod = 2L
+  private val CcnetTrainMod = 4L
+
+  /** The bounded reference slice the CCNet LM trains on — deterministic
+    * doc_id-hash membership, mirrored verbatim by the oracle. */
+  private[graft] def ccnetRef(docs: DataFrame): DataFrame =
+    docs.filter(pmod(
+      conv(substring(md5(concat(lit("ccref:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(CcnetTrainMod)) === 0)
 
   def textCcnetBucket(spark: SparkSession, sfDir: String): DataFrame =
     ccnetBucket(Tables.load(spark, sfDir, "documents"))
@@ -1095,44 +1118,12 @@ object TextQueries {
           .otherwise(lit("tail")).as("bucket"))
   }
 
-  def ccnetBucket(docs: DataFrame): DataFrame = {
-    // per-lang LM: pairs keyed by (lang, w1, w2)
-    val pairs = ccnetPairs(docs)
-    val perDoc = pairs.groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c")).persist()
-    val lm = perDoc.groupBy(col("lang"), col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
-    val ctx = lm.groupBy(col("lang"), col("w1")).agg(sum(col("cb")).as("cu"))
-    val vocab = lm.groupBy(col("lang")).agg(countDistinct(col("w2")).as("v"))
-    val bits = -col("c") *
-      log2((col("cb") + lit(LmAlpha)) / (col("cu") + lit(LmAlpha) * col("v")))
-    val scored = perDoc
-      .join(lm, Seq("lang", "w1", "w2"))
-      .join(ctx, Seq("lang", "w1"))
-      .join(broadcast(vocab), Seq("lang"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        sum(floor(bits * lit(LmFpScale))).as("bits_fp"))
-      .select(col("doc_id"), col("lang"), col("n_bigrams"),
-        // floor-div via double (exact < 2^53): Spark `div` truncates
-        // toward zero, DuckDB `//` floors — this is identical both ways
-        floor(col("bits_fp").cast("double") / col("n_bigrams").cast("double"))
-          .cast("long").as("bpb_fp"))
-    val cuts = scored
-      .filter(pmod(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
-        lit(CcnetSampleMod)) === 0)
-      .groupBy(col("lang"))
-      .agg(
-        round(expr("percentile(bpb_fp, 0.3333333333333333)"), 6).as("c33"),
-        round(expr("percentile(bpb_fp, 0.6666666666666666)"), 6).as("c67"))
-    scored.join(broadcast(cuts), Seq("lang"), "left")
-      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("bpb_fp"),
-        when(col("c33").isNull, lit("head"))
-          .when(col("bpb_fp").cast("double") <= col("c33"), lit("head"))
-          .when(col("bpb_fp").cast("double") <= col("c67"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
+  def ccnetBucket(docs: DataFrame): DataFrame =
+    // train on the bounded reference slice, score the WHOLE corpus
+    // against the pretrained model — the published CCNet shape, and
+    // exactly what the continuous face replays per micro-batch
+    bucketAgainst(docs, trainCcnet(ccnetRef(docs)))
       .orderBy(col("doc_id"))
-  }
 
   val textCcnetBucketSql: String =
     s"""WITH pairs AS (
@@ -1146,27 +1137,40 @@ object TextQueries {
       |per_doc AS (
       |  SELECT doc_id, lang, w1, w2, count(*) AS c
       |  FROM pairs GROUP BY doc_id, lang, w1, w2),
+      |ref AS (
+      |  SELECT * FROM per_doc
+      |  WHERE CAST(('0x'||substr(md5('ccref:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+      |    % $CcnetTrainMod = 0),
       |lm AS (
-      |  SELECT lang, w1, w2, sum(c) AS cb FROM per_doc GROUP BY lang, w1, w2),
-      |ctx AS (SELECT lang, w1, sum(cb) AS cu FROM lm GROUP BY lang, w1),
+      |  SELECT lang, w1, w2, CAST(sum(c) AS BIGINT) AS cb FROM ref GROUP BY lang, w1, w2),
+      |ctx AS (SELECT lang, w1, CAST(sum(cb) AS BIGINT) AS cu FROM lm GROUP BY lang, w1),
       |vocab AS (SELECT lang, count(DISTINCT w2) AS v FROM lm GROUP BY lang),
-      |scored AS (
+      |ref_scored AS (
       |  SELECT doc_id, lang,
-      |    CAST(sum(c) AS BIGINT) AS n_bigrams,
       |    CAST(floor(CAST(sum(CAST(floor(-c * log2((cb + $LmAlpha) / (cu + $LmAlpha * v))
       |        * $LmFpScale) AS BIGINT)) AS DOUBLE)
       |      / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS bpb_fp
-      |  FROM per_doc JOIN lm USING (lang, w1, w2) JOIN ctx USING (lang, w1)
+      |  FROM ref JOIN lm USING (lang, w1, w2) JOIN ctx USING (lang, w1)
       |    JOIN vocab USING (lang)
       |  GROUP BY doc_id, lang),
       |cuts AS (
       |  SELECT lang,
       |    round(quantile_cont(bpb_fp, 0.3333333333333333), 6) AS c33,
       |    round(quantile_cont(bpb_fp, 0.6666666666666666), 6) AS c67
-      |  FROM scored
+      |  FROM ref_scored
       |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
       |    % $CcnetSampleMod = 0
-      |  GROUP BY lang)
+      |  GROUP BY lang),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(floor(CAST(sum(CAST(floor(-c * log2((coalesce(cb, 0) + $LmAlpha)
+      |        / (coalesce(cu, 0) + $LmAlpha * coalesce(v, 1)))
+      |        * $LmFpScale) AS BIGINT)) AS DOUBLE)
+      |      / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS bpb_fp
+      |  FROM per_doc LEFT JOIN lm USING (lang, w1, w2) LEFT JOIN ctx USING (lang, w1)
+      |    LEFT JOIN vocab USING (lang)
+      |  GROUP BY doc_id, lang)
       |SELECT doc_id, lang, n_bigrams, bpb_fp,
       |  CASE WHEN c33 IS NULL THEN 'head'
       |       WHEN CAST(bpb_fp AS DOUBLE) <= c33 THEN 'head'

@@ -529,19 +529,17 @@ class PlanGuaranteesSpec extends AnyFunSuite {
   }
 
   test("corpus_budget_mixture: the waterfill window runs over the per-source aggregate only") {
-    // the one Window must sit above the hash agg (|sources| rows), never
-    // over per-document rows — the events_anomaly aggregate-first rule
+    // the per-source frame (|sources| rows) is materialized ONCE via an
+    // eager localCheckpoint (context-cleaned when unreferenced — cache()
+    // here leaked storage across repeated Verify/Bench invocations), so
+    // the runtime plan must contain NO corpus scan at all: the window
+    // and the budget total both read the checkpointed rows
     val plan = physical(SparkEntry.queries("corpus_budget_mixture")(spark, sf))
-    val winIdx = plan.indexOf("Window")
-    val aggIdx = plan.indexOf("HashAggregate")
-    assert(winIdx >= 0 && aggIdx >= 0, "expected a window over a hash aggregate")
-    assert(winIdx < aggIdx, // physical plans print top-down: window above agg
-      s"waterfill window is not above the per-source aggregate:\n${plan.take(2000)}")
-    // the per-source frame feeds the budget total AND the waterfill: it
-    // must be cache-shared so the corpus scan runs once at runtime
-    assert(plan.contains("InMemoryTableScan"),
-      s"per-source aggregate not cache-shared — corpus scanned per consumer:\n${plan.take(2000)}")
-    SparkEntry.queries("corpus_budget_mixture")(spark, sf).sparkSession.catalog.clearCache()
+    assert(plan.contains("Window"), "expected the waterfill window")
+    assert(!plan.contains("Scan parquet"),
+      s"corpus rescanned at runtime — per-source frame not materialized:\n${plan.take(2000)}")
+    assert(plan.contains("ExistingRDD"),
+      s"per-source aggregate not checkpoint-shared:\n${plan.take(2000)}")
   }
 
   test("vec_drift: one embeddings scan per slice pass, no window below the assignment agg") {
@@ -616,6 +614,11 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"ccnet plans a Window:\n${plan.take(2000)}")
     assert(plan.contains("BroadcastHashJoin"),
       s"ccnet lost the broadcast cut join:\n${plan.take(2000)}")
+    // the LM must train on the bounded `ccref:` reference slice, never
+    // the full corpus — at 100 TB a corpus-trained LM table is
+    // corpus-bigram-sized, the published CCNet model is reference-sized
+    assert(plan.contains("ccref:"),
+      s"LM train side is not filtered to the reference slice:\n${plan.take(2000)}")
   }
 
   test("knn label propagation: seeds broadcast, no window over the scored corpus") {

@@ -27,7 +27,9 @@ class StreamCcnetBucketSpec extends AnyFunSuite {
 
   test("train/apply split reproduces the self-contained oracle query's buckets") {
     val docs = Tables.load(spark, sfDir, "documents")
-    val model = TextQueries.trainCcnet(docs)
+    // the oracle query trains on the bounded reference slice — the
+    // nightly-model seam must reproduce it exactly
+    val model = TextQueries.trainCcnet(TextQueries.ccnetRef(docs))
     val split = bucketsOf(TextQueries.bucketAgainst(docs, model).collect().toSeq)
     val oracle = bucketsOf(TextQueries.textCcnetBucket(spark, sfDir).collect().toSeq)
     assert(split == oracle, {

@@ -41,13 +41,14 @@ class StreamLmScoreSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    val streamed = collected.map(r =>
-      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def keyed(r: Row) = r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("oov_bigrams"),
+        r.getAs[Double]("bits_per_bigram")))
+    val streamed = collected.map(keyed).toMap
     val batch = TextQueries.scoreAgainst(
         Seq((1L, "the quick fox jumps"), (2L, "purple elephant tango"))
           .toDF("doc_id", "text"), model)
-      .collect().map(r =>
-        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      .collect().map(keyed).toMap
 
     assert(streamed == batch,
       s"stream and batch scores diverge:\n$streamed\n$batch")

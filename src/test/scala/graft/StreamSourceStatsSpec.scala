@@ -43,17 +43,19 @@ class StreamSourceStatsSpec extends AnyFunSuite {
           r.getLong(5), r.getDouble(6))).toMap
     val batch = CurationQueries.sourceStats(docs.toDF())
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     assert(dash.keySet == batch.keySet)
-    batch.foreach { case (src, (nDocs, tokens, dupRatio, nLangs, avgQ)) =>
+    batch.foreach { case (src, (nDocs, tokens, dupE6, nLangs, qE6)) =>
       val (dN, dTok, dDistinct, dDup, dLangs, dQ) = dash(src)
       assert(dN == nDocs, s"$src n_docs: $dN != $nDocs")
       assert(dTok == tokens, s"$src tokens: $dTok != $tokens")
       assert(dLangs == nLangs, s"$src n_langs: $dLangs != $nLangs")
-      // exact-integer merge ⇒ the quality double chain is bit-identical
-      assert(dQ == avgQ, s"$src avg_quality: $dQ != $avgQ")
-      // below sketch capacity the KMV estimate is the exact count
-      assert(math.abs(dDup - dupRatio) < 1e-9, s"$src dup_ratio: $dDup != $dupRatio")
+      // exact-integer merge ⇒ the quality double chain is bit-identical,
+      // so its floor-×1e6 fixed point matches the batch column exactly
+      assert(math.floor(dQ * 1e6).toLong == qE6, s"$src quality_e6: $dQ vs $qE6")
+      // below sketch capacity the KMV estimate is the exact count; the
+      // batch dup_e6 is the floor of the same ratio ×1e6
+      assert(math.abs(dDup - dupE6 / 1e6) < 2e-6, s"$src dup: $dDup vs e6 $dupE6")
       assert(dDistinct == math.round(dDistinct).toDouble, s"$src est not integral")
     }
   }
