@@ -1468,4 +1468,184 @@ object VectorQueries {
       |      * CAST(CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1 AS DOUBLE)
       |    / CAST(CAST(o1 + o2 AS HUGEINT) * n1 * n2 AS DOUBLE), 6) AS chi2
       |FROM tf CROSS JOIN tot ORDER BY cent_id""".stripMargin
+
+  // --- graph ANN: bounded-degree neighbor graph + beam search ----------
+  // The industry-default graph-traversal ANN shape (HNSW / DiskANN):
+  // instead of probing quantizer cells, the index is a bounded-degree
+  // proximity graph and a query walks it — start at entry points, expand
+  // the current beam's out-edges, keep the best `GraphBeam`, repeat.
+  // Re-expressed Spark-first:
+  //
+  //  BUILD (once, persisted like the IVF index): every vector joins its
+  //  `GraphMemb` nearest coarse cells (the second membership is what
+  //  gives the graph its cross-cluster links — the role HNSW's long
+  //  edges play), candidate edges are generated CLUSTER-KEYED (the
+  //  dedup_semantic move — cost ∝ N × bucket size, never all-pairs),
+  //  and each node keeps its `GraphDegree` best neighbors through the
+  //  bounded partial-merge [[TopKAgg]] — the adjacency is exactly
+  //  N × degree rows at any corpus size, and no window ever shuffles
+  //  the scored candidate set.
+  //
+  //  QUERY: entry points are the probe's nearest centroids (centroids
+  //  ARE corpus vectors here, so they are graph nodes); each hop is one
+  //  equi-join frontier→adjacency plus one bounded TopKAgg per probe —
+  //  the pagerankConverged loop pattern, with an eager localCheckpoint
+  //  per round so plan depth stays constant however many hops run. Beam
+  //  state is probes × beam rows; the visited set is ≤ probes ×
+  //  (entries + beam × degree × hops) rows — driver-safe at any N. The
+  //  per-hop embedding lookup is an equi-join the candidates broadcast
+  //  into; a production serving layout would bucket `embeddings` by
+  //  vec_id so each hop prunes to the touched buckets (the
+  //  vec_ivf_topk_cached build/query split applies verbatim).
+  //
+  // The whole pipeline is deterministic (ties break sim DESC, id ASC in
+  // both engines), so the DuckDB oracle mirrors build + walk exactly,
+  // with the hop CTEs unrolled at the same fixed `GraphHops`.
+  private val GraphMemb = 2 // coarse cells per vector (cross-cluster links)
+  private val GraphDegree = 8 // out-degree cap
+  private val GraphBeam = 8 // frontier width per hop
+  private val GraphHops = 3 // fixed expansion rounds (oracle unrolls these)
+  private val GraphEntries = 2 // entry centroids per probe
+
+  /** Bounded-degree neighbor graph `(src, dst)` — the persistable index. */
+  private[graft] def graphAdjacency(vecs: DataFrame): DataFrame = {
+    val cents = sampledCentroids(vecs)
+    val topMemb = udaf(new TopKAgg(GraphMemb))
+    val memb = vecs.join(broadcast(cents))
+      .select(col("vec_id"),
+        cosine(col("embedding"), col("cemb")).as("csim"), col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(topMemb(col("csim"), col("cent_id")).as("m"))
+      .select(col("vec_id"), explode(col("m")).as("m"))
+      .select(col("vec_id"), col("m.id").as("cent_id"))
+    val cand = memb.select(col("cent_id"), col("vec_id").as("src"))
+      .join(memb.select(col("cent_id"), col("vec_id").as("dst")), Seq("cent_id"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct() // a pair can share both cells
+    val emb = vecs.select(col("vec_id"), col("embedding"))
+    val topM = udaf(new TopKAgg(GraphDegree))
+    cand
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("se")), Seq("src"))
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("de")), Seq("dst"))
+      .select(col("src"), cosine(col("se"), col("de")).as("esim"), col("dst"))
+      .groupBy(col("src"))
+      .agg(topM(col("esim"), col("dst")).as("nn"))
+      .select(col("src"), explode(col("nn")).as("n"))
+      .select(col("src"), col("n.id").as("dst"))
+  }
+
+  /** Beam search over a prebuilt adjacency: entry → `GraphHops` rounds of
+    * expand/score/prune → exact top-k over everything visited. */
+  private[graft] def graphBeamSearch(vecs: DataFrame, adj: DataFrame): DataFrame = {
+    val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+    val cents = sampledCentroids(vecs)
+    val topE = udaf(new TopKAgg(GraphEntries))
+    val entry = probes.join(broadcast(cents))
+      .select(col("probe_id"),
+        cosine(col("pemb"), col("cemb")).as("csim"), col("cent_id"))
+      .groupBy(col("probe_id"))
+      .agg(topE(col("csim"), col("cent_id")).as("e"))
+      .select(col("probe_id"), explode(col("e")).as("e"))
+      .select(col("probe_id"), col("e.id").as("node"))
+    val emb = vecs.select(col("vec_id"), col("embedding"))
+    def score(candidates: DataFrame): DataFrame = candidates
+      .join(emb, col("node") === col("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("node"),
+        cosine(col("pemb"), col("embedding")).as("sim"))
+    val topB = udaf(new TopKAgg(GraphBeam))
+    var visited = score(entry).localCheckpoint(true)
+    for (_ <- 1 to GraphHops) {
+      val frontier = visited.groupBy(col("probe_id"))
+        .agg(topB(col("sim"), col("node")).as("f"))
+        .select(col("probe_id"), explode(col("f")).as("f"))
+        .select(col("probe_id"), col("f.id").as("src"))
+      val cand = frontier.join(adj, Seq("src"))
+        .select(col("probe_id"), col("dst").as("node")).distinct()
+        .join(visited.select("probe_id", "node"), Seq("probe_id", "node"), "left_anti")
+      visited = visited.union(score(cand)).localCheckpoint(true)
+    }
+    val topk = udaf(new TopKAgg(TopK))
+    visited.filter(col("node") =!= col("probe_id"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("sim"), col("node")).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.sim"), 6).as("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  def vecGraphTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    // build materialized ONCE (the hop loop's eager checkpoints would
+    // otherwise re-run the whole graph build every round)
+    graphBeamSearch(vecs, graphAdjacency(vecs).localCheckpoint(true))
+  }
+
+  val vecGraphTopkSql: String = {
+    def cos(a: String, b: String) =
+      s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+    val hops = (1 to GraphHops).map { h =>
+      val prev = s"v${h - 1}"
+      s"""f$h AS (
+        |  SELECT probe_id, node FROM (
+        |    SELECT probe_id, node,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, node) AS rn
+        |    FROM $prev) WHERE rn <= $GraphBeam),
+        |n$h AS (
+        |  SELECT DISTINCT f.probe_id, a.dst AS node
+        |  FROM f$h f JOIN adj a ON a.src = f.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM $prev v
+        |                    WHERE v.probe_id = f.probe_id AND v.node = a.dst)),
+        |v$h AS (
+        |  SELECT * FROM $prev UNION ALL
+        |  SELECT n.probe_id, n.node, ${cos("p.pemb", "e.embedding")} AS sim
+        |  FROM n$h n JOIN embeddings e ON e.vec_id = n.node
+        |            JOIN probes p ON p.probe_id = n.probe_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
+      |  WHERE vec_id % $CentroidStride = 0),
+      |memb AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "c.cemb")} DESC, c.cent_id) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn <= $GraphMemb),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      |  FROM memb a JOIN memb b ON a.cent_id = b.cent_id AND a.vec_id != b.vec_id),
+      |adj AS (
+      |  SELECT src, dst FROM (
+      |    SELECT c.src, c.dst,
+      |      row_number() OVER (PARTITION BY c.src
+      |        ORDER BY ${cos("sa.embedding", "sb.embedding")} DESC, c.dst) AS rn
+      |    FROM cand c JOIN embeddings sa ON sa.vec_id = c.src
+      |                JOIN embeddings sb ON sb.vec_id = c.dst)
+      |  WHERE rn <= $GraphDegree),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding AS pemb FROM embeddings
+      |  WHERE vec_id % $ProbeStride = 0),
+      |entry AS (
+      |  SELECT probe_id, cent_id AS node FROM (
+      |    SELECT p.probe_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY p.probe_id
+      |        ORDER BY ${cos("p.pemb", "c.cemb")} DESC, c.cent_id) AS rn
+      |    FROM probes p CROSS JOIN cents c)
+      |  WHERE rn <= $GraphEntries),
+      |v0 AS (
+      |  SELECT en.probe_id, en.node, ${cos("p.pemb", "e.embedding")} AS sim
+      |  FROM entry en JOIN embeddings e ON e.vec_id = en.node
+      |               JOIN probes p ON p.probe_id = en.probe_id),
+      |$hops,
+      |ranked AS (
+      |  SELECT probe_id, node, sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, node) AS rank
+      |  FROM v$GraphHops WHERE node != probe_id)
+      |SELECT probe_id, rank, node AS neighbor_id, round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+  }
 }

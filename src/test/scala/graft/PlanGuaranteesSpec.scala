@@ -621,6 +621,26 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"LM train side is not filtered to the reference slice:\n${plan.take(2000)}")
   }
 
+  test("graph ANN: cluster-keyed edge generation and a window-free, cartesian-free walk") {
+    // the adjacency build is the scale-critical plan: candidate edges
+    // must come from the equi-join on the coarse cell (cost ∝ N × cell
+    // size), degree capping must stay the bounded TopKAgg (an
+    // ObjectHashAggregate that partial-merges map-side), and no window
+    // or cartesian product may touch the N-proportional frames. The
+    // beam itself is checkpoint-bounded rows (probes × beam) — pinned
+    // implicitly by the adjacency: every hop is equi-join + TopKAgg.
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.load(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val plan = physical(graft.queries.VectorQueries.graphAdjacency(vecs))
+    assert(!plan.contains("Window"), s"graph build plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"graph build plans a cartesian product:\n${plan.take(2000)}")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"degree cap is not the bounded TopKAgg:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroid membership lost its broadcast:\n${plan.take(2000)}")
+  }
+
   test("knn label propagation: seeds broadcast, no window over the scored corpus") {
     // the corpus×seeds scored frame is the big side — a row_number
     // window there re-shuffles N×S rows; top-k must stay the TopKAgg

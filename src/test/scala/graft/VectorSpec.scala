@@ -326,4 +326,34 @@ class VectorSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.35 - 1e-6)
     }
   }
+
+  test("graph ANN: bounded degree, and beam-search recall@5 beats IVF-flat") {
+    // the graph index must honor its degree cap (that IS the 100 TB
+    // bound: adjacency = N × degree rows), and walking it must not lose
+    // accuracy vs the quantizer-probing path — HNSW-shaped search exists
+    // to beat cell probing at equal visit budgets, so equal-or-better
+    // recall on the deterministic corpus is the acceptance bar.
+    val sf = "/root/testdata/sf0.001"
+    val adj = VectorQueries.graphAdjacency(
+      Tables.load(spark, sf, "embeddings").select(col("vec_id"), col("embedding")))
+    val deg = adj.groupBy("src").count().agg(max("count")).head.getLong(0)
+    assert(deg <= 8, s"out-degree $deg exceeds the cap")
+    def nn(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf)
+        .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = nn("vec_topk")
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      assert(approx.keySet == exact.keySet, "lost probes")
+      exact.map { case (p, e) => approx(p).intersect(e).size.toDouble / e.size }
+        .sum / exact.size
+    }
+    val graph = recall(nn("vec_graph_topk"))
+    val ivf = recall(nn("vec_ivf_topk"))
+    info(f"vec_graph_topk recall@5 = $graph%.3f vs vec_ivf_topk $ivf%.3f")
+    assert(graph >= ivf,
+      s"graph recall $graph below IVF $ivf — the walk is not reaching neighbors")
+    assert(graph >= 0.5 && graph <= 1.0, s"graph recall $graph out of bounds")
+  }
 }
