@@ -840,7 +840,7 @@ object CurationQueries {
       |canon AS (SELECT fp, min(doc_id) AS canon_id FROM base GROUP BY fp),
       |contam AS (SELECT doc_id FROM ($textDecontaminateSql)),
       |flags AS (
-      |  SELECT b.source, b.n_tok,
+      |  SELECT b.doc_id, b.source, b.n_tok,
       |    ${TextQueries.gopherPassSql} AS s1,
       |    (${TextQueries.gopherPassSql}
       |      AND quality >= ${TextQueries.QualityThreshold} AND is_en) AS s2,
@@ -933,4 +933,227 @@ object CurationQueries {
       |  CASE WHEN docs_in = 0 THEN NULL
       |       ELSE round(CAST(docs_out AS DOUBLE) / CAST(docs_in AS DOUBLE), 6) END AS kept_frac
       |FROM funnel ORDER BY source, stage""".stripMargin
+
+  // --- domain/URL-scoped curation --------------------------------------
+  // Real crawl pipelines gate on WHERE a document came from before they
+  // look at what it says: URL-canonicalization exact dedup (the same
+  // page crawled as http/https, with/without www, with tracking params,
+  // trailing slashes, fragments), per-registrable-domain health stats,
+  // and domain blocklists (spam/SEO-farm lists are domain-keyed, not
+  // content-keyed). The fixture carries no url column, so a
+  // DETERMINISTIC synthetic URL is derived per document — doc_id-hash
+  // domains, and crawl-noise decorations (scheme flips, www, tracking
+  // query, trailing slash, fragment) keyed off doc_id residues so
+  // canonicalization genuinely merges distinct raw URLs. The derivation
+  // is mirrored verbatim in the oracles; everything DOWNSTREAM of the
+  // url column is the real operator and would run unchanged on a true
+  // url field.
+  //
+  // Scale shape: url synthesis + canonicalization are pure per-row
+  // projections; url dedup is one hash agg keyed on the canonical url;
+  // the domain funnel is the shared funnelFlags frame with one more
+  // grouping key; the domain blocklist is the corpusBlocklist bloom
+  // gate keyed on domain (bounded model state — a domain list, not a
+  // corpus), so bloom-negative rows never pay the join.
+  private val UrlGroup = 4L // docs per canonical page
+  private val NumDomains = 64L
+
+  /** Synthetic crawl URL for a `doc_id` row — deterministic, mirrored
+    * by [[urlSqlExpr]]. Four consecutive doc_ids share a canonical page
+    * (same domain + path) but differ in crawl noise. */
+  private[graft] def urlOf: Column = {
+    val gid = expr(s"doc_id div $UrlGroup")
+    val dom = concat(lit("d"),
+      pmod(conv(substring(md5(concat(lit("dom:"), gid.cast("string"))), 1, 8), 16, 10)
+        .cast("long"), lit(NumDomains)).cast("string"),
+      lit(".example.com"))
+    concat(
+      when(col("doc_id") % 2 === 0, lit("http://")).otherwise(lit("https://")),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      dom, lit("/p/"), gid.cast("string"),
+      when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("?utm_source=crawl&ref="), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit("#s"), (col("doc_id") % 4).cast("string"))).otherwise(lit("")))
+  }
+
+  // NOTE: written with concat(...) and no line-leading "||" — this
+  // fragment is spliced through further stripMargin'd templates, which
+  // would eat a pipe at the start of a continuation line.
+  private[graft] val urlSqlExpr: String =
+    s"""concat(
+      |    CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+      |    'd', CAST(CAST(('0x'||substr(md5('dom:'||CAST(doc_id // $UrlGroup AS VARCHAR)),1,8)) AS BIGINT) % $NumDomains AS VARCHAR),
+      |    '.example.com/p/', CAST(doc_id // $UrlGroup AS VARCHAR),
+      |    CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN '?utm_source=crawl&ref=' || CAST(doc_id AS VARCHAR) ELSE '' END,
+      |    CASE WHEN doc_id % 11 = 0 THEN '#s' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)""".stripMargin
+
+  /** RFC-ish URL canonicalization: drop the fragment, strip tracking
+    * params (utm_*, ref) and any dangling separators, fold http→https,
+    * strip a leading www. and a trailing slash. Pure regex chain — the
+    * same six rewrites, in the same order, both engines. */
+  private[graft] def canonicalUrl(u: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(u, "#.*", ""),
+              "(utm_[a-z_]+|ref)=[^&#]*", ""),
+            "[?&]+$", ""),
+          "^http://", "https://"),
+        "^https://www\\.", "https://"),
+      "/$", "")
+
+  private[graft] def canonicalUrlSql(u: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      $u, '#.*', '', 'g'),
+      |      '(utm_[a-z_]+|ref)=[^&#]*', '', 'g'),
+      |      '[?&]+${"$"}', '', 'g'),
+      |      '^http://', 'https://', 'g'),
+      |      '^https://www\\.', 'https://', 'g'),
+      |      '/${"$"}', '', 'g')""".stripMargin
+
+  /** Registrable domain of a CANONICAL url (scheme already https). */
+  private[graft] def domainOf(curl: Column): Column =
+    regexp_extract(curl, "^https://([^/]+)", 1)
+
+  private[graft] def domainSql(curl: String): String =
+    s"regexp_extract($curl, '^https://([^/]+)', 1)"
+
+  /** Per-doc `(doc_id, source, n_chars, url, curl, domain)` frame every
+    * domain-scoped operator starts from — one projection, no joins. */
+  private def urlFrame(docs: DataFrame): DataFrame = {
+    val withUrl = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      urlOf.as("url"))
+    val withCanon = withUrl.withColumn("curl", canonicalUrl(col("url")))
+    withCanon.withColumn("domain", domainOf(col("curl")))
+  }
+
+  private val urlFrameCte: String =
+    s"""urls AS (
+      |  SELECT doc_id, source, n_chars, $urlSqlExpr AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id, source, n_chars, url,
+      |    ${canonicalUrlSql("url")} AS curl
+      |  FROM urls),
+      |framed AS (
+      |  SELECT *, ${domainSql("curl")} AS domain FROM canon)""".stripMargin
+
+  /** URL-canonicalization exact dedup: one row per canonical page with
+    * its keeper (min doc_id) and the crawl-noise variant count. */
+  def corpusUrlDedup(spark: SparkSession, sfDir: String): DataFrame =
+    urlFrame(Tables.load(spark, sfDir, "documents"))
+      .groupBy(col("curl").as("canon_url"))
+      .agg(min(col("doc_id")).as("canon_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_urls"))
+      .orderBy(col("canon_url"))
+
+  val corpusUrlDedupSql: String =
+    s"""WITH $urlFrameCte
+      |SELECT curl AS canon_url, min(doc_id) AS canon_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_urls
+      |FROM framed GROUP BY curl ORDER BY canon_url""".stripMargin
+
+  /** The curation funnel grouped by registrable domain — which domains
+    * lose documents at which gate. Same shared flags frame as
+    * [[corpusFunnel]], one more grouping key; output domains × stages. */
+  def corpusDomainFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val flags = funnelFlags(spark, sfDir)
+      .withColumn("domain", domainOf(canonicalUrl(urlOf)))
+    flags.groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("total"), sum(col("n_tok")).as("t0"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s1"), col("n_tok")).otherwise(0L)).as("t1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("s2"), col("n_tok")).otherwise(0L)).as("t2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("c3"),
+        sum(when(col("s3"), col("n_tok")).otherwise(0L)).as("t3"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("c4"),
+        sum(when(col("s4"), col("n_tok")).otherwise(0L)).as("t4"))
+      .select(col("domain"), expr(
+        """stack(5,
+          |  '0_ingest', total, total, t0,
+          |  '1_gopher_rules', total, c1, t1,
+          |  '2_lang_quality', c1, c2, t2,
+          |  '3_exact_dedup', c2, c3, t3,
+          |  '4_decontaminate', c3, c4, t4)
+          |AS (stage, docs_in, docs_out, tokens_out)""".stripMargin))
+      .withColumn("kept_frac",
+        when(col("docs_in") === 0L, lit(null))
+          .otherwise(round(col("docs_out").cast("double") / col("docs_in").cast("double"), 6)))
+      .orderBy(col("domain"), col("stage"))
+  }
+
+  val corpusDomainFunnelSql: String =
+    s"""WITH $funnelFlagsCte,
+      |agg AS (
+      |  SELECT ${domainSql(canonicalUrlSql(s"($urlSqlExpr)"))} AS domain,
+      |    CAST(count(*) AS BIGINT) AS total, CAST(sum(n_tok) AS BIGINT) AS t0,
+      |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN s1 THEN n_tok ELSE 0 END) AS BIGINT) AS t1,
+      |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(sum(CASE WHEN s2 THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+      |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+      |    CAST(sum(CASE WHEN s3 THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+      |    CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+      |    CAST(sum(CASE WHEN s4 THEN n_tok ELSE 0 END) AS BIGINT) AS t4
+      |  FROM flags GROUP BY 1),
+      |funnel AS (
+      |  SELECT domain, '0_ingest' AS stage, total AS docs_in, total AS docs_out, t0 AS tokens_out FROM agg
+      |  UNION ALL SELECT domain, '1_gopher_rules', total, c1, t1 FROM agg
+      |  UNION ALL SELECT domain, '2_lang_quality', c1, c2, t2 FROM agg
+      |  UNION ALL SELECT domain, '3_exact_dedup', c2, c3, t3 FROM agg
+      |  UNION ALL SELECT domain, '4_decontaminate', c3, c4, t4 FROM agg)
+      |SELECT domain, stage, docs_in, docs_out, tokens_out,
+      |  CASE WHEN docs_in = 0 THEN NULL
+      |       ELSE round(CAST(docs_out AS DOUBLE) / CAST(docs_in AS DOUBLE), 6) END AS kept_frac
+      |FROM funnel ORDER BY domain, stage""".stripMargin
+
+  // The blocked-domain set is a deterministic hash slice of the domain
+  // space (a stand-in for the SEO-spam/farm lists crawl pipelines
+  // subscribe to) — bounded model state, like the content blocklist's.
+  private val DomainBlockMod = 5L
+
+  /** Drop every document whose registrable domain is blocklisted —
+    * the bloom-prefiltered exact gate of [[corpusBlocklist]], keyed on
+    * domain instead of content fingerprint. */
+  def corpusDomainBlocklist(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{Bloom, BloomAgg}
+    val framed = urlFrame(Tables.load(spark, sfDir, "documents"))
+    val blocked = framed.select(col("domain")).distinct()
+      .filter(pmod(
+        conv(substring(md5(concat(lit("blk:"), col("domain"))), 1, 8), 16, 10)
+          .cast("long"), lit(DomainBlockMod)) === 0)
+      .select(col("domain").as("bfp"))
+    val bloomAgg = udaf(new BloomAgg())
+    val words = blocked.select(xxhash64(col("bfp")).as("h"))
+      .agg(bloomAgg(col("h")).as("w"))
+      .head().getSeq[Long](0).toArray
+    val tagged = framed.select(col("doc_id"), col("source"), col("domain"))
+    val maybe = Bloom.mayContain(words, xxhash64(col("domain")))
+    val cleared = tagged.filter(maybe)
+      .join(blocked, col("domain") === col("bfp"), "left_anti")
+    tagged.filter(!maybe)
+      .unionByName(cleared)
+      .select(col("doc_id"), col("source"), col("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDomainBlocklistSql: String =
+    s"""WITH $urlFrameCte,
+      |blocked AS (
+      |  SELECT DISTINCT domain FROM framed
+      |  WHERE CAST(('0x'||substr(md5('blk:'||domain),1,8)) AS BIGINT) % $DomainBlockMod = 0)
+      |SELECT doc_id, source, domain FROM framed
+      |WHERE domain NOT IN (SELECT domain FROM blocked)
+      |ORDER BY doc_id""".stripMargin
 }

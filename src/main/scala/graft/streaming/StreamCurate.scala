@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.PiiRedact
-import graft.queries.TextQueries
+import graft.queries.{CurationQueries, TextQueries}
 
 /** The continuous-ingest curation pipeline composed end-to-end — the
   * streaming face of the nightly `corpus_curate` job: documents are
@@ -43,7 +43,8 @@ object StreamCurate {
   def curateBatch(batch: DataFrame, block: DataFrame, words: Array[Long],
       qualityThreshold: Double = TextQueries.QualityThreshold,
       model: Option[TextQueries.ClsModel] = None,
-      gopherGate: Boolean = false): DataFrame = {
+      gopherGate: Boolean = false,
+      domainBlock: Option[(DataFrame, Array[Long])] = None): DataFrame = {
     // with `gopherGate`, the full Gopher/MassiveText rule set runs as
     // part of the cheap rule stage — the SAME gopherSignals/pass
     // definitions `text_gopher_rules` and `corpus_funnel` report on,
@@ -64,7 +65,20 @@ object StreamCurate {
           .filter(col("predict_pos")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
     }
-    StreamBlocklist.cleanStream(gated, block, words)
+    // domain-level gate FIRST when configured (crawl pipelines drop
+    // blocklisted domains before paying any content work): the same
+    // bloom-prefiltered exact shape as the content blocklist, keyed on
+    // the document's registrable domain (`corpus_domain_blocklist`'s
+    // batch twin) — still zero streaming state, the blocked-domain
+    // table re-reads per micro-batch so list refreshes apply live
+    val domainGated = domainBlock.fold(gated) { case (blocked, dwords) =>
+      StreamBlocklist.cleanStream(
+          gated.withColumn("domain",
+            CurationQueries.domainOf(CurationQueries.canonicalUrl(CurationQueries.urlOf))),
+          blocked, dwords, fpCol = "domain")
+        .drop("domain")
+    }
+    StreamBlocklist.cleanStream(domainGated, block, words)
       .select(col("doc_id"),
         PiiRedact.redact(col("text")).as("text"),
         round(col("quality"), 6).as("quality"))

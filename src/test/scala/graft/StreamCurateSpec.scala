@@ -111,4 +111,42 @@ class StreamCurateSpec extends AnyFunSuite {
     assert(withGate.size < withoutGate.size,
       "gopher stage dropped nothing on the real corpus — not composing")
   }
+
+  test("domain-gate stage composes: ingest drops exactly the blocklisted domains") {
+    // the ingest-time face of corpus_domain_blocklist: the same
+    // synthetic-url → canonical → domain derivation, the same
+    // bloom-prefiltered exact gate, applied per micro-batch — output
+    // must equal quality-gate ∩ domain-allowed, and the gate must
+    // actually drop something on the real corpus
+    import graft.queries.CurationQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sfDir, "documents")
+    val block = Seq.empty[String].toDF("t").select(fpOf(col("t")).as("bfp"))
+    val words = new Array[Long](1 << 11)
+    val batch = docs.select(col("doc_id"), col("text"))
+
+    // blocked domains: the batch query's own deterministic hash slice
+    val allowed = CurationQueries.corpusDomainBlocklist(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val domains = batch.withColumn("domain",
+        CurationQueries.domainOf(CurationQueries.canonicalUrl(CurationQueries.urlOf)))
+      .select("doc_id", "domain").as[(Long, String)].collect().toMap
+    val blockedDomains = domains.collect {
+      case (id, d) if !allowed.contains(id) => d
+    }.toSet
+    assert(blockedDomains.nonEmpty, "fixture produced no blocked domains")
+    val dblock = blockedDomains.toSeq.toDF("bfp")
+    val dwords = dblock.select(xxhash64(col("bfp")).as("h"))
+      .agg(udaf(new BloomAgg()).apply(col("h"))).head().getSeq[Long](0).toArray
+
+    val withGate = StreamCurate.curateBatch(batch, block, words,
+        domainBlock = Some((dblock, dwords)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val withoutGate = StreamCurate.curateBatch(batch, block, words)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withGate == (withoutGate intersect allowed),
+      s"domain gate diverges: ${withGate.size} vs ${(withoutGate intersect allowed).size}")
+    assert(withGate.size < withoutGate.size,
+      "domain stage dropped nothing on the real corpus — not composing")
+  }
 }
