@@ -56,21 +56,33 @@ object WinnowFps {
   /** Distinct sliding-window-w minima of the rolling k-gram hashes of
     * `text`, first-occurrence order. Empty array when the text is
     * shorter than k + w − 1 chars (no full window). Static so codegen
-    * calls it directly. */
+    * calls it directly.
+    *
+    * Grams are k CODEPOINTS, not k bytes: DuckDB's `ascii(substr(…))`
+    * mirror hashes per-character codepoints over `n_chars − k + 1`
+    * grams, and the length prefilter counts chars — a byte-positional
+    * kernel would diverge on any non-ASCII document. All-ASCII text
+    * (bytes == chars) takes the allocation-free byte path; otherwise
+    * the codepoints are decoded once and the same arithmetic runs over
+    * them. */
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = text.getBytes
-    val n = bytes.length
+    val ascii = bytes.length == text.numChars()
+    val cps: Array[Int] = if (ascii) null else text.toString.codePoints().toArray
+    val n = if (ascii) bytes.length else cps.length
     val nGrams = n - k + 1
     if (nGrams < w) return new GenericArrayData(Array.empty[Long])
+    @inline def cp(i: Int): Long =
+      if (ascii) bytes(i) & 0xffL else cps(i).toLong
     // rolling hashes: Horner with the first char as fold seed — the
     // exact association DuckDB's list_reduce uses
     val hs = new Array[Long](nGrams)
     var p = 0
     while (p < nGrams) {
-      var h = (bytes(p) & 0xffL)
+      var h = cp(p)
       var j = 1
       while (j < k) {
-        h = (h * B + (bytes(p + j) & 0xffL)) % M
+        h = (h * B + cp(p + j)) % M
         j += 1
       }
       hs(p) = h

@@ -1308,7 +1308,11 @@ object Analytics {
     val topk = udaf(new TopKAgg(SkewTopN))
     val counts = Tables.load(spark, sfDir, "events")
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-      .cache() // feeds the total AND the top-k — one events scan
+      // feeds the total AND the top-k — one events scan. Eager
+      // localCheckpoint, not cache: the blocks are context-cleaned when
+      // the frame goes unreferenced, so repeated Verify/Bench
+      // invocations don't accumulate storage memory
+      .localCheckpoint(true)
     val tot = counts.agg(sum(col("n")).as("total"))
     counts
       .agg(topk(col("n").cast("double"), col("user_id")).as("tk"))

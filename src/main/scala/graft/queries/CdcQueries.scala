@@ -87,6 +87,41 @@ object CdcQueries {
       .orderBy(col("o_orderkey"), col("valid_from"))
   }
 
+  /** The [[scd2]] version chain computed SKEW-SAFELY: the plain chain
+    * windows by primary key, so one pathologically hot key (a row
+    * updated 10⁸ times) serializes its whole history into a single
+    * task's sort. Here the chain runs two-phase (the
+    * `merge/SkewJoin.scala` move applied to a window):
+    *
+    *  1. salt every event by its commit-ts RANGE bucket
+    *     (`commit_ts div saltWidth` — range, not hash, so order is
+    *     preserved within and ACROSS buckets) and chain locally per
+    *     `(key, salt)` — each sort handles at most one bucket's events;
+    *  2. stitch bucket boundaries with a window over the PER-BUCKET
+    *     first-event aggregate — buckets-per-key rows, a factor
+    *     `saltWidth` smaller than the event count — closing each
+    *     bucket's open tail version at the next bucket's first ts.
+    *
+    * Bit-identical to the single-window chain (SCd2SkewSpec proves it on
+    * a 10⁵-version hot key); the oracle-gated [[scd2]] keeps the plain
+    * form — swap this in when per-key churn outgrows a task. */
+  private[graft] def scd2ChainSalted(changes: DataFrame, keyCol: String,
+      saltWidth: Long): DataFrame = {
+    val ts = Envelope.CommitTsCol
+    val salted = changes.withColumn("_salt", expr(s"$ts div $saltWidth"))
+    val wLocal = Window.partitionBy(col(keyCol), col("_salt")).orderBy(col(ts))
+    val local = salted.withColumn("valid_to", lead(col(ts), 1).over(wLocal))
+    val wBuckets = Window.partitionBy(col(keyCol)).orderBy(col("_salt"))
+    val nextFirst = salted.groupBy(col(keyCol), col("_salt"))
+      .agg(min(col(ts)).as("_bmin"))
+      .withColumn("_next_min", lead(col("_bmin"), 1).over(wBuckets))
+      .select(col(keyCol), col("_salt"), col("_next_min"))
+    local.join(nextFirst, Seq(keyCol, "_salt"), "left")
+      .withColumn("valid_to",
+        when(col("valid_to").isNull, col("_next_min")).otherwise(col("valid_to")))
+      .drop("_salt", "_next_min")
+  }
+
   val scd2Sql: String =
     s"""WITH changes AS ($ordersChangeLogSql),
       |versions AS (

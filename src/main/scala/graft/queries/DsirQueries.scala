@@ -63,7 +63,11 @@ object DsirQueries {
 
   /** Core of [[corpusDsirScore]] over any `(doc_id, lang, text)` frame. */
   def dsirScore(docs: DataFrame): DataFrame = {
-    val bt = bucketedTokens(docs).persist()
+    // shared by the weight-training pass AND the scoring join; eager
+    // localCheckpoint (not persist) so the materialized token stream is
+    // context-cleaned once unreferenced — persist here leaked storage
+    // across repeated Verify/Bench invocations
+    val bt = bucketedTokens(docs).localCheckpoint(true)
     val counts = bt.groupBy(col("b")).agg(
       count(lit(1)).as("r_cnt"),
       sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("t_cnt"))

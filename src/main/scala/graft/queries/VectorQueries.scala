@@ -365,9 +365,11 @@ object VectorQueries {
     * centroid frame materializes to the driver (bounded — the quantizer
     * IS model state, exactly like [[trainCentroids]]), so movement is
     * plain driver-side model math and lineage never stacks rounds.
-    * A centroid whose cluster empties counts as movement 1.0 — the loop
-    * can't "converge" by silently losing cells. Returns the trained
-    * quantizer and the rounds it took. */
+    * A centroid whose cluster empties counts as movement 1.0 that round
+    * and is carried forward at its old position — the loop can't
+    * "converge" by silently losing cells, and the cell may re-acquire
+    * members later. Returns the trained quantizer and the rounds it
+    * took. */
   def kmeansConverged(vecs: DataFrame, seedStride: Int,
       eps: Double = 1e-4, maxIters: Int = 50): (DataFrame, Int) = {
     def collectCents(df: DataFrame): Map[Long, Array[Float]] =
@@ -376,6 +378,7 @@ object VectorQueries {
     var cents = vecs.filter(col("vec_id") % seedStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
     var prev = collectCents(cents)
+    var emptied = Set.empty[Long]
     var moved = Double.MaxValue
     var it = 0
     while (moved >= eps && it < maxIters) {
@@ -385,10 +388,20 @@ object VectorQueries {
           case Some(nw) =>
             math.sqrt(old.zip(nw).map { case (a, b) =>
               (a - b).toDouble * (a - b).toDouble }.sum)
-          case None => 1.0 // cluster emptied — never silent convergence
+          // NEWLY emptied: count full movement — forces another round in
+          // which the carried centroid may re-acquire members
+          case None if !emptied.contains(id) => 1.0
+          // still empty, parked at its old position: zero movement — an
+          // empty cell held in place is a legitimate k-means fixed point
+          case None => 0.0
         }
       }.sum
-      prev = next
+      // carry emptied centroids forward AT THEIR OLD POSITION instead of
+      // dropping them: dropped, the id would vanish from `prev`, the next
+      // round would see zero movement for it, and the loop would
+      // "converge" with the cell silently gone from the quantizer.
+      emptied = prev.keySet -- next.keySet
+      prev = prev.map { case (id, old) => id -> next.getOrElse(id, old) }
       cents = vecs.sparkSession.createDataFrame(
         java.util.Arrays.asList(prev.toSeq.sortBy(_._1).map { case (id, e) =>
           org.apache.spark.sql.Row(id, e.toSeq) }: _*),

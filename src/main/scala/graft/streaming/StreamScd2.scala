@@ -65,6 +65,22 @@ object StreamScd2 {
       .agg(min(col(Envelope.CommitTsCol)).as("_first_ts"))
     val touched = t.touchedBuckets(firstTs.select(keyCol))
     val current = t.readBuckets(touched)
+    // LOUD late-event guard: the close below assumes commit_ts ordering
+    // across epochs — a batch whose first event on a key precedes that
+    // key's open version's valid_from would write an inverted interval
+    // (valid_to < valid_from) that silently diverges from the batch
+    // cdc_scd2 recompute. Upstream delivery (the changefeed) is
+    // ts-ordered per key, so this firing means a broken source or a
+    // replayed-out-of-order feed — corrupt history is worse than a
+    // failed epoch. The check rides the same touched-buckets frame the
+    // close reads; cost is one tiny aggregation per epoch.
+    val inverted = current.join(firstTs, Seq(keyCol))
+      .filter(col(ValidTo).isNull && col("_first_ts") < col(ValidFrom))
+    val sample = inverted.select(col(keyCol), col(ValidFrom), col("_first_ts")).head(3)
+    require(sample.isEmpty,
+      s"epoch $epochId delivers events BEFORE the open version on " +
+        s"${sample.mkString("; ")} — out-of-order cross-epoch delivery " +
+        "would corrupt the SCD2 history (valid_to < valid_from)")
     val closed = current.join(firstTs, Seq(keyCol), "left")
       .withColumn(ValidTo,
         when(col(ValidTo).isNull && col("_first_ts").isNotNull, col("_first_ts"))

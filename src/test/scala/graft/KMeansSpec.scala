@@ -83,4 +83,26 @@ class KMeansSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("failed to converge"))
   }
+
+  test("a centroid whose cluster empties is carried forward, never silently dropped") {
+    import spark.implicits._
+    // seed 20 duplicates seed 0's position exactly: every point in that
+    // cluster (including 20 itself) TIES between centroids 0 and 20 and
+    // the deterministic tie-break sends them all to 0 — centroid 20
+    // empties in round 1. Convergence must still return ALL seed ids —
+    // a dropped id would mean the loop "converged" by losing a cell
+    val v = Seq(1f, 0f, 0.5f)
+    val pts = ((0 until 10).map(i => (i.toLong, v)) ++
+      (10 until 20).map(i => (i.toLong, Seq(0f, 1f, 0.25f))) ++
+      Seq((20L, v)))
+      .toDF("vec_id", "embedding")
+    graft.functions.VectorFunctions.register(spark)
+    val (cents, rounds) = VectorQueries.kmeansConverged(
+      pts, seedStride = 10, eps = 1e-6, maxIters = 30)
+    val ids = cents.select("cent_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 10L, 20L),
+      s"quantizer lost cells: $ids — emptied centroids must be carried forward")
+    // round 1 charges the emptying as movement 1.0, so at least 2 rounds ran
+    assert(rounds >= 2, s"emptying must force a second round (got $rounds)")
+  }
 }

@@ -24,23 +24,33 @@ class KernelPropertySpec extends AnyFunSuite {
   test("winnow_fps ≡ the compositional hash→window-min→distinct chain across random texts") {
     graft.functions.VectorFunctions.register(spark)
     val rnd = new scala.util.Random(7)
-    val alphabet = "abcdefgh "
+    // half ASCII (the allocation-free byte path), half with multi-byte
+    // codepoints (umlauts, CJK, an astral emoji — surrogate pairs): the
+    // kernel must hash CODEPOINTS, the semantics the DuckDB
+    // ascii(substr(…)) oracle and the char-counting prefilter share —
+    // a byte-positional kernel diverges on every non-ASCII text
+    val alphabets: Seq[Seq[String]] = Seq(
+      "abcdefgh ".map(_.toString),
+      Seq("a", "b", "c", "d", "é", " ", "ö", "字", "🎉")) // whole codepoints
     val texts = (0 until 60).map { i =>
-      i.toLong -> (0 until (23 + rnd.nextInt(160)))
-        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val alphabet = alphabets(i % 2)
+      i.toLong -> ((0 until (23 + rnd.nextInt(160)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString +
+        (if (i % 2 == 1) "🎉字ö" else "")) // force multi-byte + astral tails
     }
     val k = 16; val w = 8
     val kernel = texts.toDF("id", "text")
       .select(col("id"), call_function("winnow_fps", col("text"), lit(k), lit(w)).as("fps"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
-    // reference: plain Scala Horner + window-min + distinct
+    // reference: plain Scala Horner + window-min + distinct, over codepoints
     def ref(t: String): Set[Long] = {
-      val bs = t.getBytes("UTF-8")
-      val hs = (0 to bs.length - k).map { p =>
-        bs.slice(p, p + k).map(_ & 0xffL)
+      val cs = t.codePoints().toArray
+      val hs = (0 to cs.length - k).map { p =>
+        cs.slice(p, p + k).map(_.toLong)
           .reduceLeft((a, c) => (a * 257L + c) % 2147483647L)
       }
-      (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+      if (hs.length < w) Set.empty
+      else (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
     }
     texts.foreach { case (id, t) =>
       assert(kernel(id) == ref(t), s"kernel diverges from reference on text $id")
