@@ -38,6 +38,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the STABLE registered-query count for gate.sh's README drift check
+    // (oracle_sql.json's size is not stable on filtered runs: the
+    // generated PQ oracles only exist after their queries have run)
+    Files.writeString(Paths.get(s"$outDir/query_count.txt"),
+      SparkEntry.queries.size.toString)
     spark.stop()
   }
 }

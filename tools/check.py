@@ -1,12 +1,18 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [queries] [--dump-canon]
 
 Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with the
 sfDir parquet tables registered as views, loads the matching Spark
 parquet result, and compares: row count, column names, and a hash of
 the values with columns sorted by name and rows sorted.
+
+--dump-canon additionally writes <verifyOutDir>/canon/<name>.spark.csv
+and <name>.oracle.csv — the EXACT canonical text the hash is computed
+over (columns sorted by name, rows sorted, floats at %.10g) — so any
+external gate that disagrees with this one can be diffed line-by-line
+instead of reverse-engineered from a bare hash_match flag.
 """
 import json
 import sys
@@ -49,8 +55,10 @@ def main():
     # Verify run dumped — only those are checked. Without it, every
     # oracle key must have a result dir (a query that crashed during a
     # full Verify shows up as ERROR, never as a silent skip).
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    dump_canon = "--dump-canon" in sys.argv
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2].split(",")) if len(args) > 2 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -72,6 +80,14 @@ def main():
         try:
             want = canon(con.execute(sql).df())
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+            if dump_canon:
+                import os
+                os.makedirs(f"{out_dir}/canon", exist_ok=True)
+                for tag, df in (("oracle", want), ("spark", got)):
+                    with open(f"{out_dir}/canon/{name}.{tag}.csv", "w") as f:
+                        f.write(",".join(df.columns) + "\n")
+                        for row in df.itertuples(index=False):
+                            f.write("|".join(norm_cell(v) for v in row) + "\n")
             problems = []
             if list(want.columns) != list(got.columns):
                 problems.append(f"cols want={list(want.columns)} got={list(got.columns)}")

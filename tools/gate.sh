@@ -16,4 +16,15 @@ trap 'rm -rf "$OUT_DIR"' EXIT
 sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR $QUERIES" > "$OUT_DIR/verify.log" 2>&1 || {
   echo "Verify FAILED — tail of log:"; tail -20 "$OUT_DIR/verify.log"; exit 1; }
 grep -i "\[verify\].*failed" "$OUT_DIR/verify.log" && exit 1
+
+# README's advertised query count must match what SparkEntry actually
+# registers (Verify dumps queries.size even on filtered runs) — the
+# docs are the contract, and count drift ships silently otherwise
+ACTUAL=$(cat "$OUT_DIR/query_count.txt")
+WANT=$(grep -oE '[0-9]+ oracle-checked queries' README.md | grep -oE '[0-9]+' | head -1)
+if [ "$ACTUAL" != "$WANT" ]; then
+  echo "GATE FAIL: README.md advertises $WANT oracle-checked queries, SparkEntry registers $ACTUAL"
+  exit 1
+fi
+
 python3 tools/check.py "$SF_DIR" "$OUT_DIR" "$QUERIES"
