@@ -386,7 +386,9 @@ object CurationQueries {
       .agg(bloomAgg(col("h")).as("w"))
       .head().getSeq[Long](0).toArray
     val tagged = docs.select(col("doc_id"), col("source"), col("n_chars"), fp.as("fp"))
-    val maybe = Bloom.mayContain(words, xxhash64(col("fp")))
+    // `fp` is md5(text) inlined by projection collapse — Once keeps it
+    // one digest per row instead of one per bloom-probe reference
+    val maybe = Bloom.mayContainOnce(words, xxhash64(col("fp")))
     // negatives skip the join entirely; only positives enter the exchange
     val cleared = tagged.filter(maybe)
       .join(block, col("fp") === col("bfp"), "left_anti")
@@ -1139,7 +1141,9 @@ object CurationQueries {
       .agg(bloomAgg(col("h")).as("w"))
       .head().getSeq[Long](0).toArray
     val tagged = framed.select(col("doc_id"), col("source"), col("domain"))
-    val maybe = Bloom.mayContain(words, xxhash64(col("domain")))
+    // `domain` is the full url→canonical→domain regex chain after
+    // projection collapse — Once runs it one time per row, not 10×
+    val maybe = Bloom.mayContainOnce(words, xxhash64(col("domain")))
     val cleared = tagged.filter(maybe)
       .join(blocked, col("domain") === col("bfp"), "left_anti")
     tagged.filter(!maybe)

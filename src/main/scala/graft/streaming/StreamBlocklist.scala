@@ -27,7 +27,9 @@ object StreamBlocklist {
     * over the same fingerprints (see [[graft.functions.BloomAgg]]). */
   def cleanStream(docs: DataFrame, block: DataFrame, words: Array[Long],
       fpCol: String = "fp"): DataFrame = {
-    val maybe = Bloom.mayContain(words, xxhash64(col(fpCol)))
+    // Once-form: fpCol is often a projected expression (md5 chain,
+    // domain regexes) that pushdown would otherwise inline per probe
+    val maybe = Bloom.mayContainOnce(words, xxhash64(col(fpCol)))
     val cleared = docs.filter(maybe)
       .join(block, col(fpCol) === col("bfp"), "left_anti")
     docs.filter(!maybe).unionByName(cleared)

@@ -30,6 +30,21 @@ class BloomSpec extends AnyFunSuite {
       "an inserted hash tested absent — probe arithmetic diverges between build and test")
   }
 
+  test("mayContainOnce answers equal mayContain on present and absent keys") {
+    val rnd = new scala.util.Random(19)
+    val inserted = Seq.fill(300)(rnd.nextLong())
+    val probes = inserted.take(100) ++ Seq.fill(200)(rnd.nextLong())
+    val agg = new BloomAgg()
+    val words = inserted.foldLeft(agg.zero)(agg.reduce)
+    val both = probes.toDF("h").select(
+      Bloom.mayContain(words, col("h")).as("plain"),
+      Bloom.mayContainOnce(words, col("h")).as("once"))
+      .as[(Boolean, Boolean)].collect()
+    assert(both.forall { case (p, o) => p == o },
+      "lambda-barrier form diverged from the plain probe")
+    assert(both.take(100).forall(_._2), "an inserted key tested absent via Once form")
+  }
+
   test("SQL surface bloom_agg/bloom_contains matches the DataFrame path") {
     val rnd = new scala.util.Random(11)
     val inserted = Seq.fill(300)(rnd.nextLong())
