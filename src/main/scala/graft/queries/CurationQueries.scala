@@ -74,6 +74,79 @@ object CurationQueries {
       |FROM train JOIN bench USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- FUZZY benchmark decontamination (MinHash-LSH) -------------------
+  // Verbatim n-gram overlap ([[textDecontaminate]]) misses lightly
+  // paraphrased/reformatted test material; the published fix (GPT-4,
+  // Llama-style decontamination) is near-duplicate matching between the
+  // training corpus and the eval sets. Same benchmark slice as the exact
+  // query; detection is the repo's MinHash-LSH core ([[NearDupIndex]])
+  // with the TRAIN side as the indexed "corpus" and the (tiny, fixed-
+  // size) benchmark as the broadcast batch — the corpus is scanned once,
+  // shuffle-keyed only by its own band keys, so at 100 TB this costs one
+  // corpus pass + candidate verifies, exactly like `dedup_incremental`.
+  def textDecontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") % BenchMod === 0)
+    val train = docs.filter(col("doc_id") % BenchMod =!= 0)
+    NearDupIndex.matchBatch(NearDupIndex.build(train), bench)
+      // one row per CONTAMINATED TRAIN doc: its best benchmark match
+      // (max jaccard, ties to the lowest bench id) via one hash-agg
+      .groupBy(col("dup_of"))
+      .agg(max(struct(col("jaccard"), (-col("new_id")).as("nid"))).as("best"))
+      .select(col("dup_of").as("doc_id"), (-col("best.nid")).as("bench_id"),
+        col("best.jaccard").as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textDecontaminateFuzzySql: String = {
+    import DedupQueries.{HashParams, MinhashK, BandRows, Prime, MinhashBucketCap}
+    val minExprs = HashParams.zipWithIndex
+      .map { case ((a, b), i) => s"min((h * $a + $b) % $Prime) AS mh$i" }
+      .mkString(",\n      |    ")
+    val bandSelects = (0 until MinhashK / BandRows).map { bandIdx =>
+      val cols = (0 until BandRows).map(r => s"mh${bandIdx * BandRows + r}")
+      s"SELECT doc_id, $bandIdx AS band, concat_ws('_', ${cols.mkString(", ")}) AS bkey FROM sig"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH shingles AS (
+      |  SELECT DISTINCT doc_id, tok || ' ' || nxt1 || ' ' || nxt2 AS shingle FROM (
+      |    SELECT doc_id, tok,
+      |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt1,
+      |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt2
+      |    FROM (
+      |      SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+      |        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
+      |        LATERAL (SELECT unnest(t) AS tok, generate_subscripts(t, 1) AS pos) u))
+      |  WHERE nxt2 IS NOT NULL),
+      |sh AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM shingles),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $minExprs
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |batch AS (SELECT b.* FROM bands b WHERE b.doc_id % $BenchMod = 0),
+      |corpus AS (SELECT b.* FROM bands b WHERE b.doc_id % $BenchMod != 0),
+      |capped AS (
+      |  SELECT doc_id, band, bkey FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM corpus)
+      |  WHERE bsz <= $MinhashBucketCap),
+      |cand AS (
+      |  SELECT DISTINCT batch.doc_id AS new_id, c.doc_id AS dup_of
+      |  FROM batch JOIN capped c ON batch.band = c.band AND batch.bkey = c.bkey),
+      |hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM sh GROUP BY doc_id),
+      |verified AS (
+      |  SELECT new_id, dup_of, jaccard FROM (
+      |    SELECT new_id, dup_of,
+      |      len(list_intersect(a.hs, b.hs))::DOUBLE
+      |        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+      |    FROM cand JOIN hsets a ON cand.new_id = a.doc_id JOIN hsets b ON cand.dup_of = b.doc_id)
+      |  WHERE jaccard >= 0.5)
+      |SELECT dup_of AS doc_id, new_id AS bench_id, jaccard FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY dup_of ORDER BY jaccard DESC, new_id) AS rn
+      |  FROM verified)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   // --- BM25 relevance scoring ------------------------------------------
   // Okapi BM25 with k1=1.2, b=0.75 over a fixed query, with a RATIONAL
   // idf (N - df + 0.5)/(df + 0.5) instead of its log: same per-term

@@ -989,4 +989,132 @@ object DedupQueries {
       |  round(CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
       |FROM fps f JOIN fpc c USING (fp)
       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+
+  // --- corpus-wide duplicated-span REMOVAL with reconstruction ---------
+  // The C4/RefinedWeb line-dedup shape: any fixed-width span of text that
+  // occurs more than once in the WHOLE corpus is kept only at its first
+  // occurrence; every document is then rebuilt from its surviving spans.
+  // (C4 keys on 3-sentence spans / newline-delimited lines; the fixture
+  // corpus is a flat word stream, so spans are consecutive W-word
+  // segments — the unit is a constant, the algebra is identical.)
+  //
+  // Scale shape: one hash-agg per distinct span text elects the winner
+  // — min(struct(doc_id, idx)) partial-aggregates map-side, so the
+  // exchange carries ~one row per distinct span, and there is NO join
+  // back to the exploded spans (the winner row already carries its
+  // text). Reconstruction is a second hash-agg keyed by doc_id. No
+  // window functions anywhere: the "first occurrence" argmin and the
+  // in-order reassembly (sort_array over a per-doc spans list) are both
+  // bounded per-key, never a corpus-wide sort.
+  private val SpanW = 5
+
+  def dedupSpanStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    def segArr = expr(
+      s"transform(sequence(0, (size(tk) - 1) div $SpanW), " +
+        s"i -> concat_ws(' ', slice(tk, i * $SpanW + 1, $SpanW)))")
+    // posexplode_outer + notNull: a plain posexplode's inferred
+    // non-empty filter re-inlines the token split per span access (the
+    // shingleHashes rationale); size(tk) > 0 already guarantees a span
+    val segs = docs
+      .select(col("doc_id"), posexplode_outer(segArr))
+      .toDF("doc_id", "idx", "seg")
+      .filter(col("seg").isNotNull)
+    val winners = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.idx").as("idx"), col("seg"))
+    val rebuilt = winners.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("seg")))),
+          x => x.getField("seg")), " ").as("text_kept"))
+    docs.select(col("doc_id"), size(segArr).cast("long").as("n_seg"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSpanStripSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, tk FROM (
+      |    SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS tk
+      |    FROM documents)
+      |  WHERE len(tk) > 0),
+      |segs AS (
+      |  SELECT doc_id, u.i AS idx,
+      |    array_to_string(tk[u.i * $SpanW + 1 : u.i * $SpanW + $SpanW], ' ') AS seg
+      |  FROM d, LATERAL (SELECT unnest(range(0, (len(tk) - 1) // $SpanW + 1)) AS i) u),
+      |winners AS (
+      |  SELECT doc_id, idx, seg FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+      |    FROM segs)
+      |  WHERE rn = 1),
+      |rebuilt AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(seg, ' ' ORDER BY idx) AS text_kept
+      |  FROM winners GROUP BY doc_id),
+      |totals AS (SELECT doc_id, CAST((len(tk) - 1) // $SpanW + 1 AS BIGINT) AS n_seg FROM d)
+      |SELECT t.doc_id, t.n_seg,
+      |  COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.text_kept, '') AS text_kept
+      |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // --- blocked fuzzy matching (edit distance) --------------------------
+  // Record-linkage-style fuzzy dedup: candidate pairs come from a cheap
+  // deterministic BLOCK key (the leading $FuzzyPrefix words — shared by
+  // exact copies and by near-copies whose head survived the edit), then
+  // only within-block pairs pay the O(len²) Levenshtein DP. The block
+  // join is hash-keyed (never cartesian) and skew-capped like the LSH
+  // band join, so corpus-wide cost is O(Σ block²·len²) with every block
+  // bounded — the classic blocking trade: recall bounded by the block
+  // key, cost bounded by the cap.
+  private val FuzzyPrefix = 3
+  private val FuzzyMaxDist = 120
+
+  def dedupFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= FuzzyPrefix)
+      .select(col("doc_id"), col("text"),
+        concat_ws(" ", (0 until FuzzyPrefix).map(i => col("tk")(i)): _*).as("bkey"))
+      // read 3x (oversized agg + both self-join sides); eager
+      // localCheckpoint so the blocks are context-cleaned once
+      // unreferenced — repeated Verify/Bench runs must not accumulate
+      // storage (the dsirScore precedent)
+      .localCheckpoint(true)
+    val oversized = docs.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
+      .select(col("bkey"))
+    val capped = docs.join(broadcast(oversized), Seq("bkey"), "left_anti")
+    val l = capped.select(col("bkey"), col("doc_id").as("doc_a"), col("text").as("ta"))
+    val r = capped.select(col("bkey"), col("doc_id").as("doc_b"), col("text").as("tb"))
+    l.join(r, Seq("bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupFuzzySql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, text,
+      |    array_to_string(tk[1:$FuzzyPrefix], ' ') AS bkey
+      |  FROM (SELECT doc_id, text,
+      |          list_filter(string_split(text, ' '), x -> x != '') AS tk
+      |        FROM documents)
+      |  WHERE len(tk) >= $FuzzyPrefix),
+      |capped AS (
+      |  SELECT doc_id, text, bkey FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY bkey) AS bsz FROM d)
+      |  WHERE bsz <= $MinhashBucketCap)
+      |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+      |  CAST(levenshtein(l.text, r.text) AS BIGINT) AS dist
+      |FROM capped l JOIN capped r ON l.bkey = r.bkey AND l.doc_id < r.doc_id
+      |WHERE levenshtein(l.text, r.text) <= $FuzzyMaxDist
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -661,4 +661,38 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"pivot scans events $scans times:\n${plan.take(2000)}")
   }
+
+  test("span strip: winner election and reassembly are hash-aggs — no window, no cartesian") {
+    // the C4-shape span dedup must elect first occurrences with ONE
+    // min(struct) hash-agg over the exploded spans (partial-merges
+    // map-side; the exchange carries ~one row per distinct span) — a
+    // row_number window there re-sorts every span of the corpus —
+    // and reassembly must stay a per-doc hash-agg
+    val plan = physical(SparkEntry.queries("dedup_span_strip")(spark, sf))
+    assert(!plan.contains("Window"), s"span strip plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"span strip plans a cartesian:\n${plan.take(2000)}")
+  }
+
+  test("fuzzy dedup: candidates come from the block-key equi-join, never cartesian") {
+    // the O(len²) levenshtein may only run on within-block pairs: the
+    // self-join must stay hash-keyed on bkey (cost ∝ Σ block²) — a
+    // cartesian or nested-loop fallback would price every corpus pair
+    val plan = physical(SparkEntry.queries("dedup_fuzzy")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"fuzzy dedup lost its block join:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"fuzzy dedup plans a Window:\n${plan.take(2000)}")
+  }
+
+  test("fuzzy decontamination: the benchmark side broadcasts into the corpus index") {
+    // the train corpus is the big side — its band keys may shuffle only
+    // among themselves; the (fixed-size) benchmark bands must reach the
+    // corpus as a broadcast, and no window may touch the N-proportional
+    // frames (best-match election is a max(struct) hash-agg)
+    val plan = physical(SparkEntry.queries("text_decontaminate_fuzzy")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"fuzzy decontamination lost the benchmark broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"fuzzy decontamination plans a cartesian:\n${plan.take(2000)}")
+  }
 }
