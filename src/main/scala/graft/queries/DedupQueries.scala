@@ -1006,36 +1006,50 @@ object DedupQueries {
   // window functions anywhere: the "first occurrence" argmin and the
   // in-order reassembly (sort_array over a per-doc spans list) are both
   // bounded per-key, never a corpus-wide sort.
-  private val SpanW = 5
+  private[graft] val SpanW = 5
 
-  def dedupSpanStrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), toks(col("text")).as("tk"))
+  private def spanSegArr = expr(
+    s"transform(sequence(0, (size(tk) - 1) div $SpanW), " +
+      s"i -> concat_ws(' ', slice(tk, i * $SpanW + 1, $SpanW)))")
+
+  /** Tokenized `(doc_id, tk)` frame of non-empty docs. */
+  private def spanDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) > 0)
-    def segArr = expr(
-      s"transform(sequence(0, (size(tk) - 1) div $SpanW), " +
-        s"i -> concat_ws(' ', slice(tk, i * $SpanW + 1, $SpanW)))")
-    // posexplode_outer + notNull: a plain posexplode's inferred
-    // non-empty filter re-inlines the token split per span access (the
-    // shingleHashes rationale); size(tk) > 0 already guarantees a span
-    val segs = docs
-      .select(col("doc_id"), posexplode_outer(segArr))
+
+  /** Exploded spans `(doc_id, idx, seg)` of a tokenized frame.
+    * posexplode_outer + notNull: a plain posexplode's inferred
+    * non-empty filter re-inlines the token split per span access (the
+    * shingleHashes rationale); size(tk) > 0 already guarantees a span. */
+  private[graft] def spanSegs(tokenized: DataFrame): DataFrame =
+    tokenized
+      .select(col("doc_id"), posexplode_outer(spanSegArr))
       .toDF("doc_id", "idx", "seg")
       .filter(col("seg").isNotNull)
-    val winners = segs.groupBy(col("seg"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
-      .select(col("f.doc_id").as("doc_id"), col("f.idx").as("idx"), col("seg"))
-    val rebuilt = winners.groupBy(col("doc_id"))
+
+  /** Rebuild `(doc_id, n_seg, n_kept, text_kept)` from surviving spans,
+    * right-padded so every doc of `tokenized` reports (n_kept = 0 and
+    * empty text when nothing survived). */
+  private def spanRebuild(tokenized: DataFrame, kept: DataFrame): DataFrame = {
+    val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("idx"), col("seg")))),
           x => x.getField("seg")), " ").as("text_kept"))
-    docs.select(col("doc_id"), size(segArr).cast("long").as("n_seg"))
+    tokenized.select(col("doc_id"), size(spanSegArr).cast("long").as("n_seg"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_seg"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
       .orderBy(col("doc_id"))
+  }
+
+  def dedupSpanStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spanDocs(Tables.load(spark, sfDir, "documents"))
+    val winners = spanSegs(docs).groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.idx").as("idx"), col("seg"))
+    spanRebuild(docs, winners)
   }
 
   val dedupSpanStripSql: String =
@@ -1058,6 +1072,73 @@ object DedupQueries {
       |    string_agg(seg, ' ' ORDER BY idx) AS text_kept
       |  FROM winners GROUP BY doc_id),
       |totals AS (SELECT doc_id, CAST((len(tk) - 1) // $SpanW + 1 AS BIGINT) AS n_seg FROM d)
+      |SELECT t.doc_id, t.n_seg,
+      |  COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.text_kept, '') AS text_kept
+      |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // --- incremental span strip (new batch vs corpus) --------------------
+  // The continuous-ingest face of [[dedupSpanStrip]]: a new batch's
+  // spans are stripped against the LANDED corpus's span set plus
+  // batch-internal first occurrences, without re-deduping the corpus
+  // against itself. Scale shape: the corpus side is one distinct
+  // hash-agg (production persists it as a span-hash index, rebuilt only
+  // on compaction — the NearDupIndex pattern), the anti-join is
+  // hash-keyed by span text, and the batch-internal election is the
+  // same min(struct) agg as the batch query. Per-increment cost is
+  // O(corpus scan + batch spans), never O(corpus²).
+  /** The distinct corpus span set — what production persists as the
+    * span index (rebuilt on compaction, the NearDupIndex pattern). */
+  def corpusSpanSet(corpus: DataFrame): DataFrame =
+    spanSegs(spanDocs(corpus)).select(col("seg")).distinct()
+
+  /** Core of [[dedupSpanIncremental]] over any `(doc_id, text)` batch
+    * vs a distinct corpus span frame (`seg`) — also the streaming
+    * face's per-micro-batch backend (`graft.streaming.StreamSpanStrip`),
+    * so stream ≡ batch by construction. */
+  def spanStripAgainst(batch: DataFrame, corpusSegs: DataFrame): DataFrame = {
+    val tokenized = spanDocs(batch)
+    val fresh = spanSegs(tokenized).join(corpusSegs, Seq("seg"), "left_anti")
+    val winners = fresh.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.idx").as("idx"), col("seg"))
+    spanRebuild(tokenized, winners)
+  }
+
+  def dedupSpanIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Tables.load(spark, sfDir, "documents")
+    spanStripAgainst(
+      all.filter(col("source") === IncrementalSource),
+      corpusSpanSet(all.filter(col("source") =!= IncrementalSource)))
+  }
+
+  val dedupSpanIncrementalSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, source, tk FROM (
+      |    SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS tk
+      |    FROM documents)
+      |  WHERE len(tk) > 0),
+      |segs AS (
+      |  SELECT doc_id, source, u.i AS idx,
+      |    array_to_string(tk[u.i * $SpanW + 1 : u.i * $SpanW + $SpanW], ' ') AS seg
+      |  FROM d, LATERAL (SELECT unnest(range(0, (len(tk) - 1) // $SpanW + 1)) AS i) u),
+      |corpus AS (SELECT DISTINCT seg FROM segs WHERE source != '$IncrementalSource'),
+      |fresh AS (
+      |  SELECT doc_id, idx, seg FROM segs
+      |  WHERE source = '$IncrementalSource'
+      |    AND seg NOT IN (SELECT seg FROM corpus)),
+      |winners AS (
+      |  SELECT doc_id, idx, seg FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+      |    FROM fresh)
+      |  WHERE rn = 1),
+      |rebuilt AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(seg, ' ' ORDER BY idx) AS text_kept
+      |  FROM winners GROUP BY doc_id),
+      |totals AS (
+      |  SELECT doc_id, CAST((len(tk) - 1) // $SpanW + 1 AS BIGINT) AS n_seg
+      |  FROM d WHERE source = '$IncrementalSource')
       |SELECT t.doc_id, t.n_seg,
       |  COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.text_kept, '') AS text_kept
       |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id

@@ -306,6 +306,48 @@ object TextQueries {
       |           WHEN 0 THEN 100 WHEN 1 THEN 75 WHEN 2 THEN 50 ELSE 25 END)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --- temperature-smoothed mixture (α = 0.5) --------------------------
+  // The XLM-R/mT5 sampling rule p_i ∝ n_i^α: α < 1 upweights small
+  // sources so high-resource ones don't drown the mixture. α is pinned
+  // to 0.5 because sqrt is the one power the IEEE standard requires
+  // EXACTLY rounded — both engines produce the identical double, so the
+  // whole chain (integer scale-up → sqrt → floor → integer shares) is
+  // hashing-scheme-proof with zero transcendental drift (pow(x, α)
+  // carries no such guarantee). All outputs are exact integers per the
+  // round-5 parity convention. The per-source aggregate is model-sized
+  // (|sources| rows); alloc multiplies through share_e6 to keep every
+  // intermediate < 2^63 for any real corpus (direct total×weight
+  // overflows first).
+  def corpusTemperatureMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.load(spark, sfDir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        floor(sqrt((col("n_docs") * lit(1000000L)).cast("double"))).cast("long"))
+      // feeds the grand total AND the share computation — an eager
+      // localCheckpoint of the |sources|-row frame keeps the corpus to
+      // ONE scan (the budgetRates precedent; blocks context-clean)
+      .localCheckpoint(true)
+    val tot = per.agg(sum(col("weight")).as("sw"), sum(col("n_docs")).as("total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("weight"),
+        expr("weight * 1000000 div sw").as("share_e6"),
+        expr("total * (weight * 1000000 div sw) div 1000000").as("alloc_docs"))
+      .orderBy(col("source"))
+  }
+
+  val corpusTemperatureMixtureSql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(floor(sqrt(CAST(count(*) * 1000000 AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(sum(weight) AS BIGINT) AS sw, CAST(sum(n_docs) AS BIGINT) AS total
+      |  FROM per)
+      |SELECT source, n_docs, weight,
+      |  weight * 1000000 // sw AS share_e6,
+      |  total * (weight * 1000000 // sw) // 1000000 AS alloc_docs
+      |FROM per, tot ORDER BY source""".stripMargin
+
   // --- repetition filter: duplicate/top 2-gram fractions ---------------
   // The Gopher-style repetition signals: a doc whose most frequent
   // 2-gram dominates, or whose 2-grams are mostly non-unique, is

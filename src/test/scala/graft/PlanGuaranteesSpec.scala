@@ -684,6 +684,31 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"fuzzy dedup plans a Window:\n${plan.take(2000)}")
   }
 
+  test("incremental span strip: hash-keyed anti-join against the span set, no window") {
+    // per-increment cost must stay O(corpus scan + batch spans): the
+    // corpus span set is one distinct hash-agg, membership is a keyed
+    // anti-join (shuffle on span text, never nested-loop), and the
+    // batch-internal election stays the min(struct) hash-agg
+    val plan = physical(SparkEntry.queries("dedup_span_incremental")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"incremental span strip plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"span membership lost its keyed join:\n${plan.take(2000)}")
+  }
+
+  test("temperature mixture: one scan, per-source aggregate, broadcast total") {
+    // the α-smoothing math runs over the |sources|-row aggregate only;
+    // the corpus is scanned once and the grand total reaches the
+    // per-source rows as a broadcast — no window, no second scan
+    val plan = physical(SparkEntry.queries("corpus_temperature_mixture")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"temperature mixture plans a Window:\n${plan.take(2000)}")
+    // the per-source frame is checkpointed — the served plan reads the
+    // materialized |sources| rows, never the corpus again
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"temperature mixture re-scans documents $scans times:\n${plan.take(2000)}")
+  }
+
   test("fuzzy decontamination: the benchmark side broadcasts into the corpus index") {
     // the train corpus is the big side — its band keys may shuffle only
     // among themselves; the (fixed-size) benchmark bands must reach the
