@@ -966,8 +966,12 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  val dedupWinnowSql: String =
-    s"""WITH d AS (
+  /** The d/hashed/fps CTE chain shared by [[dedupWinnowSql]] and
+    * [[dedupContainmentSql]] — the DuckDB mirror of
+    * `winnowFingerprints` (per-char rolling hashes, per-window minima,
+    * distinct per doc). */
+  private val winnowFpsCtes: String =
+    s"""d AS (
       |  SELECT doc_id, text FROM documents
       |  WHERE len(text) >= ${WinnowK + WinnowW - 1}),
       |hashed AS (
@@ -982,13 +986,79 @@ object DedupQueries {
       |    unnest(list_distinct(
       |      [list_min(hs[i:i+${WinnowW - 1}])
       |       for i in range(1, len(hs) - ${WinnowW - 1} + 1)])) AS fp
-      |  FROM hashed),
+      |  FROM hashed)""".stripMargin
+
+  val dedupWinnowSql: String =
+    s"""WITH $winnowFpsCtes,
       |fpc AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM fps GROUP BY fp)
       |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fps,
       |  CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_fps,
       |  round(CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
       |FROM fps f JOIN fpc c USING (fp)
       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+
+  // --- passage-containment detection (winnowing fingerprints) ----------
+  // "Document A is substantially CONTAINED in document B" — the
+  // asymmetric relation (quotes, excerpts, subset pages) that symmetric
+  // Jaccard near-dup misses by construction: a short doc fully quoted
+  // inside a long one has low Jaccard but containment ~ 1. MinHash-LSH
+  // candidates inherit the Jaccard bias, so candidates here come from
+  // the winnowing fingerprints instead: any shared passage >= w+k-1
+  // chars guarantees a shared fingerprint (the dedup_winnow coverage
+  // property), making recall passage-driven, not ratio-driven.
+  //
+  // Scale shape: pair generation joins on the fingerprint, restricted
+  // to fps shared by 2..cap docs (ubiquitous boilerplate fps are
+  // excluded — mass duplication is exact-dedup's job), so candidate
+  // volume is Σ nd² over capped fps, never corpus². The fps frame is
+  // checkpointed once (the kernel is the expensive part) and every
+  // downstream consumer is a hash-agg or keyed join.
+  private val ContainT = 0.8
+
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
+    containmentPairs(Tables.load(spark, sfDir, "documents"))
+
+  /** Core of [[dedupContainment]] over any `(doc_id, text)` frame. */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    val fps = winnowFingerprints(docs)
+      .localCheckpoint(true) // read 4x: per-doc counts, fp counts, join sides
+    val perDoc = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val shared = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= MinhashBucketCap)
+      .select(col("fp"))
+    val capped = fps.join(shared, Seq("fp"))
+    val l = capped.select(col("fp"), col("doc_id").as("doc_a"))
+    val r = capped.select(col("fp"), col("doc_id").as("doc_b"))
+    val pairShared = l.join(r, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    pairShared
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("nf").as("na")), Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("nf").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("na"), col("nb"),
+        (col("shared").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= ContainT)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH $winnowFpsCtes,
+      |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fps GROUP BY doc_id),
+      |shared AS (
+      |  SELECT fp FROM (SELECT fp, count(*) AS nd FROM fps GROUP BY fp)
+      |  WHERE nd >= 2 AND nd <= $MinhashBucketCap),
+      |capped AS (SELECT f.doc_id, f.fp FROM fps f JOIN shared s USING (fp)),
+      |pairs AS (
+      |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+      |  FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, shared, na, nb, containment FROM (
+      |  SELECT doc_a, doc_b, shared, a.nf AS na, b.nf AS nb,
+      |    CAST(shared AS DOUBLE) / CAST(least(a.nf, b.nf) AS DOUBLE) AS containment
+      |  FROM pairs JOIN perdoc a ON pairs.doc_a = a.doc_id
+      |             JOIN perdoc b ON pairs.doc_b = b.doc_id)
+      |WHERE containment >= $ContainT
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- corpus-wide duplicated-span REMOVAL with reconstruction ---------
   // The C4/RefinedWeb line-dedup shape: any fixed-width span of text that

@@ -182,22 +182,61 @@ object TextQueries {
     "es" -> Seq("el", "la", "de", "y", "es"),
     "fr" -> Seq("le", "la", "de", "et", "est"))
 
+  /** Per-language stopword-hit scores over a `text` column. */
+  private def langScores: Seq[Column] = langStops.map { case (_, words) =>
+    val arr = array(words.map(lit): _*)
+    size(filter(toks(col("text")), x => array_contains(arr, x)))
+  }
+
+  /** The argmax-with-fixed-tie-order language vote — shared by
+    * [[textLangid]] and [[textLangidEval]] so prediction and evaluation
+    * can never drift apart. */
+  private def langPred(scores: Seq[Column]): Column = {
+    val Seq(en, de, es, fr) = scores
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
   def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val t = toks(col("text"))
-    val scores = langStops.map { case (lang, words) =>
-      val arr = array(words.map(lit): _*)
-      lang -> size(filter(t, x => array_contains(arr, x)))
-    }
-    val Seq(en, de, es, fr) = scores.map(_._2)
+    val scores = langScores
+    val Seq(en, de, es, fr) = scores
     docs.select(
         col("doc_id"),
         en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
-        when(en >= de && en >= es && en >= fr, "en")
-          .when(de >= es && de >= fr, "de")
-          .when(es >= fr, "es")
-          .otherwise("fr").as("pred_lang"))
+        langPred(scores).as("pred_lang"))
       .orderBy(col("doc_id"))
+  }
+
+  // --- language-ID evaluation: confusion matrix vs the labeled column --
+  // The eval face of [[textLangid]]: the fixture's `lang` label is the
+  // ground truth, so the heuristic's quality is measurable — the
+  // confusion matrix (label × prediction × count) is the standard
+  // artifact a pipeline publishes before trusting a language gate.
+  // One scan, one hash-agg; the scores are per-row projections, so the
+  // matrix costs the same as any per-source count at 100 TB.
+  def textLangidEval(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), langPred(langScores).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  val textLangidEvalSql: String = {
+    def score(words: Seq[String]) = {
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(list_filter(string_split(text, ' '), t -> t != ''), x -> list_contains($arr, x)))"
+    }
+    val Seq(en, de, es, fr) = langStops.map(p => score(p._2))
+    s"""SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT lang,
+      |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+      |  FROM (SELECT lang, $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr FROM documents))
+      |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
   }
 
   val textLangidSql: String = {

@@ -130,6 +130,33 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(fps(3L).size <= nGrams - 7, "more fingerprints than windows")
   }
 
+  test("containment catches an excerpt that symmetric Jaccard misses") {
+    import spark.implicits._
+    // doc 1 is a SHORT excerpt fully contained in LONG doc 2: their
+    // shingle Jaccard is tiny (|A∩B|/|A∪B| with |B| >> |A|) — below any
+    // sane near-dup threshold — but containment of the smaller side ~ 1
+    val excerpt = "the quick brown fox jumps over the lazy dairy cow daily"
+    val filler = (1 to 30).map(i => s"unique$i filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, excerpt),
+      (2L, s"$filler $excerpt more trailing content never seen elsewhere"),
+      (3L, "totally unrelated content with nothing shared at all here okay")
+    ).toDF("doc_id", "text")
+    val pairs = DedupQueries.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSeq
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.8 },
+      s"excerpt pair not caught: $pairs")
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L },
+      s"unrelated doc flagged: $pairs")
+    // and the Jaccard the near-dup family uses really IS low here —
+    // the asymmetric relation is invisible to a 0.5 jaccard gate
+    val sets = DedupQueries.winnowFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val j = sets(1L).intersect(sets(2L)).size.toDouble / sets(1L).union(sets(2L)).size
+    assert(j < 0.5, s"fixture not asymmetric enough: jaccard $j")
+  }
+
   test("corpus_split: no near-dup pair straddles the train/val boundary") {
     // the operator's whole reason to exist — every clustered doc must
     // land on the same side as its cluster representative, and both

@@ -709,6 +709,16 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(scans == 0, s"temperature mixture re-scans documents $scans times:\n${plan.take(2000)}")
   }
 
+  test("containment: pair generation is the capped fingerprint equi-join, no window") {
+    // candidate volume must stay Σ nd² over capped fps: the self-join
+    // is keyed on the fingerprint (never cartesian/nested-loop), counts
+    // are hash-aggs, and no window touches the fps frame
+    val plan = physical(SparkEntry.queries("dedup_containment")(spark, sf))
+    assert(!plan.contains("Window"), s"containment plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"containment lost its fp-keyed join:\n${plan.take(2000)}")
+  }
+
   test("fuzzy decontamination: the benchmark side broadcasts into the corpus index") {
     // the train corpus is the big side — its band keys may shuffle only
     // among themselves; the (fixed-size) benchmark bands must reach the
