@@ -1233,4 +1233,60 @@ object CurationQueries {
       |SELECT doc_id, source, domain FROM framed
       |WHERE domain NOT IN (SELECT domain FROM blocked)
       |ORDER BY doc_id""".stripMargin
+
+  // --- per-domain document cap -----------------------------------------
+  // Crawl pipelines cap how many pages any single registrable domain
+  // may contribute (SEO farms and mirror sites otherwise dominate the
+  // token mass). Keep the [[DomainCapK]] best docs per domain by the
+  // shared quality score, ties by doc_id. Plan: one projection
+  // (synthetic url → domain + quality_e6) → ONE bounded TopKAgg hash
+  // agg keyed on domain — partial-merge map-side, so the exchange
+  // carries ≤ |domains|×K rows no matter the corpus size — then a
+  // posexplode of the ≤K keeper list. No window over N (the
+  // vec_topk shuffle argument, applied to curation). quality_e6 rides
+  // the aggregate as an exact-integer-valued double (< 2^53), so the
+  // TopKAgg ordering is identical to BIGINT ordering and the output
+  // column is a hashing-proof BIGINT.
+  private val DomainCapK = 8
+
+  def corpusDomainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TopKAgg
+    import org.apache.spark.sql.types.DoubleType
+    val topk = udaf(new TopKAgg(DomainCapK))
+    val docs = Tables.load(spark, sfDir, "documents")
+    val qE6 = floor(TextQueries.qualityExpr(col("text")) * lit(1000000.0)).cast("long")
+    val framed = docs
+      .select(col("doc_id"), qE6.as("quality_e6"), urlOf.as("url"))
+      .withColumn("domain", domainOf(canonicalUrl(col("url"))))
+    framed.groupBy(col("domain"))
+      .agg(count(lit(1)).as("domain_docs"),
+        topk(col("quality_e6").cast(DoubleType), col("doc_id")).as("pk"))
+      .select(col("domain"), col("domain_docs"),
+        posexplode(col("pk")).as(Seq("pos", "p")))
+      .select(col("domain"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("doc_id"), col("p.sim").cast("long").as("quality_e6"),
+        col("domain_docs"))
+      .orderBy(col("domain"), col("rank"))
+  }
+
+  val corpusDomainCapSql: String = {
+    val q = TextQueries.qualitySqlExpr("toks", "text")
+    s"""WITH framed AS (
+      |  SELECT doc_id,
+      |    CAST(floor(($q) * 1000000.0) AS BIGINT) AS quality_e6,
+      |    ${domainSql(canonicalUrlSql(s"($urlSqlExpr)"))} AS domain
+      |  FROM (SELECT doc_id, text,
+      |          list_filter(string_split(text, ' '), t -> t != '') AS toks
+      |        FROM documents)),
+      |ranked AS (
+      |  SELECT domain, doc_id, quality_e6,
+      |    row_number() OVER (PARTITION BY domain
+      |                       ORDER BY quality_e6 DESC, doc_id) AS rank,
+      |    count(*) OVER (PARTITION BY domain) AS domain_docs
+      |  FROM framed)
+      |SELECT domain, CAST(rank AS INT) AS rank, doc_id, quality_e6,
+      |  CAST(domain_docs AS BIGINT) AS domain_docs
+      |FROM ranked WHERE rank <= $DomainCapK
+      |ORDER BY domain, rank""".stripMargin
+  }
 }

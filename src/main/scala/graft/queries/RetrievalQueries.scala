@@ -306,6 +306,54 @@ object RetrievalQueries {
       .limit(LexTopN)
   }
 
+  // --- pseudo-relevance feedback: RM1-style query expansion -----------
+  // The classic two-pass retrieval trick: run the query, treat the
+  // top-k docs as (pseudo-)relevant, and mine THEM for expansion terms
+  // — the relevance-model weight collapses to feedback-set term
+  // frequency here (uniform doc prior), which keeps every output an
+  // exact integer. Query terms and stopwords are excluded (expanding a
+  // query with itself or with "the" is noise).
+  //
+  // Scale shape: the feedback set is the bounded LexTopN result — it
+  // BROADCASTS, so mining is one corpus scan with a broadcast hash
+  // semi-join (no shuffle of the corpus), one (term) hash agg whose
+  // input is only the feedback docs' tokens, and a TakeOrdered top-15.
+  // A serving deployment would fetch the k docs by id from the doc
+  // store instead of scanning; the agg/ranking shape is identical.
+  private val PrfTopTerms = 15
+
+  def retrievalPrfExpand(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fb = retrievalLexicalTopk(spark, sfDir).select(col("doc_id"))
+    def toksOf = filter(split(col("text"), " "), t => t =!= "")
+    docs.join(broadcast(fb), "doc_id")
+      .select(col("doc_id"), explode_outer(toksOf).as("term"))
+      .filter(col("term").isNotNull)
+      .filter(!col("term").isin(LexTerms: _*))
+      .filter(!col("term").isin(TextQueries.stopEn: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("fb_tf"), countDistinct(col("doc_id")).as("fb_df"))
+      .orderBy(col("fb_tf").desc, col("term"))
+      .limit(PrfTopTerms)
+  }
+
+  val retrievalPrfExpandSql: String = {
+    val qTerms = LexTerms.map(t => s"'$t'").mkString(", ")
+    val stops = TextQueries.stopEn.map(t => s"'$t'").mkString(", ")
+    s"""WITH topdocs AS ($retrievalLexicalTopkSql),
+      |fbterms AS (
+      |  SELECT d.doc_id, d.tok AS term
+      |  FROM (SELECT doc_id,
+      |          unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      |        FROM documents) d
+      |  JOIN topdocs USING (doc_id)
+      |  WHERE d.tok NOT IN ($qTerms) AND d.tok NOT IN ($stops))
+      |SELECT term, CAST(count(*) AS BIGINT) AS fb_tf,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS fb_df
+      |FROM fbterms GROUP BY term
+      |ORDER BY fb_tf DESC, term LIMIT $PrfTopTerms""".stripMargin
+  }
+
   // --- late-interaction (multi-vector) retrieval ----------------------
   // The ColBERT scoring shape: a document is MANY chunk vectors, and
   // score(q, d) = Σ_{p ∈ q.chunks} max_{c ∈ d.chunks} sim(p, c) — finer

@@ -434,6 +434,76 @@ object TextQueries {
       |  GROUP BY doc_id, gram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- PMI collocations: exact-integer association ranking -------------
+  // Pointwise mutual information over adjacent token pairs — the
+  // collocation table ("new york") every phrase-mining / tokenizer-vocab
+  // pass reports. PMI = log p(w1,w2)/(p(w1)p(w2)); log is monotone, so
+  // RANKING needs only the ratio c12·N/(c1·c2) — no transcendental. The
+  // marginals c1 (w as left element) and c2 (w as right) are row/column
+  // sums of the bigram matrix, so the whole query is ONE corpus scan:
+  // the bigram count table (vocab²-bounded, corpus-sublinear) is
+  // localCheckpoint'ed eagerly and everything downstream — marginals,
+  // grand total, the two vocab-keyed joins — reads the materialized
+  // frame, never the corpus. Parity: the chain c12·1.0·N/c1/c2·1000 is
+  // IEEE-exact ops in one pinned association order, floored to a
+  // hashing-proof BIGINT (`pmi_e3`); conversions of counts to double
+  // are correctly rounded identically in both engines. Top-20 is a
+  // TakeOrdered (orderBy+limit), never a global sort.
+  private val PmiMinCount = 5L
+  private val PmiTopN = 20
+
+  def textPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t = toks(col("text"))
+    val c12 = docs
+      .select(t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode_outer(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      // feeds marginals + total + the scored join — an eager
+      // localCheckpoint keeps the corpus to ONE scan and lets the
+      // blocks be context-cleaned when unreferenced (budgetRates
+      // precedent; vocab²-bounded, corpus-sublinear)
+      .localCheckpoint(true)
+    val left = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val right = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val tot = c12.agg(sum(col("c12")).as("n"))
+    c12.filter(col("c12") >= PmiMinCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        floor(col("c12").cast("double") * col("n").cast("double") /
+          col("c1").cast("double") / col("c2").cast("double") * lit(1000.0))
+          .cast("long").as("pmi_e3"))
+      .orderBy(col("pmi_e3").desc, col("w1"), col("w2"))
+      .limit(PmiTopN)
+  }
+
+  val textPmiSql: String =
+    s"""WITH c12 AS (
+      |  SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM (
+      |    SELECT unnest(list_transform(range(1, len(toks)),
+      |                  i -> [toks[i], toks[i + 1]])) AS p
+      |    FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |          FROM documents)
+      |    WHERE len(toks) >= 2)
+      |  GROUP BY 1, 2),
+      |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+      |r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2),
+      |t AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12)
+      |SELECT w1, w2, c12, c1, c2,
+      |  CAST(floor(CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE)
+      |    / CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE) * 1000.0) AS BIGINT) AS pmi_e3
+      |FROM c12 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+      |WHERE c12 >= $PmiMinCount
+      |ORDER BY pmi_e3 DESC, w1, w2 LIMIT $PmiTopN""".stripMargin
+
   // --- document fingerprinting: normalized-content hash + source stats ---
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")

@@ -719,6 +719,44 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"containment lost its fp-keyed join:\n${plan.take(2000)}")
   }
 
+  test("domain cap: per-domain keepers via bounded TopKAgg, never a window over docs") {
+    // the per-domain top-K must partial-merge map-side (TopKAgg), so the
+    // exchange carries ≤ |domains|×K rows — a row_number window here
+    // re-sorts the whole corpus by domain, skew-bound by the hottest one
+    val plan = physical(SparkEntry.queries("corpus_domain_cap")(spark, sf))
+    assert(!plan.contains("Window"), s"domain cap plans a Window:\n${plan.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"domain cap scans documents $scans times:\n${plan.take(2000)}")
+  }
+
+  test("pmi: one corpus scan, vocab-keyed joins, TakeOrdered top-k") {
+    // bigram counts are checkpointed, so marginals + total + the scored
+    // join all read the materialized vocab²-bounded frame — zero live
+    // parquet scans — and the top-20 must be a TakeOrdered, never a
+    // global Sort of the bigram table
+    val plan = physical(SparkEntry.queries("text_pmi")(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"pmi re-scans documents $scans times:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"pmi plans a Window:\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pmi top-k is not a TakeOrdered:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"pmi plans a cartesian:\n${plan.take(2000)}")
+  }
+
+  test("prf expansion: feedback docs broadcast into the corpus scan, no window") {
+    // the bounded top-k feedback set must reach the corpus as a
+    // broadcast hash join (the corpus never shuffles on doc_id), term
+    // mining is one hash agg, and the top terms are a TakeOrdered
+    val plan = physical(SparkEntry.queries("retrieval_prf_expand")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"prf lost the feedback broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"prf top terms is not a TakeOrdered:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"prf plans a cartesian:\n${plan.take(2000)}")
+  }
+
   test("fuzzy decontamination: the benchmark side broadcasts into the corpus index") {
     // the train corpus is the big side — its band keys may shuffle only
     // among themselves; the (fixed-size) benchmark bands must reach the
