@@ -174,9 +174,9 @@ object RetrievalQueries {
   // Per-doc contribution sums route through DECIMAL(28,14): with
   // multiple query terms per doc, a float sum's merge order would
   // otherwise perturb the fixed-point score.
-  private val LexTerms = Seq("spark", "merge", "window")
-  private val LexPostK = 16
-  private val LexTopN = 10
+  private[graft] val LexTerms = Seq("spark", "merge", "window")
+  private[graft] val LexPostK = 16
+  private[graft] val LexTopN = 10
 
   def retrievalLexicalTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TopKAgg
@@ -285,11 +285,21 @@ object RetrievalQueries {
     * [[retrievalLexicalTopk]] (tf/df are integer-valued doubles either
     * way), so the result and oracle are shared. */
   def retrievalLexicalTopkCached(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val dir = prepareLexIndex(spark, sfDir)
     val post = spark.read.parquet(s"$dir/postings")
       .filter(col("term").isin(LexTerms: _*) && col("rank") <= LexPostK)
     val stats = spark.read.parquet(s"$dir/stats")
+    scoreLexIndex(post, stats)
+  }
+
+  /** The shared BM25 serving core: score a `(term, df, doc_id, tf, dl)`
+    * posting frame against a one-row `(n, sumdl)` stats frame —
+    * operand-for-operand the [[retrievalLexicalTopk]] chain, used by
+    * the persisted-index path above AND the continuously-maintained
+    * index ([[graft.streaming.StreamLexicalIndex]]), so every serving
+    * face scores identically by construction. */
+  private[graft] def scoreLexIndex(post: DataFrame, stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val df = col("df").cast(DoubleType)
     val tf = col("tf").cast(DoubleType)
     val idf = (col("n") - df + lit(0.5)) / (df + lit(0.5))
