@@ -504,6 +504,65 @@ object TextQueries {
       |WHERE c12 >= $PmiMinCount
       |ORDER BY pmi_e3 DESC, w1, w2 LIMIT $PmiTopN""".stripMargin
 
+  // --- per-doc keyword extraction: integer TF-IDF surrogate ------------
+  // The top-3 characteristic terms of every document — the tagging /
+  // faceting / dedup-explain signal curation dashboards show next to a
+  // doc. Classic tf·idf ranks by tf·log(N/df); log is monotone in N/df,
+  // so with tf ties broken by the ratio itself the integer surrogate
+  // score = tf·N div df preserves the ranking logic with ZERO
+  // transcendentals — every output is a hashing-proof BIGINT.
+  // Plan: tf per (doc, term) — the inverted-index input, eagerly
+  // checkpointed because df, and the scored join, both read it (at
+  // production scale this table is persisted by the index build; the
+  // checkpoint is its stand-in) — then a term-keyed join (vocab-sized
+  // df side), a broadcast 1-row doc count, and the per-doc top-3 as a
+  // bounded sort INSIDE one hash agg (collect_list is capped by the
+  // doc's own vocab — the per-doc-bounded-state pattern), never a
+  // row_number window re-sorting the corpus.
+  private val KeywordsK = 3
+
+  def textKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+      .filter(!col("term").isin(stopEn: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfT, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), expr("tf * n_docs div df").as("score"))
+      .groupBy(col("doc_id"))
+      .agg(slice(sort_array(collect_list(
+        struct((-col("score")).as("ns"), col("term").as("t")))), 1, KeywordsK).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.t").as("term"), (-col("p.ns")).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val textKeywordsSql: String = {
+    val stops = stopEn.map(s => s"'$s'").mkString(", ")
+    s"""WITH tf AS (
+      |  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      |        FROM documents)
+      |  WHERE tok NOT IN ($stops)
+      |  GROUP BY 1, 2),
+      |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, term, tf * n_docs // df AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY tf * n_docs // df DESC, term) AS rank
+      |  FROM tf JOIN d USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, term, score
+      |FROM ranked WHERE rank <= $KeywordsK
+      |ORDER BY doc_id, rank""".stripMargin
+  }
+
   // --- document fingerprinting: normalized-content hash + source stats ---
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")

@@ -744,6 +744,17 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"pmi plans a cartesian:\n${plan.take(2000)}")
   }
 
+  test("keywords: per-doc top-k inside one hash agg, never a corpus window") {
+    // the tf table is checkpointed (the persisted-index stand-in), so
+    // the only live scan is the column-pruned doc count; the per-doc
+    // top-3 must stay a bounded in-agg sort — a row_number window here
+    // re-sorts every (doc, term) pair of the corpus
+    val plan = physical(SparkEntry.queries("text_keywords")(spark, sf))
+    assert(!plan.contains("Window"), s"keywords plans a Window:\n${plan.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"keywords scans documents $scans times:\n${plan.take(2000)}")
+  }
+
   test("prf expansion: feedback docs broadcast into the corpus scan, no window") {
     // the bounded top-k feedback set must reach the corpus as a
     // broadcast hash join (the corpus never shuffles on doc_id), term
