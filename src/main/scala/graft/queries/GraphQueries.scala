@@ -212,4 +212,90 @@ object GraphQueries {
       |$iters
       |SELECT doc_id, round(pr, 9) AS pr FROM it$PrIters ORDER BY doc_id""".stripMargin
   }
+
+  // --- triangle counting + global clustering coefficient ---------------
+  // How clique-ish is the near-dup graph? Template families (boiler-
+  // plate, mirrored sites) show up as dense triangle clusters; a high
+  // clustering coefficient says transitive closure (dedup_clusters)
+  // will fold aggressively. Algorithm: DEGREE-ORIENTED counting — each
+  // undirected edge points from its (deg, id)-smaller endpoint, wedges
+  // are built only from each source's out-neighbors ordered by the same
+  // key, and a triangle closes when the (v, w) wedge matches an
+  // oriented v→w edge. The orientation is the standard hub-taming
+  // trick: out-degree is O(√E) even at a celebrity vertex, so wedge
+  // volume — the cost driver — is Σ out-deg² instead of Σ deg²; all
+  // three joins are hash equi-joins (the key ordering rides along as a
+  // join residual). Outputs are pure integers (cc_e6 by integer
+  // division), so the row is hashing-proof.
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = DedupQueries.minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val und = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .distinct().localCheckpoint()
+    val deg = und.select(explode(array(col("lo"), col("hi"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val loFirst = col("dlo") < col("dhi") ||
+      (col("dlo") === col("dhi") && col("lo") < col("hi"))
+    val oriented = und
+      .join(deg.select(col("v").as("lo"), col("deg").as("dlo")), "lo")
+      .join(deg.select(col("v").as("hi"), col("deg").as("dhi")), "hi")
+      .select(
+        when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
+        when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
+        when(loFirst, col("dhi")).otherwise(col("dlo")).as("ddst"))
+      .localCheckpoint(true)
+    val o1 = oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
+    val wedges = o1.join(o2,
+      o1("src") === o2("src") &&
+        (col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w"))))
+      .select(col("v"), col("w"))
+    val tri = wedges
+      .join(oriented, col("v") === col("src") && col("w") === col("dst"))
+      .agg(count(lit(1)).as("n_tri"))
+    // one agg per source frame; the 1-row results combine via (benign,
+    // single-row) nested-loop crosses
+    val degStats = deg.agg(count(lit(1)).as("n_vertices"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val ne = und.agg(count(lit(1)).as("n_edges"))
+    degStats.crossJoin(ne).crossJoin(tri)
+      .select(col("n_vertices"), col("n_edges"),
+        col("n_tri").as("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0L))
+          .otherwise(expr("3 * n_tri * 1000000 div n_wedges")).as("cc_e6"))
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH pairs AS (
+      |  SELECT doc_a, doc_b FROM (${DedupQueries.minhashLshSql})
+      |),
+      |und AS (SELECT DISTINCT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi
+      |        FROM pairs),
+      |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+      |        FROM (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und)
+      |        GROUP BY 1),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND u.lo < u.hi)
+      |         THEN u.lo ELSE u.hi END AS src,
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND u.lo < u.hi)
+      |         THEN u.hi ELSE u.lo END AS dst,
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND u.lo < u.hi)
+      |         THEN dh.deg ELSE dl.deg END AS ddst
+      |  FROM und u JOIN deg dl ON dl.v = u.lo JOIN deg dh ON dh.v = u.hi),
+      |w AS (
+      |  SELECT o1.dst AS v, o2.dst AS w2
+      |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+      |   AND (o1.ddst < o2.ddst OR (o1.ddst = o2.ddst AND o1.dst < o2.dst))),
+      |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_tri
+      |        FROM w JOIN o ON o.src = w.v AND o.dst = w.w2),
+      |wt AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+      |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM deg),
+      |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+      |SELECT n_vertices, n_edges, n_tri AS n_triangles, n_wedges,
+      |  CAST(CASE WHEN n_wedges = 0 THEN 0
+      |       ELSE 3 * n_tri * 1000000 // n_wedges END AS BIGINT) AS cc_e6
+      |FROM nv, ne, tri, wt""".stripMargin
 }

@@ -755,6 +755,24 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(scans <= 1, s"keywords scans documents $scans times:\n${plan.take(2000)}")
   }
 
+  test("triangles: degree-oriented wedge joins stay hash equi-joins, no window") {
+    // wedge generation and closure must key on src / (v, w) — a
+    // cartesian fallback prices every edge pair (the ordering
+    // predicates may only ride as join residuals). The ONLY permitted
+    // nested-loop joins are the 1-row scalar crosses that assemble the
+    // single output row (two crossJoins → ≤ 2).
+    val plan = physical(SparkEntry.queries("graph_triangles")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"triangles plans a cartesian:\n${plan.take(2000)}")
+    val bnl = "BroadcastNestedLoop".r.findAllIn(plan).size
+    assert(bnl <= 2, s"triangles plans $bnl nested-loop joins (edge-sized?):\n${plan.take(2000)}")
+    // orientation joins run inside the eager checkpoint; the live plan
+    // keeps exactly the wedge self-join and the closure join
+    val keyed = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(plan).size
+    assert(keyed >= 2, s"triangles lost its keyed joins ($keyed):\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"triangles plans a Window:\n${plan.take(2000)}")
+  }
+
   test("prf expansion: feedback docs broadcast into the corpus scan, no window") {
     // the bounded top-k feedback set must reach the corpus as a
     // broadcast hash join (the corpus never shuffles on doc_id), term
