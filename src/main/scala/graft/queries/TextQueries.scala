@@ -239,6 +239,71 @@ object TextQueries {
       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
   }
 
+  // --- segment-level language mixing -----------------------------------
+  // Code-switching detection: real crawl documents mix languages
+  // (quoted passages, boilerplate navigation, bilingual pages), and a
+  // doc-level language gate silently mislabels them. Split each doc on
+  // sentence boundaries, vote the language PER SEGMENT with the exact
+  // shared stopword scorer, and report per doc: segment count, distinct
+  // languages, the dominant language ((count desc, lang asc) — a
+  // min(struct) over the per-doc language histogram, never a window),
+  // and a mixed flag. Plan: one scan → segment explode (rows ∝
+  // sentences) → two hash aggs; the per-doc state is bounded by the
+  // 4-language vote domain.
+  def textLangSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val segs = docs
+      .select(col("doc_id"),
+        explode_outer(filter(split(col("text"), "\\. "), s => trim(s) =!= "")).as("seg"))
+      .filter(col("seg").isNotNull)
+    val segScores = langStops.map { case (_, words) =>
+      val arr = array(words.map(lit): _*)
+      size(filter(filter(split(col("seg"), " "), t => t =!= ""),
+        x => array_contains(arr, x)))
+    }
+    segs.select(col("doc_id"), langPred(segScores).as("pred"))
+      .groupBy(col("doc_id"), col("pred")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_segments"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("cnt")).as("nc"), col("pred").as("p"))).as("top"))
+      .select(col("doc_id"), col("n_segments"), col("n_langs"),
+        col("top.p").as("dominant_lang"),
+        (col("n_langs") > 1).cast("int").as("is_mixed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangSegmentsSql: String = {
+    def score(words: Seq[String]) = {
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(list_filter(string_split(seg, ' '), t -> t != ''), x -> list_contains($arr, x)))"
+    }
+    val Seq(en, de, es, fr) = langStops.map(p => score(p._2))
+    s"""WITH segs AS (
+      |  SELECT doc_id, seg FROM (
+      |    SELECT doc_id, unnest(string_split(text, '. ')) AS seg FROM documents)
+      |  WHERE trim(seg) != ''),
+      |pred AS (
+      |  SELECT doc_id,
+      |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred
+      |  FROM (SELECT doc_id, $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr
+      |        FROM segs)),
+      |cnt AS (
+      |  SELECT doc_id, pred, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM pred GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id, pred, cnt,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, pred) AS rn,
+      |    CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_segments,
+      |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_langs
+      |  FROM cnt)
+      |SELECT doc_id, n_segments, n_langs, pred AS dominant_lang,
+      |  CAST(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END AS INT) AS is_mixed
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val textLangidSql: String = {
     def score(words: Seq[String]) = {
       val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")

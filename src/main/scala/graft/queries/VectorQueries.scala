@@ -302,6 +302,39 @@ object VectorQueries {
       |SELECT probe_id, rank, vec_id AS neighbor_id, round(sim,6) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
 
+  // --- ANN recall, self-measured ---------------------------------------
+  // "Measure, don't guess": recall@k of the IVF path against the
+  // brute-force ground truth, per probe, as ONE query — the number an
+  // index owner watches when tuning NProbe / the centroid count. The
+  // ground truth is exact only over the probe SAMPLE, which is the
+  // point: evaluation cost is |probes|·N (the brute leg), bounded by
+  // the sample, while the production path being graded stays
+  // probed-list-priced. Integer outputs (hits, recall_e6 by integer
+  // division) keep the row hashing-proof.
+  def vecIvfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = vecTopk(spark, sfDir).select(col("probe_id"), col("neighbor_id"))
+    val approx = vecIvfTopk(spark, sfDir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+    brute.join(approx, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .select(col("probe_id"), col("k"), col("hits"),
+        expr("hits * 1000000 div k").as("recall_e6"))
+      .orderBy(col("probe_id"))
+  }
+
+  val vecIvfRecallSql: String =
+    s"""WITH brute AS ($vecTopkSql),
+      |approx AS ($vecIvfTopkSql)
+      |SELECT b.probe_id, CAST(count(*) AS BIGINT) AS k,
+      |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS recall_e6
+      |FROM brute b LEFT JOIN approx a
+      |  ON a.probe_id = b.probe_id AND a.neighbor_id = b.neighbor_id
+      |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
+
   // --- IVF with a TRAINED coarse quantizer: one Lloyd iteration --------
   // The sampled-seed quantizer above is the bootstrap; real IVF trains
   // k-means. One Lloyd step, all DataFrame ops: assign every vector to

@@ -773,6 +773,25 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"triangles plans a Window:\n${plan.take(2000)}")
   }
 
+  test("lang segments: one scan, per-doc vote via hash aggs, no window") {
+    // segment explode rides the scan; the dominant-language election is
+    // a min(struct) over the per-doc language histogram (≤4 rows/doc) —
+    // a row_number window here re-sorts every segment of the corpus
+    val plan = physical(SparkEntry.queries("text_lang_segments")(spark, sf))
+    assert(!plan.contains("Window"), s"lang segments plans a Window:\n${plan.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"lang segments scans documents $scans times:\n${plan.take(2000)}")
+  }
+
+  test("ivf recall: both legs stay window-free and cartesian-free under the join") {
+    // the recall join composes two already-pinned legs; the composition
+    // must not force either into a cartesian or window fallback
+    val plan = physical(SparkEntry.queries("vec_ivf_recall")(spark, sf))
+    assert(!plan.contains("Window"), s"ivf recall plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"ivf recall plans a cartesian:\n${plan.take(2000)}")
+  }
+
   test("prf expansion: feedback docs broadcast into the corpus scan, no window") {
     // the bounded top-k feedback set must reach the corpus as a
     // broadcast hash join (the corpus never shuffles on doc_id), term
