@@ -204,12 +204,18 @@ object DedupQueries {
   /** (doc_id, band, bkey) — all band keys in ONE pass over the signature
     * (explode of an array of structs — no per-band union recomputing the
     * signature). */
-  private[graft] def bandKeys(sh: DataFrame): DataFrame = {
+  private[graft] def bandKeys(sh: DataFrame): DataFrame =
+    bandKeysOfSig(signatures(sh))
+
+  /** Band keys over an ALREADY-computed signature frame — the seam that
+    * lets the estimator-error report reuse one materialized signature
+    * for both banding and per-pair agreement. */
+  private def bandKeysOfSig(sig: DataFrame): DataFrame = {
     val bandArr = array((0 until MinhashK / BandRows).map { bandIdx =>
       val cols = (0 until BandRows).map(r => col(s"mh${bandIdx * BandRows + r}"))
       struct(lit(bandIdx).as("band"), concat_ws("_", cols: _*).as("bkey"))
     }: _*)
-    signatures(sh)
+    sig
       .select(col("doc_id"), explode(bandArr).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
@@ -247,7 +253,10 @@ object DedupQueries {
     verified.orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val minhashLshSql: String = {
+  /** The shingle → signature → banded-candidate → hash-set CTE chain
+    * (`shingles, sh, sig, bands, capped, cand, hsets`) shared by the
+    * LSH oracle and the estimator-error report. */
+  private[graft] val minhashCteCore: String = {
     val minExprs = HashParams.zipWithIndex
       .map { case ((a, b), i) => s"min((h * $a + $b) % $Prime) AS mh$i" }
       .mkString(",\n      |    ")
@@ -255,7 +264,7 @@ object DedupQueries {
       val cols = (0 until BandRows).map(r => s"mh${bandIdx * BandRows + r}")
       s"SELECT doc_id, $bandIdx AS band, concat_ws('_', ${cols.mkString(", ")}) AS bkey FROM sig"
     }.mkString("\n      |  UNION ALL ")
-    s"""WITH shingles AS (
+    s"""shingles AS (
       |  SELECT DISTINCT doc_id, tok || ' ' || nxt1 || ' ' || nxt2 AS shingle FROM (
       |    SELECT doc_id, tok,
       |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt1,
@@ -279,13 +288,93 @@ object DedupQueries {
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
       |  FROM capped l JOIN capped r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-      |hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM sh GROUP BY doc_id)
+      |hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  val minhashLshSql: String =
+    s"""WITH $minhashCteCore
       |SELECT doc_a, doc_b, jaccard FROM (
       |  SELECT doc_a, doc_b,
       |    len(list_intersect(a.hs, b.hs))::DOUBLE
       |      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
       |  FROM cand JOIN hsets a ON cand.doc_a = a.doc_id JOIN hsets b ON cand.doc_b = b.doc_id)
       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- MinHash estimator error: est vs exact Jaccard ------------------
+  // "Measure, don't guess" for the dedup index itself: how far is the
+  // K-perm signature agreement (the only similarity the LSH path SEES)
+  // from the exact shingle-set Jaccard? The error histogram is the
+  // number an index owner checks before moving the 0.5 threshold or
+  // resizing K — the dedup twin of vec_ivf_recall. Pairs are the capped
+  // LSH candidates (bounded, never all-pairs); the signature is
+  // materialized ONCE and reused for banding and per-pair agreement;
+  // every output is an exact integer (est_e6 = matches·1e6 div K,
+  // exact_e6 by integer division, 0.1-wide buckets by div 1e5).
+  def dedupMinhashError(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sh = shingleHashes(docs).localCheckpoint(true)
+    val sig = signatures(sh).localCheckpoint(true)
+    val bands = bandKeysOfSig(sig)
+    val oversized = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
+      .select(col("band"), col("bkey"))
+    val capped = bands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+    val cand = capped.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sigA = sig.select(col("doc_id").as("doc_a") +:
+      (0 until MinhashK).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("doc_id").as("doc_b") +:
+      (0 until MinhashK).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until MinhashK)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val hsets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    val pairs = cand
+      .join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), matches.as("matches"))
+      .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .select(col("matches"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"),
+        (size(col("ha")) + size(col("hb"))).cast("long").as("szsum"))
+      .select(
+        expr(s"matches * 1000000 div $MinhashK").as("est_e6"),
+        expr("inter * 1000000 div (szsum - inter)").as("exact_e6"))
+      .select(abs(col("est_e6") - col("exact_e6")).as("err_e6"))
+    pairs
+      .groupBy(expr("err_e6 div 100000").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("err_e6")).as("min_err_e6"), max(col("err_e6")).as("max_err_e6"))
+      .orderBy(col("bucket"))
+  }
+
+  val dedupMinhashErrorSql: String = {
+    val matchSum = (0 until MinhashK)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $minhashCteCore,
+      |est AS (
+      |  SELECT cand.doc_a, cand.doc_b, CAST($matchSum AS BIGINT) AS matches
+      |  FROM cand JOIN sig a ON cand.doc_a = a.doc_id
+      |            JOIN sig b ON cand.doc_b = b.doc_id),
+      |ex AS (
+      |  SELECT cand.doc_a, cand.doc_b,
+      |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+      |    CAST(len(a.hs) + len(b.hs) AS BIGINT) AS szsum
+      |  FROM cand JOIN hsets a ON cand.doc_a = a.doc_id
+      |            JOIN hsets b ON cand.doc_b = b.doc_id),
+      |errs AS (
+      |  SELECT abs(matches * 1000000 // $MinhashK
+      |            - inter * 1000000 // (szsum - inter)) AS err_e6
+      |  FROM est JOIN ex USING (doc_a, doc_b))
+      |SELECT CAST(err_e6 // 100000 AS INT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(min(err_e6) AS BIGINT) AS min_err_e6,
+      |  CAST(max(err_e6) AS BIGINT) AS max_err_e6
+      |FROM errs GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
   // --- incremental (new-batch-vs-corpus) near-dup ----------------------

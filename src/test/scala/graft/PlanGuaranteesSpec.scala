@@ -792,6 +792,19 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"ivf recall plans a cartesian:\n${plan.take(2000)}")
   }
 
+  test("minhash error: pairs come from capped LSH candidates, signature reused, no window") {
+    // the estimator error may only be priced over the candidate set:
+    // the pair join must stay bucket-keyed (never cartesian), the
+    // checkpointed shingle/signature frames mean zero live corpus
+    // scans, and no window touches the pair volume
+    val plan = physical(SparkEntry.queries("dedup_minhash_error")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"minhash error plans a cartesian:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"minhash error plans a Window:\n${plan.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"minhash error re-scans documents $scans times:\n${plan.take(2000)}")
+  }
+
   test("prf expansion: feedback docs broadcast into the corpus scan, no window") {
     // the bounded top-k feedback set must reach the corpus as a
     // broadcast hash join (the corpus never shuffles on doc_id), term
