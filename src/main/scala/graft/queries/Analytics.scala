@@ -1338,6 +1338,41 @@ object Analytics {
       |FROM ranked CROSS JOIN tot
       |WHERE rank <= $SkewTopN ORDER BY rank""".stripMargin
 
+  // --- top movers: volume shift between time halves ---------------------
+  // The ops question after every deploy: which event types changed
+  // volume? Split the observed time range at its midpoint ((min+max)
+  // div 2 on exact ns-epoch longs — no timestamp arithmetic to drift
+  // cross-engine), count each type per half in ONE conditional-counter
+  // hash agg, rank by absolute delta through a TakeOrdered. The bounds
+  // scan is column-pruned (ts only) and broadcasts one row.
+  private val MoversTopN = 10
+
+  def eventsTopMovers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val bounds = ev.agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
+    ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        (col("ts") <= expr("(tmin + tmax) div 2")).cast("long").as("h1"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("h1")).as("n_first"), sum(lit(1L) - col("h1")).as("n_second"))
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        (col("n_second") - col("n_first")).as("delta"))
+      .orderBy(abs(col("n_second") - col("n_first")).desc, col("event_type"))
+      .limit(MoversTopN)
+  }
+
+  val eventsTopMoversSql: String =
+    s"""WITH b AS (
+      |  SELECT min(epoch_ns(ts)) AS tmin, max(epoch_ns(ts)) AS tmax FROM events),
+      |c AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN epoch_ns(ts) <= (tmin + tmax) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      |    CAST(sum(CASE WHEN epoch_ns(ts) <= (tmin + tmax) // 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_second
+      |  FROM events CROSS JOIN b GROUP BY 1)
+      |SELECT event_type, n_first, n_second, n_second - n_first AS delta
+      |FROM c ORDER BY abs(n_second - n_first) DESC, event_type
+      |LIMIT $MoversTopN""".stripMargin
+
   // --- pivot / unpivot -------------------------------------------------
   // The relational PIVOT with an EXPLICIT value list — the only form
   // that scales: Spark's inferred-values pivot needs a driver-side

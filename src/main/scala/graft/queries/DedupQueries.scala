@@ -377,6 +377,59 @@ object DedupQueries {
       |FROM errs GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  // --- threshold sensitivity sweep -------------------------------------
+  // Where should the near-dup cut sit? Every dedup rollout argues about
+  // 0.5 vs 0.7; this prices the argument: surviving pair count at five
+  // candidate thresholds, from ONE pass over the exact-verified LSH
+  // candidate pairs (the classifier_pr broadcast-grid pattern — 5×|pairs|
+  // joined rows, one hash agg, never five passes). Integer outputs
+  // (exact_e6 by integer division; thresholds in e2 percent).
+  private val SweepThresholds = Seq(50, 60, 70, 80, 90)
+
+  def dedupThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sh = shingleHashes(docs).localCheckpoint(true)
+    val bands = bandKeys(sh)
+    val oversized = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
+      .select(col("band"), col("bkey"))
+    val capped = bands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+    val cand = capped.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val hsets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    val pairs = cand
+      .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .select(size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"),
+        (size(col("ha")) + size(col("hb"))).cast("long").as("szsum"))
+      .select(expr("inter * 1000000 div (szsum - inter)").as("exact_e6"))
+    val grid = SweepThresholds.toDF("threshold_e2")
+    pairs.crossJoin(broadcast(grid))
+      .groupBy(col("threshold_e2"))
+      .agg(sum(when(col("exact_e6") >= col("threshold_e2") * 10000L, 1L)
+        .otherwise(0L)).as("n_pairs"))
+      .orderBy(col("threshold_e2"))
+  }
+
+  val dedupThresholdSweepSql: String = {
+    val grid = SweepThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH $minhashCteCore,
+      |ex AS (
+      |  SELECT CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) * 1000000
+      |    // CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS BIGINT)
+      |    AS exact_e6
+      |  FROM cand JOIN hsets a ON cand.doc_a = a.doc_id
+      |            JOIN hsets b ON cand.doc_b = b.doc_id)
+      |SELECT t.threshold_e2,
+      |  CAST(sum(CASE WHEN exact_e6 >= t.threshold_e2 * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+      |FROM ex CROSS JOIN (VALUES $grid) t(threshold_e2)
+      |GROUP BY 1 ORDER BY threshold_e2""".stripMargin
+  }
+
   // --- incremental (new-batch-vs-corpus) near-dup ----------------------
   // The continuous-ingest shape: a NEW batch of documents is LSH-checked
   // against the EXISTING corpus without re-deduping the corpus against

@@ -805,6 +805,30 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(scans == 0, s"minhash error re-scans documents $scans times:\n${plan.take(2000)}")
   }
 
+  test("top movers: bounds broadcast, one conditional-counter agg, TakeOrdered") {
+    // the midpoint must reach the counting scan as a broadcast 1-row
+    // frame; both halves count in ONE hash agg (conditional counters,
+    // never a per-half pass); ranking is a TakeOrdered, not a sort
+    val plan = physical(SparkEntry.queries("events_top_movers")(spark, sf))
+    assert(!plan.contains("Window"), s"top movers plans a Window:\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top movers is not a TakeOrdered:\n${plan.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"top movers scans events $scans times:\n${plan.take(2000)}")
+  }
+
+  test("threshold sweep: one pass over verified pairs with a broadcast grid") {
+    // five thresholds must price as ONE pass over the pair frame — the
+    // grid joins as a broadcast and the counts are conditional counters
+    // in one hash agg; candidates stay bucket-keyed, never cartesian
+    val plan = physical(SparkEntry.queries("dedup_threshold_sweep")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoop") || plan.contains("BroadcastHashJoin"),
+      s"sweep grid is not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"sweep plans a cartesian:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"sweep plans a Window:\n${plan.take(2000)}")
+  }
+
   test("prf expansion: feedback docs broadcast into the corpus scan, no window") {
     // the bounded top-k feedback set must reach the corpus as a
     // broadcast hash join (the corpus never shuffles on doc_id), term
