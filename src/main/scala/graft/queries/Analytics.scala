@@ -882,6 +882,50 @@ object Analytics {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- winsorized per-type stats: robust means under outliers ----------
+  // The mean every ops dashboard should show: clamp each type's values
+  // to its own [p05, p95] before averaging, so a single corrupted
+  // ingest row can't move the metric. Two passes by necessity (the cuts
+  // are a distribution property): a |types|-row percentile agg that
+  // BROADCASTS back onto one counting scan. Parity: the interpolated
+  // percentile is the eventsPercentiles-proven round(,6) chain; the
+  // winsorized sum routes through DECIMAL(18,4) (float sum order would
+  // differ), and the final divide+round is one mirrored chain.
+  def eventsWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.load(spark, sfDir, "events").select(col("event_type"), col("value"))
+    val cuts = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.05)"), 6).as("lo"),
+        round(expr("percentile(value, 0.95)"), 6).as("hi"))
+    ev.join(broadcast(cuts), Seq("event_type"))
+      .select(col("event_type"), col("lo"), col("hi"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi"))
+          .cast(DecimalType(18, 4)).as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        round(sum(col("w")).cast("double") / count(lit(1)), 6).as("wmean"))
+      .select(col("event_type"), col("n"), col("n_lo"), col("n_hi"),
+        col("lo"), col("hi"), col("wmean"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsWinsorizeSql: String =
+    """WITH cuts AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS lo,
+      |         round(quantile_cont(value, 0.95), 6) AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |  min(lo) AS lo, min(hi) AS hi,
+      |  round(CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,4))) AS DOUBLE)
+      |    / count(*), 6) AS wmean
+      |FROM events JOIN cuts USING (event_type)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- Q9-style: product-type profit by nation and year ----------------
   // The testdata has no partsupp, so supply cost is p_retailprice ×
   // quantity (same shape: a per-part attribute priced into the fact

@@ -829,6 +829,16 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"sweep plans a Window:\n${plan.take(2000)}")
   }
 
+  test("winsorize: percentile cuts broadcast back onto one counting scan") {
+    // the |types|-row cut frame must reach the clamping scan as a
+    // broadcast — a shuffle join re-keys the whole log on event_type
+    // (skew-bound by the hottest type); no window anywhere
+    val plan = physical(SparkEntry.queries("events_winsorize")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"winsorize lost the cuts broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"winsorize plans a Window:\n${plan.take(2000)}")
+  }
+
   test("prf expansion: feedback docs broadcast into the corpus scan, no window") {
     // the bounded top-k feedback set must reach the corpus as a
     // broadcast hash join (the corpus never shuffles on doc_id), term
