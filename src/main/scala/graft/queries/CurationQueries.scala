@@ -99,31 +99,12 @@ object CurationQueries {
   }
 
   val textDecontaminateFuzzySql: String = {
-    import DedupQueries.{HashParams, MinhashK, BandRows, Prime, MinhashBucketCap}
-    val minExprs = HashParams.zipWithIndex
-      .map { case ((a, b), i) => s"min((h * $a + $b) % $Prime) AS mh$i" }
-      .mkString(",\n      |    ")
-    val bandSelects = (0 until MinhashK / BandRows).map { bandIdx =>
-      val cols = (0 until BandRows).map(r => s"mh${bandIdx * BandRows + r}")
-      s"SELECT doc_id, $bandIdx AS band, concat_ws('_', ${cols.mkString(", ")}) AS bkey FROM sig"
-    }.mkString("\n      |  UNION ALL ")
-    s"""WITH shingles AS (
-      |  SELECT DISTINCT doc_id, tok || ' ' || nxt1 || ' ' || nxt2 AS shingle FROM (
-      |    SELECT doc_id, tok,
-      |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt1,
-      |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt2
-      |    FROM (
-      |      SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
-      |        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
-      |        LATERAL (SELECT unnest(t) AS tok, generate_subscripts(t, 1) AS pos) u))
-      |  WHERE nxt2 IS NOT NULL),
-      |sh AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM shingles),
-      |sig AS (
-      |  SELECT doc_id,
-      |    $minExprs
-      |  FROM sh GROUP BY doc_id),
-      |bands AS (
-      |  $bandSelects),
+    import DedupQueries.{minhashBandsCte, MinhashBucketCap}
+    // shares the shingle→sig→bands→hsets prefix with the LSH oracles
+    // (DedupQueries.minhashBandsCte) — only the capped/cand tail differs:
+    // the cap sits on the CORPUS side and candidates come from the
+    // batch-vs-corpus band join, mirroring NearDupIndex build/matchBatch
+    s"""WITH $minhashBandsCte,
       |batch AS (SELECT b.* FROM bands b WHERE b.doc_id % $BenchMod = 0),
       |corpus AS (SELECT b.* FROM bands b WHERE b.doc_id % $BenchMod != 0),
       |capped AS (
@@ -133,7 +114,6 @@ object CurationQueries {
       |cand AS (
       |  SELECT DISTINCT batch.doc_id AS new_id, c.doc_id AS dup_of
       |  FROM batch JOIN capped c ON batch.band = c.band AND batch.bkey = c.bkey),
-      |hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM sh GROUP BY doc_id),
       |verified AS (
       |  SELECT new_id, dup_of, jaccard FROM (
       |    SELECT new_id, dup_of,

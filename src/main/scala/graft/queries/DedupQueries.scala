@@ -82,7 +82,11 @@ object DedupQueries {
       .select(col("doc_id"),
         array_distinct(transform(shingles3(toks(col("text"))), s => xxhash64(s))).as("t"))
       .filter(size(col("t")) > 0)
-      .cache() // ~1 row/doc with its shingle set; reused by sh + both verify sides
+      // ~1 row/doc with its shingle set; reused by sh + both verify
+      // sides. localCheckpoint (not cache) so repeated Verify/Bench
+      // sweeps don't accumulate storage memory — blocks are
+      // context-cleaned when the frame is GC'd.
+      .localCheckpoint(true)
     val sh = docs.select(col("doc_id"), explode(col("t")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // per-doc rarity-ordered prefix: ONE hash-agg (collect_list) + a
@@ -93,7 +97,7 @@ object DedupQueries {
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ts"))
       .select(col("doc_id"),
         explode(transform(slice(col("ts"), lit(1), p), s => s.getField("sh"))).as("psh"))
-      .cache() // self-joined below: without this the dfreq pipeline runs twice
+      .localCheckpoint(true) // self-joined below: without this the dfreq pipeline runs twice
     // skew guard, same cap as the minhash/simhash band joins: a
     // degenerate corpus (thousands of docs sharing their RAREST shingle,
     // e.g. mass-duplicates) would make one prefix bucket quadratic.
@@ -222,23 +226,14 @@ object DedupQueries {
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val sh = shingleHashes(docs).cache()
+    val sh = shingleHashes(docs).localCheckpoint(true)
     val bands = bandKeys(sh)
-      .cache() // read 3x (oversized agg + self-join sides); uncached the
-               // signature hash-agg over every shingle reruns each time
-    // skew guard: one degenerate band key (boilerplate shared by a huge
-    // doc population) must not go quadratic in the self-join. The
-    // oversized-bucket list is tiny → broadcast anti-join costs nothing
-    // when no bucket is degenerate. Mass-duplicates are exact-dedup's job.
-    val oversized = bands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
-      .select(col("band"), col("bkey"))
-    val capped = bands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
-    val l = capped.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-    val r = capped.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
-    val candidates = l.join(r, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      // read 3x (oversized agg + self-join sides); unmaterialized the
+      // signature hash-agg over every shingle reruns each time.
+      // localCheckpoint (not cache): graph_triangles routes through this
+      // builder too, and cached blocks would outlive every sweep.
+      .localCheckpoint(true)
+    val candidates = cappedCandidatePairs(bands)
     // verify candidates with exact shingle-set Jaccard
     val sa = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
     val verified = candidates
@@ -253,10 +248,34 @@ object DedupQueries {
     verified.orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The shingle → signature → banded-candidate → hash-set CTE chain
-    * (`shingles, sh, sig, bands, capped, cand, hsets`) shared by the
-    * LSH oracle and the estimator-error report. */
-  private[graft] val minhashCteCore: String = {
+  /** Skew-capped LSH candidate pairs from a band-keys frame — the ONE
+    * definition of the production candidate set. Skew guard: one
+    * degenerate band key (boilerplate shared by a huge doc population)
+    * must not go quadratic in the self-join; the oversized-bucket list
+    * is tiny → broadcast anti-join costs nothing when no bucket is
+    * degenerate (mass-duplicates are exact-dedup's job). The
+    * estimator-error and threshold-sweep reports route through this same
+    * helper so they characterize EXACTLY the pairs the LSH path
+    * generates — a cap or tie-break change can never desynchronize them. */
+  private[graft] def cappedCandidatePairs(bands: DataFrame): DataFrame = {
+    val oversized = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
+      .select(col("band"), col("bkey"))
+    val capped = bands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+    capped.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** The shingle → signature → band-key → hash-set CTE prefix
+    * (`shingles, sh, sig, bands, hsets`) — everything BEFORE candidate
+    * generation, shared by every oracle that banded-minhashes the corpus
+    * (the LSH/self-join family below plus the fuzzy-decontamination
+    * batch-vs-corpus shape in CurationQueries, whose capped/cand tail is
+    * the only part that differs). */
+  private[graft] val minhashBandsCte: String = {
     val minExprs = HashParams.zipWithIndex
       .map { case ((a, b), i) => s"min((h * $a + $b) % $Prime) AS mh$i" }
       .mkString(",\n      |    ")
@@ -281,15 +300,20 @@ object DedupQueries {
       |  FROM sh GROUP BY doc_id),
       |bands AS (
       |  $bandSelects),
+      |hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** [[minhashBandsCte]] plus the production capped/cand tail — the full
+    * chain the LSH oracle and the estimator-error report share. */
+  private[graft] val minhashCteCore: String =
+    s"""$minhashBandsCte,
       |capped AS (
       |  SELECT doc_id, band, bkey FROM (
       |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
       |  WHERE bsz <= $MinhashBucketCap),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      |  FROM capped l JOIN capped r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-      |hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM sh GROUP BY doc_id)""".stripMargin
-  }
+      |  FROM capped l JOIN capped r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
 
   val minhashLshSql: String =
     s"""WITH $minhashCteCore
@@ -314,16 +338,7 @@ object DedupQueries {
     val docs = Tables.load(spark, sfDir, "documents")
     val sh = shingleHashes(docs).localCheckpoint(true)
     val sig = signatures(sh).localCheckpoint(true)
-    val bands = bandKeysOfSig(sig)
-    val oversized = bands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
-      .select(col("band"), col("bkey"))
-    val capped = bands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
-    val cand = capped.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      .join(capped.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
-        Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = cappedCandidatePairs(bandKeysOfSig(sig))
     val sigA = sig.select(col("doc_id").as("doc_a") +:
       (0 until MinhashK).map(i => col(s"mh$i").as(s"a$i")): _*)
     val sigB = sig.select(col("doc_id").as("doc_b") +:
@@ -390,16 +405,7 @@ object DedupQueries {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents")
     val sh = shingleHashes(docs).localCheckpoint(true)
-    val bands = bandKeys(sh)
-    val oversized = bands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
-      .select(col("band"), col("bkey"))
-    val capped = bands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
-    val cand = capped.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      .join(capped.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
-        Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = cappedCandidatePairs(bandKeys(sh))
     val hsets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
     val pairs = cand
       .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
@@ -531,7 +537,7 @@ object DedupQueries {
     val sim = (0 until 32).map { bit =>
       when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(0L)
     }.reduce(_ + _)
-    val sigs = voted.select(col("doc_id"), sim.as("simhash")).cache()
+    val sigs = voted.select(col("doc_id"), sim.as("simhash")).localCheckpoint(true)
     // candidates: equal 16-bit half (1 bit of hamming slack per half) —
     // banded LSH over the signature, both halves emitted in one pass and
     // skew-guarded like the MinHash band join
@@ -540,7 +546,7 @@ object DedupQueries {
         struct(lit(0).as("half"), col("simhash").bitwiseAND(65535).as("hk")),
         struct(lit(1).as("half"), shiftright(col("simhash"), 16).as("hk")))).as("hh"))
       .select(col("doc_id"), col("hh.half").as("half"), col("hh.hk").as("hk"))
-      .cache() // read 3x (oversized agg + self-join sides)
+      .localCheckpoint(true) // read 3x (oversized agg + self-join sides)
     val oversized = halves.groupBy(col("half"), col("hk"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
       .select(col("half"), col("hk"))
@@ -980,7 +986,7 @@ object DedupQueries {
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(EmbDims - 1)),
           i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("float")).as("emb"))
-      .cache() // read by the LSH pass + both sides of the verify join
+      .localCheckpoint(true) // read by the LSH pass + both sides of the verify join
     val cand = VectorQueries.lshCandidates(dense, "doc_id", "emb")
     val sims = cand
       .join(dense.select(col("doc_id").as("id_a"), col("emb").as("ea")), Seq("id_a"))

@@ -39,7 +39,10 @@ object NearDupIndex {
     * the cap belongs to the corpus side (where the mass sits), so every
     * later increment inherits it for free. */
   def build(corpus: DataFrame): NearDupIndex = {
-    val sh = shingleHashes(corpus).cache() // read 2x: band keys + shingle sets
+    // read 2x: band keys + shingle sets. localCheckpoint (not cache) —
+    // fuzzy decontamination builds a fresh index per call, and cached
+    // blocks would accumulate across Verify/Bench sweeps.
+    val sh = shingleHashes(corpus).localCheckpoint(true)
     val bands = bandKeys(sh)
     val oversized = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
@@ -64,7 +67,7 @@ object NearDupIndex {
     * verify joins touch just the candidate docs' shingle sets. */
   def matchBatch(index: NearDupIndex, newDocs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(newDocs).cache() // read 2x: band keys + shingle sets
+    val sh = shingleHashes(newDocs).localCheckpoint(true) // read 2x: band keys + shingle sets
     val batchBands = bandKeys(sh)
     val candidates = index.bands
       .join(broadcast(batchBands.select(col("band"), col("bkey"), col("doc_id").as("new_id"))),

@@ -39,6 +39,23 @@ final class TargetTable(
 
   def exists: Boolean = Files.exists(pointer)
 
+  /** True if version id `v` is already materialized — the idempotence
+    * marker `writeVersion`/`mergeVersion` consult on replay. Callers that
+    * validate batch content BEFORE merging (e.g. the SCD2 ordering guard)
+    * must check this first: a replayed epoch legitimately fails
+    * against-current-state checks because the current state already
+    * includes that epoch's own writes. */
+  def hasVersion(v: String): Boolean = Files.exists(rootPath.resolve(s"data_$v"))
+
+  /** Re-commit an already-materialized version (exactly-once replay after
+    * a crash between commit and checkpoint-offset write): repoints
+    * `_current`; returns false like the merge paths' replay branch. */
+  def recommit(v: String): Boolean = {
+    require(hasVersion(v), s"version $v not materialized under $root")
+    repoint(s"data_$v")
+    false
+  }
+
   def currentVersion: Option[String] =
     if (exists) Some(Files.readString(pointer).trim) else None
 

@@ -45,40 +45,42 @@ object StreamCurate {
       model: Option[TextQueries.ClsModel] = None,
       gopherGate: Boolean = false,
       domainBlock: Option[(DataFrame, Array[Long])] = None): DataFrame = {
+    // domain-level gate FIRST when configured — crawl pipelines drop
+    // blocklisted domains before paying ANY content work (tokenization,
+    // quality scoring, classifier prediction are all downstream of this
+    // cheap per-row domain projection). Same bloom-prefiltered exact
+    // shape as the content blocklist, keyed on the document's
+    // registrable domain (`corpus_domain_blocklist`'s batch twin) —
+    // zero streaming state, the blocked-domain table re-reads per
+    // micro-batch so list refreshes apply live.
+    val domainGated = domainBlock.fold(batch) { case (blocked, dwords) =>
+      StreamBlocklist.cleanStream(
+          batch.withColumn("domain",
+            CurationQueries.domainOf(CurationQueries.canonicalUrl(CurationQueries.urlOf))),
+          blocked, dwords, fpCol = "domain")
+        .drop("domain")
+    }
     // with `gopherGate`, the full Gopher/MassiveText rule set runs as
     // part of the cheap rule stage — the SAME gopherSignals/pass
     // definitions `text_gopher_rules` and `corpus_funnel` report on,
     // so the funnel's stage-1 numbers describe exactly what this gate
     // admits; still a pure per-row predicate, zero streaming state
-    val scored = TextQueries.scoredDocs(batch)
+    val scored = TextQueries.scoredDocs(domainGated)
       .filter(col("quality") >= qualityThreshold && col("is_en"))
     val ruleGated =
       if (gopherGate) scored.filter(TextQueries.gopherPassExpr(col("text")))
       else scored
     val gated = model.fold(ruleGated) { m =>
-      // score the RAW batch, not ruleGated: the semi join already
-      // intersects with rule survivors, scoring is per-doc
+      // score the domain-survivor rows, not ruleGated: the semi join
+      // already intersects with rule survivors, scoring is per-doc
       // deterministic, and reusing ruleGated would re-run the whole
       // scoredDocs pipeline on both join sides every micro-batch
       ruleGated.join(
-        TextQueries.scoreWithClassifier(batch.select(col("doc_id"), col("text")), m)
+        TextQueries.scoreWithClassifier(domainGated.select(col("doc_id"), col("text")), m)
           .filter(col("predict_pos")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
     }
-    // domain-level gate FIRST when configured (crawl pipelines drop
-    // blocklisted domains before paying any content work): the same
-    // bloom-prefiltered exact shape as the content blocklist, keyed on
-    // the document's registrable domain (`corpus_domain_blocklist`'s
-    // batch twin) — still zero streaming state, the blocked-domain
-    // table re-reads per micro-batch so list refreshes apply live
-    val domainGated = domainBlock.fold(gated) { case (blocked, dwords) =>
-      StreamBlocklist.cleanStream(
-          gated.withColumn("domain",
-            CurationQueries.domainOf(CurationQueries.canonicalUrl(CurationQueries.urlOf))),
-          blocked, dwords, fpCol = "domain")
-        .drop("domain")
-    }
-    StreamBlocklist.cleanStream(domainGated, block, words)
+    StreamBlocklist.cleanStream(gated, block, words)
       .select(col("doc_id"),
         PiiRedact.redact(col("text")).as("text"),
         round(col("quality"), 6).as("quality"))

@@ -58,6 +58,14 @@ object StreamScd2 {
       keyCol: String, numBuckets: Int, epochId: Long): Boolean = {
     if (batch.isEmpty) return false
     val t = table(spark, dir, keyCol, numBuckets)
+    // Exactly-once replay short-circuit BEFORE any validation: if this
+    // epoch's version dir already exists, the crash happened between the
+    // commit and the checkpoint-offset write, and the redelivered batch's
+    // events are already IN the current image. The late-event guard below
+    // would then see the epoch's own writes as the "open version"
+    // (first_ts < valid_from) and fail a legitimate replay forever — the
+    // marker, not the guard, owns redelivery.
+    if (t.hasVersion(s"e$epochId")) return t.recommit(s"e$epochId")
     val newRows = batchVersions(batch, keyCol)
     if (!t.exists) return t.writeVersion(newRows, s"e$epochId")
     // First event ts per touched key — what closes the open version.

@@ -199,13 +199,21 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     // outer generate renders as `Generate explode(...), [...], true, [...]`
     // — the `true` positional flag IS the outer marker
     val outerGen = """Generate explode\([^\n]*\btrue\b""".r
-    Seq("text_decontaminate", "text_repetition", "text_vocab_df",
-        "dedup_minhash_lsh").foreach { name =>
+    Seq("text_decontaminate", "text_repetition", "text_vocab_df").foreach { name =>
       val plan = physical(SparkEntry.queries(name)(spark, sf))
       spark.catalog.clearCache()
       assert(outerGen.findFirstIn(plan).isDefined,
         s"$name lost its outer generate:\n${plan.take(2000)}")
     }
+    // dedup_minhash_lsh satisfies the contract STRUCTURALLY: its shingle
+    // frame is localCheckpoint'd (one materialized tokenize pass), so the
+    // downstream plan scans the checkpointed RDD and no pushed filter can
+    // ever re-tokenize — the generate lives above the checkpoint, not in
+    // the verify plan
+    val mh = physical(SparkEntry.queries("dedup_minhash_lsh")(spark, sf))
+    spark.catalog.clearCache()
+    assert(mh.contains("ExistingRDD"),
+      s"dedup_minhash_lsh no longer scans its checkpointed shingles:\n${mh.take(2000)}")
   }
 
   test("curation queries keep their scale shapes") {

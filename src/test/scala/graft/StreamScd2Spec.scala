@@ -74,4 +74,26 @@ class StreamScd2Spec extends AnyFunSuite {
     assert(!StreamScd2.applyBatch(spark, dir, e2.toDF(), "o_orderkey", 8, 1L))
     assert(historyRows(dir) == before)
   }
+
+  // Crash between commit and checkpoint-offset write replays the epoch.
+  // When that epoch carried MULTIPLE timestamps on one key, the replayed
+  // batch's first ts precedes the open version the epoch itself wrote —
+  // the ordering guard must not read the epoch's own writes as
+  // out-of-order input (it must short-circuit on the version marker
+  // first), or the stream crash-loops on a legitimate replay.
+  test("replay of a committed multi-ts epoch short-circuits on the marker, not the guard") {
+    val dir = Files.createTempDirectory("scd2replaymulti").toString
+    val e0 = Seq(Scd2Chg(7L, "O", 1.0, "I", 1L))
+    val e1 = Seq(Scd2Chg(7L, "O", 2.0, "U", 10L), Scd2Chg(7L, "F", 3.0, "U", 20L))
+    assert(StreamScd2.applyBatch(spark, dir, e0.toDF(), "o_orderkey", 8, 0L))
+    assert(StreamScd2.applyBatch(spark, dir, e1.toDF(), "o_orderkey", 8, 1L))
+    val before = historyRows(dir)
+    assert(!StreamScd2.applyBatch(spark, dir, e1.toDF(), "o_orderkey", 8, 1L))
+    assert(historyRows(dir) == before)
+    // the guard itself still fires on GENUINE out-of-order delivery
+    val late = Seq(Scd2Chg(7L, "X", 4.0, "U", 15L))
+    intercept[IllegalArgumentException] {
+      StreamScd2.applyBatch(spark, dir, late.toDF(), "o_orderkey", 8, 2L)
+    }
+  }
 }

@@ -26,5 +26,12 @@ if [ "$ACTUAL" != "$WANT" ]; then
   echo "GATE FAIL: README.md advertises $WANT oracle-checked queries, SparkEntry registers $ACTUAL"
   exit 1
 fi
+# SURVEY.md's coverage-contract count must match too (round-6 lesson:
+# README was gated, SURVEY silently drifted 4 queries behind)
+SWANT=$(grep -oE '\([0-9]+ oracle queries' SURVEY.md | grep -oE '[0-9]+' | head -1)
+if [ -n "$SWANT" ] && [ "$ACTUAL" != "$SWANT" ]; then
+  echo "GATE FAIL: SURVEY.md advertises $SWANT oracle queries, SparkEntry registers $ACTUAL"
+  exit 1
+fi
 
 python3 tools/check.py "$SF_DIR" "$OUT_DIR" "$QUERIES"
