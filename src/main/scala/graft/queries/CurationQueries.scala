@@ -268,6 +268,58 @@ object CurationQueries {
       |  WHERE doc_id != cluster_id)
       |ORDER BY doc_id""".stripMargin
 
+  // --- quality-aware canonical selection --------------------------------
+  // `corpus_canonical` keeps each near-dup cluster's MIN-ID member — a
+  // deterministic but quality-blind choice. Real curation keeps the BEST
+  // member: near-dup clusters usually mix a clean original with mangled
+  // re-crawls (boilerplate injections, encoding damage), and keeping the
+  // min id keeps whichever got crawled first. This operator picks, per
+  // cluster, the member with the highest heuristic quality (ties to the
+  // lowest doc_id so the choice is total). Scale: the label frame holds
+  // only clustered docs (≪ corpus at any sane dup rate), the quality
+  // join is keyed on doc_id, and both aggs are cluster-count-sized; no
+  // windows — argmax is max-then-filter-then-min, three hash aggs.
+  // Outputs are exact integers (quality through the proven bit-identical
+  // chain, then floor ×1e6).
+  def corpusCanonicalQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val labels = DedupQueries.dedupClusters(spark, sfDir)
+    val q = docs.select(col("doc_id"),
+      floor(TextQueries.qualityExpr(col("text")) * lit(1000000.0))
+        .cast("long").as("quality_e6"))
+    val m = labels.join(q, Seq("doc_id"))
+    val best = m.groupBy(col("cluster_id"))
+      .agg(max(col("quality_e6")).as("best_quality_e6"),
+        count(lit(1)).as("n_members"))
+    m.join(best, Seq("cluster_id"))
+      .filter(col("quality_e6") === col("best_quality_e6"))
+      .groupBy(col("cluster_id"), col("n_members"), col("best_quality_e6"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("cluster_id"), col("keep_id"), col("n_members"),
+        col("best_quality_e6"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val corpusCanonicalQualitySql: String =
+    s"""WITH labels AS (${DedupQueries.dedupClustersSql}),
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(floor((${TextQueries.qualitySqlExpr("toks", "text")}) * 1000000.0) AS BIGINT) AS quality_e6
+      |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+      |        FROM documents)),
+      |m AS (SELECT l.cluster_id, l.doc_id, q.quality_e6
+      |      FROM labels l JOIN q ON l.doc_id = q.doc_id),
+      |best AS (
+      |  SELECT cluster_id, CAST(max(quality_e6) AS BIGINT) AS best_quality_e6,
+      |    CAST(count(*) AS BIGINT) AS n_members
+      |  FROM m GROUP BY 1)
+      |SELECT m.cluster_id, CAST(min(m.doc_id) AS BIGINT) AS keep_id,
+      |  best.n_members, best.best_quality_e6
+      |FROM m JOIN best USING (cluster_id)
+      |WHERE m.quality_e6 = best.best_quality_e6
+      |GROUP BY m.cluster_id, best.n_members, best.best_quality_e6
+      |ORDER BY cluster_id""".stripMargin
+
   // --- leakage-safe train/validation split ------------------------------
   // The naive split — hash each doc_id — leaks: near-duplicate pairs
   // land on opposite sides and the validation set scores memorization.

@@ -888,8 +888,11 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val textLmScoreSql: String =
-    s"""WITH t AS (
+  /** The self-trained LM per-doc scoring CTE chain (`t, bg, db, lm, ctx,
+    * v, scored`) — the SQL twin of [[lmScore]], shared by the
+    * `text_lm_score` oracle and the LM/quality calibration report. */
+  private[graft] val lmScoredCte: String =
+    s"""t AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
       |  FROM documents),
       |bg AS (
@@ -904,10 +907,60 @@ object TextQueries {
       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
       |    CAST(sum(CAST(floor(-c * log2((cb + $LmAlpha) / (cu + $LmAlpha * v)) * $LmFpScale) AS BIGINT)) AS BIGINT) AS bits_fp
       |  FROM db JOIN lm USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
-      |  GROUP BY doc_id)
+      |  GROUP BY doc_id)""".stripMargin
+
+  val textLmScoreSql: String =
+    s"""WITH $lmScoredCte
       |SELECT doc_id, n_bigrams, bits_fp,
       |  CAST(bits_fp * 1000000 // (1048576 * n_bigrams) AS BIGINT) AS bpb_e6
       |FROM scored ORDER BY doc_id""".stripMargin
+
+  // --- LM ↔ heuristic-quality calibration ------------------------------
+  // Does the cheap rule-based quality score track the LM? Every pipeline
+  // that gates on BOTH signals (rules first, perplexity second — the
+  // CCNet/Gopher composition) should know where they disagree: a bin
+  // where high heuristic quality meets high bits-per-bigram is exactly
+  // the slice worth manual review. One row per 0.1-wide quality bin with
+  // the bpb distribution inside it. Scale: the two per-doc frames are
+  // each one corpus scan (the LM table is corpus-sublinear), the join is
+  // keyed on doc_id, and the output agg is |bins|-sized — no windows, no
+  // driver state. Outputs are exact integers end-to-end (the bin is
+  // floor() of the bit-identical quality double; bpb_e6 is already a
+  // fixed-point long), so the row hash cannot read equal values as red.
+  def textLmQualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val lm = lmScore(docs).select(col("doc_id"), col("bpb_e6"))
+    val q = docs
+      .filter(size(toks(col("text"))) > 0 && length(col("text")) > 0)
+      .select(col("doc_id"),
+        floor(qualityExpr(col("text")) * lit(10.0)).cast("int").as("quality_bin"))
+    q.join(lm, Seq("doc_id"))
+      .groupBy(col("quality_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpb_e6")).as("sum_bpb"),
+        min(col("bpb_e6")).as("min_bpb_e6"),
+        max(col("bpb_e6")).as("max_bpb_e6"))
+      .select(col("quality_bin"), col("n_docs"),
+        expr("sum_bpb div n_docs").as("avg_bpb_e6"),
+        col("min_bpb_e6"), col("max_bpb_e6"))
+      .orderBy(col("quality_bin"))
+  }
+
+  val textLmQualityCalibrationSql: String =
+    s"""WITH $lmScoredCte,
+      |q AS (
+      |  SELECT doc_id, CAST(floor((${qualitySqlExpr("toks", "text")}) * 10.0) AS INT) AS quality_bin
+      |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0 AND length(text) > 0),
+      |j AS (
+      |  SELECT quality_bin, bits_fp * 1000000 // (1048576 * n_bigrams) AS bpb_e6
+      |  FROM scored JOIN q USING (doc_id))
+      |SELECT quality_bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(bpb_e6) // count(*) AS BIGINT) AS avg_bpb_e6,
+      |  CAST(min(bpb_e6) AS BIGINT) AS min_bpb_e6,
+      |  CAST(max(bpb_e6) AS BIGINT) AS max_bpb_e6
+      |FROM j GROUP BY 1 ORDER BY quality_bin""".stripMargin
 
   // --- LM train/apply split: score held-out docs against the model -----
   // The true production shape (train nightly on the landed corpus, score

@@ -871,4 +871,29 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"fuzzy decontamination plans a cartesian:\n${plan.take(2000)}")
   }
+
+  test("canonical quality: cluster-keyed hash aggs, no window, no cartesian") {
+    // argmax-per-cluster must be max-then-filter-then-min (three hash
+    // aggs over the pairs-only label frame), never a row_number window
+    // over cluster partitions; the quality join is keyed on doc_id
+    val plan = physical(SparkEntry.queries("corpus_canonical_quality")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"canonical quality plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"canonical quality plans a cartesian:\n${plan.take(2000)}")
+    assert("HashAggregate".r.findAllIn(plan).nonEmpty,
+      s"canonical quality lost its hash aggs:\n${plan.take(2000)}")
+  }
+
+  test("lm/quality calibration: doc-keyed join into one |bins|-row agg, no window") {
+    // both per-doc frames are single corpus scans; the combine is a
+    // doc_id-keyed join feeding ONE hash agg over |bins| groups — no
+    // window over the corpus, no cartesian (the LM vocab scalar rides
+    // the broadcast nested-loop the lm_score family already pins)
+    val plan = physical(SparkEntry.queries("text_lm_quality_calibration")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"calibration plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"calibration plans a cartesian:\n${plan.take(2000)}")
+  }
 }
