@@ -267,6 +267,80 @@ object GraphQueries {
           .otherwise(expr("3 * n_tri * 1000000 div n_wedges")).as("cc_e6"))
   }
 
+  // --- domain authority: PageRank over the cross-domain near-dup graph --
+  // Crawl pipelines weight documents by DOMAIN authority (the
+  // RefinedWeb/CommonCrawl harmonic-centrality prior): a domain whose
+  // content is re-hosted by many other domains is a syndication hub, and
+  // that signal lives at the domain level, not the document level. Nodes
+  // are registrable domains (the corpus_domain_* derivation), an
+  // undirected edge connects two DIFFERENT domains that share at least
+  // one verified near-dup pair, and the walk is the same damped
+  // fixed-round power iteration as `graph_pagerank` with the identical
+  // DECIMAL(28,14) float-parity recipe. Scale: the doc→domain map is a
+  // pure projection, pair→domain is two keyed joins against it, and the
+  // graph itself is domain-count-sized (≪ corpus) — every per-round
+  // frame is |domains| rows, so the iteration cost is dwarfed by the one
+  // corpus-scan LSH pass that feeds it.
+  def graphDomainAuthority(spark: SparkSession, sfDir: String): DataFrame = {
+    import CurationQueries.{canonicalUrl, domainOf, urlOf}
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val dom = docs.select(col("doc_id"), domainOf(canonicalUrl(urlOf)).as("domain"))
+    val pairs = DedupQueries.minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val dp = pairs
+      .join(dom.select(col("doc_id").as("doc_a"), col("domain").as("dom_a")), Seq("doc_a"))
+      .join(dom.select(col("doc_id").as("doc_b"), col("domain").as("dom_b")), Seq("doc_b"))
+      .filter(col("dom_a") =!= col("dom_b"))
+      .select(least(col("dom_a"), col("dom_b")).as("lo"),
+        greatest(col("dom_a"), col("dom_b")).as("hi"))
+      .distinct()
+    val e = dp.select(explode(array(
+        struct(col("lo").as("src"), col("hi").as("dst")),
+        struct(col("hi").as("src"), col("lo").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = e.join(deg, Seq("src")).localCheckpoint(true)
+    val nF = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(nF))
+      .select(col("src").as("doc_id"), (lit(1.0d) / col("n").cast(DoubleType)).as("pr"))
+    for (_ <- 1 to PrIters) pr = prStep(edges, pr, nF)
+    pr.select(col("doc_id").as("domain"), round(col("pr"), 9).as("pr"))
+      .orderBy(col("domain"))
+  }
+
+  val graphDomainAuthoritySql: String = {
+    import CurationQueries.{canonicalUrlSql, domainSql, urlSqlExpr}
+    val iters = (1 to PrIters).map { i =>
+      val prev = if (i == 1) "p0" else s"it${i - 1}"
+      s"""it${i}s AS (
+        |  SELECT e.dst AS domain,
+        |    sum(CAST(p.pr / CAST(e.deg AS DOUBLE) AS DECIMAL(28,14))) AS s
+        |  FROM e2 e JOIN $prev p ON e.src = p.domain GROUP BY 1),
+        |it$i AS (
+        |  SELECT domain, 0.15 / CAST(n AS DOUBLE) + 0.85 * CAST(s AS DOUBLE) AS pr
+        |  FROM it${i}s CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+      |  SELECT doc_a, doc_b FROM (${DedupQueries.minhashLshSql})
+      |),
+      |dom AS (
+      |  SELECT doc_id, ${domainSql(canonicalUrlSql(s"($urlSqlExpr)"))} AS domain
+      |  FROM documents),
+      |dp AS (
+      |  SELECT DISTINCT least(a.domain, b.domain) AS lo, greatest(a.domain, b.domain) AS hi
+      |  FROM pairs JOIN dom a ON pairs.doc_a = a.doc_id
+      |             JOIN dom b ON pairs.doc_b = b.doc_id
+      |  WHERE a.domain != b.domain),
+      |e AS (SELECT lo AS src, hi AS dst FROM dp UNION ALL SELECT hi, lo FROM dp),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |e2 AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+      |n AS (SELECT count(*) AS n FROM deg),
+      |p0 AS (SELECT src AS domain, 1.0 / CAST(n AS DOUBLE) AS pr
+      |       FROM deg CROSS JOIN n),
+      |$iters
+      |SELECT domain, round(pr, 9) AS pr FROM it$PrIters ORDER BY domain""".stripMargin
+  }
+
   val graphTrianglesSql: String =
     s"""WITH pairs AS (
       |  SELECT doc_a, doc_b FROM (${DedupQueries.minhashLshSql})

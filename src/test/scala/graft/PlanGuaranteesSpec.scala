@@ -885,6 +885,17 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"canonical quality lost its hash aggs:\n${plan.take(2000)}")
   }
 
+  test("domain authority: domain-sized walk frames, no window, no cartesian") {
+    // the doc→domain map is a projection, pair→domain two keyed joins,
+    // and every per-round frame is |domains| rows; the scalar n frame
+    // must broadcast (a cartesian here means it shuffled instead)
+    val plan = physical(SparkEntry.queries("graph_domain_authority")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"domain authority plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"domain authority plans a cartesian:\n${plan.take(2000)}")
+  }
+
   test("lm/quality calibration: doc-keyed join into one |bins|-row agg, no window") {
     // both per-doc frames are single corpus scans; the combine is a
     // doc_id-keyed join feeding ONE hash agg over |bins| groups — no
