@@ -267,6 +267,102 @@ object GraphQueries {
           .otherwise(expr("3 * n_tri * 1000000 div n_wedges")).as("cc_e6"))
   }
 
+  // --- k-core peel over the near-dup graph ------------------------------
+  // Template families (mirrored sites, boilerplate chains) are DENSE in
+  // the near-dup graph; the k-core — the maximal subgraph where every
+  // vertex keeps degree ≥ k — is the standard way to isolate those cores
+  // from incidental pairwise matches. The oracle row is the PEEL
+  // SCHEDULE (per round: vertices meeting the degree bar, edges among
+  // them) over a fixed round count, so the plan is one declarative chain
+  // the oracle mirrors CTE-for-CTE; [[kcoreConverged]] is the production
+  // face that peels to the fixpoint. Per round: one degree hash-agg +
+  // two keyed semi-join-shaped edge filters — O(|V|+|E|), never a
+  // window; the graph here is the (already skew-capped) simhash pair
+  // set, the densest near-dup graph the engine builds. All outputs are
+  // exact integers.
+  private val KcoreK = 3
+  private val KcoreRounds = 4
+
+  private def undirectedSimhashEdges(spark: SparkSession, sfDir: String): DataFrame =
+    DedupQueries.simhash(spark, sfDir)
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .distinct().localCheckpoint(true)
+
+  /** One peel round: (surviving-degree frame, filtered edge frame). */
+  private def peelOnce(e: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val deg = e.select(explode(array(col("lo"), col("hi"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val keep = deg.filter(col("deg") >= k).select(col("v"))
+    val e2 = e.join(keep.select(col("v").as("lo")), Seq("lo"))
+      .join(keep.select(col("v").as("hi")), Seq("hi"))
+      .select(col("lo"), col("hi"))
+    (keep, e2)
+  }
+
+  def graphKcorePeel(spark: SparkSession, sfDir: String): DataFrame = {
+    var e = undirectedSimhashEdges(spark, sfDir)
+    val rounds = (1 to KcoreRounds).map { r =>
+      val (keep, e2) = peelOnce(e, KcoreK)
+      e = e2.localCheckpoint(true)
+      keep.agg(count(lit(1)).as("vertices"))
+        .crossJoin(e.agg(count(lit(1)).as("edges")))
+        .select(lit(r).as("round"), col("vertices"), col("edges"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  val graphKcorePeelSql: String = {
+    // every peel CTE is referenced 2-4 times by its successors; without
+    // MATERIALIZED, DuckDB inlines them and re-evaluates the whole
+    // simhash subtree exponentially in the round count (measured: >10
+    // min at sf0.01 inlined vs seconds materialized)
+    val rounds = (1 to KcoreRounds).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""k$i AS MATERIALIZED (
+        |  SELECT v FROM (SELECT v, count(*) AS deg
+        |    FROM (SELECT lo AS v FROM $prev UNION ALL SELECT hi FROM $prev)
+        |    GROUP BY 1) WHERE deg >= $KcoreK),
+        |e$i AS MATERIALIZED (SELECT e.lo, e.hi FROM $prev e
+        |        JOIN k$i a ON e.lo = a.v JOIN k$i b ON e.hi = b.v),
+        |r$i AS (SELECT $i AS round,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM k$i) AS vertices,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e$i) AS edges)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to KcoreRounds).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi
+      |  FROM (${DedupQueries.simhashSql})),
+      |$rounds
+      |$sel ORDER BY round""".stripMargin
+  }
+
+  /** Peel to the FIXPOINT — the production face (spec-gated; the oracle
+    * row stays on the fixed-round schedule). Returns the k-core's
+    * membership with each member's within-core degree; fails loudly if
+    * `maxIters` rounds don't reach a fixpoint (a silently-unfinished
+    * peel under-reports the core). Per-round bill identical to the
+    * fixed-round form; `localCheckpoint` keeps lineage one round deep
+    * and the one driver-side value per round is the edge count. */
+  def kcoreConverged(spark: SparkSession, sfDir: String,
+      k: Int = KcoreK, maxIters: Int = 60): DataFrame = {
+    var e = undirectedSimhashEdges(spark, sfDir)
+    var nEdges = e.count()
+    var stable = false
+    var it = 0
+    while (!stable && it < maxIters) {
+      val (_, e2) = peelOnce(e, k)
+      val next = e2.localCheckpoint(true)
+      val n2 = next.count()
+      stable = n2 == nEdges
+      e = next; nEdges = n2
+      it += 1
+    }
+    require(stable, s"k-core peel did not reach a fixpoint in $maxIters rounds")
+    e.select(explode(array(col("lo"), col("hi"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("core_degree"))
+  }
+
   // --- domain authority: PageRank over the cross-domain near-dup graph --
   // Crawl pipelines weight documents by DOMAIN authority (the
   // RefinedWeb/CommonCrawl harmonic-centrality prior): a domain whose

@@ -896,6 +896,17 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"domain authority plans a cartesian:\n${plan.take(2000)}")
   }
 
+  test("kcore peel: per-round degree aggs + keyed edge filters, no window") {
+    // each round is one hash agg + two keyed joins over the
+    // checkpointed edge frame; the per-round stats crosses are 1-row
+    // broadcast nested loops, never a data-proportional cartesian
+    val plan = physical(SparkEntry.queries("graph_kcore_peel")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"kcore peel plans a Window:\n${plan.take(2000)}")
+    assert(plan.contains("ExistingRDD"),
+      s"kcore peel no longer scans its checkpointed edges:\n${plan.take(2000)}")
+  }
+
   test("lm/quality calibration: doc-keyed join into one |bins|-row agg, no window") {
     // both per-doc frames are single corpus scans; the combine is a
     // doc_id-keyed join feeding ONE hash agg over |bins| groups — no
