@@ -109,6 +109,51 @@ object TextQueries {
       |  length(text) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- tokenizer fertility by language ---------------------------------
+  // Fertility — subword tokens emitted per whitespace word — is THE
+  // tokenizer-adequacy number per language: a tokenizer trained on
+  // English typically fragments other languages into 2-3× the subwords,
+  // inflating their effective sequence length and training cost. This
+  // reports, per labeled language, the corpus-pooled fertility of the
+  // BPE-ish regex tokenizer (`text_tokens`' definition) plus chars per
+  // word — one scan, one |languages|-row hash agg, exact-integer
+  // outputs (e6 fixed point by pure integer division over long sums).
+  def textFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.select(col("lang"),
+        size(toks(col("text"))).cast("long").as("ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("bpe"),
+        length(col("text")).cast("long").as("nc"))
+      .filter(col("ws") > 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        expr("bpe_tokens * 1000000L div ws_tokens").as("fertility_e6"),
+        expr("n_chars * 1000000L div ws_tokens").as("chars_per_word_e6"))
+      .orderBy(col("lang"))
+  }
+
+  val textFertilitySql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS ws,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe,
+      |    CAST(length(text) AS BIGINT) AS nc
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(ws) AS BIGINT) AS ws_tokens,
+      |    CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+      |    CAST(sum(nc) AS BIGINT) AS n_chars
+      |  FROM d WHERE ws > 0 GROUP BY lang)
+      |SELECT lang, n_docs, ws_tokens, bpe_tokens,
+      |  CAST(bpe_tokens * 1000000 // ws_tokens AS BIGINT) AS fertility_e6,
+      |  CAST(n_chars * 1000000 // ws_tokens AS BIGINT) AS chars_per_word_e6
+      |FROM g ORDER BY lang""".stripMargin
+
   // --- quality scoring: length/stopword/punctuation/diversity ratios ---
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
