@@ -20,7 +20,7 @@ import graft.functions.PiiRedact
   */
 object TextQueries {
 
-  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+  private[graft] def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
   private[queries] val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
