@@ -623,6 +623,68 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- cluster coherence audit ------------------------------------------
+  // How similar is a cluster REALLY? Transitive closure chains A~B~C into
+  // one cluster even when A and C barely overlap, so a pipeline about to
+  // collapse clusters to one canonical doc should see, per cluster, the
+  // similarity distribution over its verified edges plus its edge
+  // density — a big low-min low-density cluster is a chaining artifact,
+  // not a duplicate family. One pass: the verified pairs are
+  // materialized once and feed BOTH the label propagation and the edge
+  // stats; everything else is cluster-keyed hash aggs. Outputs are exact
+  // integers (jaccard through floor ×1e6 of the bit-identical double;
+  // avg/density by pure integer division).
+  def dedupClusterCoherence(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).localCheckpoint(true)
+    val labels = clusterLabels(bothDirections(pairs.select(col("doc_a"), col("doc_b"))))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    // an edge's cluster is either endpoint's label (same by construction)
+    val ej = pairs
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id")), Seq("doc_a"))
+      .select(col("cluster_id"),
+        floor(col("jaccard") * lit(1000000.0)).cast("long").as("j_e6"))
+    val es = ej.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_edges"), min(col("j_e6")).as("min_jaccard_e6"),
+        sum(col("j_e6")).as("sj"))
+    sizes.join(es, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("n_edges"),
+        col("min_jaccard_e6"),
+        expr("sj div n_edges").as("avg_jaccard_e6"),
+        expr("n_edges * 2000000L div (n_members * (n_members - 1))").as("density_e6"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val dedupClusterCoherenceSql: String =
+    s"""WITH RECURSIVE mp AS MATERIALIZED (
+      |  SELECT doc_a, doc_b, jaccard FROM ($minhashLshSql)
+      |),
+      |e AS (
+      |  SELECT doc_a, doc_b FROM mp
+      |  UNION SELECT doc_b, doc_a FROM mp
+      |  UNION SELECT doc_a, doc_a FROM mp
+      |  UNION SELECT doc_b, doc_b FROM mp),
+      |reach(a, b) AS (
+      |  SELECT doc_a, doc_b FROM e
+      |  UNION
+      |  SELECT r.a, e.doc_b FROM reach r JOIN e ON r.b = e.doc_a),
+      |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+      |          FROM labels GROUP BY 1),
+      |ej AS (
+      |  SELECT l.cluster_id, CAST(floor(mp.jaccard * 1000000.0) AS BIGINT) AS j_e6
+      |  FROM mp JOIN labels l ON mp.doc_a = l.doc_id),
+      |es AS (
+      |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+      |    CAST(min(j_e6) AS BIGINT) AS min_jaccard_e6,
+      |    CAST(sum(j_e6) // count(*) AS BIGINT) AS avg_jaccard_e6
+      |  FROM ej GROUP BY 1)
+      |SELECT s.cluster_id, s.n_members, es.n_edges, es.min_jaccard_e6,
+      |  es.avg_jaccard_e6,
+      |  CAST(es.n_edges * 2000000 // (s.n_members * (s.n_members - 1)) AS BIGINT) AS density_e6
+      |FROM sizes s JOIN es USING (cluster_id)
+      |ORDER BY cluster_id""".stripMargin
+
   /** Both directions of every undirected pair in ONE pass (explode, not
     * union — a union would evaluate the whole upstream subtree once per
     * branch). */

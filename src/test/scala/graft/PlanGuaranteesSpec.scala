@@ -896,6 +896,19 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       s"domain authority plans a cartesian:\n${plan.take(2000)}")
   }
 
+  test("cluster coherence: pairs materialized once, cluster-keyed aggs, no window") {
+    // the verified-pairs frame feeds BOTH the label propagation and the
+    // edge stats from one checkpoint; everything downstream is keyed
+    // hash joins + aggs over cluster-sized frames
+    val plan = physical(SparkEntry.queries("dedup_cluster_coherence")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"cluster coherence plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"cluster coherence plans a cartesian:\n${plan.take(2000)}")
+    assert(plan.contains("ExistingRDD"),
+      s"cluster coherence no longer scans its checkpointed pairs:\n${plan.take(2000)}")
+  }
+
   test("kcore peel: per-round degree aggs + keyed edge filters, no window") {
     // each round is one hash agg + two keyed joins over the
     // checkpointed edge frame; the per-round stats crosses are 1-row
