@@ -504,6 +504,54 @@ object Analytics {
       |    FROM events))
       |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // --- events: session-scoped transition matrix ------------------------
+  // The Markov view of user behavior: (previous event type → next event
+  // type) counts with the same 30-minute inactivity boundary as
+  // `events_sessionize`, so a transition never spans a session break.
+  // The product-analytics twin of the funnel — the funnel asks "did the
+  // prescribed path happen", this reports which paths ACTUALLY happen
+  // and with what probability. Scale shape: ONE lag window partitioned
+  // by user (per-partition cardinality = that user's events — the
+  // sessionize precedent, with the same hot-user caveat), collapsed
+  // straight into a |types|²-row hash agg; the row-probability join is
+  // over that bounded matrix. Integer outputs (p_e6 by integer division
+  // of exact counts).
+  def eventsTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_type").isNotNull &&
+        col("ts") - col("prev_ts") <= 1800L * 1000000000L)
+      .select(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    counts.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000L div tot").as("p_e6"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val eventsTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_type,
+      |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_tns
+      |  FROM events),
+      |t AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type FROM s
+      |  WHERE prev_type IS NOT NULL AND tns - prev_tns <= 1800000000000),
+      |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM t GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  CAST(c.n * 1000000 // t2.tot AS BIGINT) AS p_e6
+      |FROM c JOIN tot t2 USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   // --- events: volume-anomaly detection (drift monitoring) -------------
   // The pipeline-ops question "did last night's ingest break?": per
   // (event_type, hour) counts, each hour z-scored against its trailing
