@@ -526,6 +526,14 @@ object Analytics {
       .filter(col("prev_type").isNotNull &&
         col("ts") - col("prev_ts") <= 1800L * 1000000000L)
       .select(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+    transitionMatrix(pairs)
+  }
+
+  /** `(from_type, to_type)` pair frame → the `(n, p_e6)` matrix — shared
+    * by the batch query and the continuous face
+    * ([[graft.streaming.StreamTransitions]]), so the two can never
+    * disagree on the count/probability arithmetic. */
+  private[graft] def transitionMatrix(pairs: DataFrame): DataFrame = {
     val counts = pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
     val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
