@@ -385,7 +385,9 @@ object CurationQueries {
     * running-sum window, bins aggregate map-side after that. Shard count
     * is the parallelism knob — at 100 TB you run thousands of shards, and
     * each shard's window sorts only its own partition. */
-  def corpusPack(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The packed-bin frame (unordered) — shared by `corpus_pack` and the
+    * fill-efficiency report so both describe the same packing. */
+  private def packBins(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
@@ -402,8 +404,27 @@ object CurationQueries {
         sum(col("tokens")).as("bin_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-      .orderBy(col("shard"), col("bin"))
   }
+
+  def corpusPack(spark: SparkSession, sfDir: String): DataFrame =
+    packBins(spark, sfDir).orderBy(col("shard"), col("bin"))
+
+  // --- packing-efficiency report ----------------------------------------
+  // The number a training job actually pays for: how FULL are the packed
+  // sequences? Under-filled bins are padding (wasted step compute);
+  // >100 % bins mark documents spanning a bin boundary (truncation or
+  // carry-over work). One |bins|-row agg over the shared packed frame —
+  // decile histogram of fill ratio with doc/token mass per decile, all
+  // exact integers.
+  def corpusPackEfficiency(spark: SparkSession, sfDir: String): DataFrame =
+    packBins(spark, sfDir)
+      .select(least(expr(s"bin_tokens * 10 div $PackBudget"), lit(10L))
+          .cast("int").as("fill_decile"),
+        col("n_docs"), col("bin_tokens"))
+      .groupBy(col("fill_decile"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("tokens"))
+      .orderBy(col("fill_decile"))
 
   // --- exact-quota stratified sampling ---------------------------------
   // "Exactly n documents per source, reproducibly" — the mixture query's
@@ -465,6 +486,14 @@ object CurationQueries {
       |FROM offsets
       |GROUP BY shard, off // $PackBudget
       |ORDER BY shard, bin""".stripMargin
+
+  val corpusPackEfficiencySql: String =
+    s"""WITH bins AS (SELECT * FROM ($corpusPackSql))
+      |SELECT CAST(least(bin_tokens * 10 // $PackBudget, 10) AS INT) AS fill_decile,
+      |  CAST(count(*) AS BIGINT) AS n_bins,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(bin_tokens) AS BIGINT) AS tokens
+      |FROM bins GROUP BY 1 ORDER BY fill_decile""".stripMargin
 
   // --- content-blocklist filtering via a Bloom pre-filter ----------------
   // "Remove every document whose CONTENT appears in a blocklist" — the
