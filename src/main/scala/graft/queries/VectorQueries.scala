@@ -335,6 +335,38 @@ object VectorQueries {
       |  ON a.probe_id = b.probe_id AND a.neighbor_id = b.neighbor_id
       |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
 
+  // --- graph-ANN recall vs brute force ----------------------------------
+  // The same in-engine recall measurement `vec_ivf_recall` gives the
+  // quantization path, for the graph/beam path: per probe, how many of
+  // brute force's true top-k the beam search returned. The two answer
+  // frames are probe-count-sized; the compare is one keyed left join +
+  // one hash agg. recall_e6 by integer division — hashing-proof.
+  def vecGraphRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = vecTopk(spark, sfDir).select(col("probe_id"), col("neighbor_id"))
+    val approx = vecGraphTopk(spark, sfDir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+    brute.join(approx, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .select(col("probe_id"), col("k"), col("hits"),
+        expr("hits * 1000000 div k").as("recall_e6"))
+      .orderBy(col("probe_id"))
+  }
+
+  // lazy: vecGraphTopkSql is declared later in the object, and a strict
+  // val here would capture null during initialization
+  lazy val vecGraphRecallSql: String =
+    s"""WITH brute AS ($vecTopkSql),
+      |approx AS ($vecGraphTopkSql)
+      |SELECT b.probe_id, CAST(count(*) AS BIGINT) AS k,
+      |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS recall_e6
+      |FROM brute b LEFT JOIN approx a
+      |  ON a.probe_id = b.probe_id AND a.neighbor_id = b.neighbor_id
+      |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
+
   // --- IVF with a TRAINED coarse quantizer: one Lloyd iteration --------
   // The sampled-seed quantizer above is the bootstrap; real IVF trains
   // k-means. One Lloyd step, all DataFrame ops: assign every vector to
