@@ -105,7 +105,48 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${errors.size},"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${errors.size},"count":${timings.size},"sf":"$sfDir"}"""
+    // The driver archives only a ~4 KB stdout TAIL: with 176 queries the
+    // one-line JSON blows past that and most timings become unrecoverable
+    // (the round-6 phantom-regression scare cost a judge session to clear
+    // because 117/176 r5 timings had vanished). So: (1) persist the
+    // complete timing map to a committed file — one query per line so
+    // round-over-round diffs are line-diffs; (2) print the full JSON on an
+    // EARLY stdout line (recoverable when the tail window allows); (3) make
+    // the FINAL line compact — totals + the 10 slowest + counts — so it
+    // always survives the tail window and still parses as the driver's
+    // one-JSON-line contract.
+    try {
+      val dir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(dir)
+      val lines = new StringBuilder
+      lines ++= "{\n"
+      lines ++= s""" "metric":"total","value":$total,"unit":"sec","failed":${errors.size},"count":${timings.size},"sf":"$sfDir",\n"""
+      lines ++= " \"queries\":{\n"
+      lines ++= timings.map { case (k, v) => s"""  "$k":$v""" }.mkString(",\n")
+      lines ++= "\n },\n \"errors\":{\n"
+      lines ++= errors.map { case (k, v) => s"""  "$k":"$v"""" }.mkString(",\n")
+      lines ++= "\n }\n}\n"
+      // a solo re-measure (SPARK_GRAFT_QUERIES set) must never clobber
+      // the full-sweep artifact of record
+      val target = if (only.isDefined) "solo_timings.json" else "latest_timings.json"
+      java.nio.file.Files.write(dir.resolve(target),
+        lines.toString.getBytes("UTF-8"))
+      // per-round copy when the driver exports a round tag
+      if (only.isEmpty) sys.env.get("SPARK_GRAFT_ROUND").foreach { r =>
+        java.nio.file.Files.copy(dir.resolve("latest_timings.json"),
+          dir.resolve(s"timings_r$r.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"bench artifact write failed: ${e.getMessage}")
+    }
+    println(full)
+    val top = timings.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val artifact = if (only.isDefined) "bench/solo_timings.json" else "bench/latest_timings.json"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"errors":$errs,"failed":${errors.size},"count":${timings.size},"sf":"$sfDir","full_timings":"$artifact"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

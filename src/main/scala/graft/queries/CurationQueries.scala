@@ -307,7 +307,7 @@ object CurationQueries {
       |    CAST(floor((${TextQueries.qualitySqlExpr("toks", "text")}) * 1000000.0) AS BIGINT) AS quality_e6
       |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
       |        FROM documents)),
-      |m AS (SELECT l.cluster_id, l.doc_id, q.quality_e6
+      |m AS MATERIALIZED (SELECT l.cluster_id, l.doc_id, q.quality_e6
       |      FROM labels l JOIN q ON l.doc_id = q.doc_id),
       |best AS (
       |  SELECT cluster_id, CAST(max(quality_e6) AS BIGINT) AS best_quality_e6,

@@ -668,7 +668,7 @@ object DedupQueries {
       |  SELECT doc_a, doc_b FROM e
       |  UNION
       |  SELECT r.a, e.doc_b FROM reach r JOIN e ON r.b = e.doc_a),
-      |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |labels AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
       |          FROM labels GROUP BY 1),
       |ej AS (

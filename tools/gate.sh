@@ -29,7 +29,12 @@ fi
 # SURVEY.md's coverage-contract count must match too (round-6 lesson:
 # README was gated, SURVEY silently drifted 4 queries behind)
 SWANT=$(grep -oE '\([0-9]+ oracle queries' SURVEY.md | grep -oE '[0-9]+' | head -1)
-if [ -n "$SWANT" ] && [ "$ACTUAL" != "$SWANT" ]; then
+if [ -z "$SWANT" ]; then
+  # a reworded SURVEY.md must not silently disable this guard
+  echo "GATE FAIL: SURVEY.md no longer states its '(N oracle queries' count"
+  exit 1
+fi
+if [ "$ACTUAL" != "$SWANT" ]; then
   echo "GATE FAIL: SURVEY.md advertises $SWANT oracle queries, SparkEntry registers $ACTUAL"
   exit 1
 fi
