@@ -40,6 +40,10 @@ object Bench {
     // reads — index build is a one-time cost, not query cost
     try queries.VectorQueries.prepareIvfIndex(spark, sfDir)
     catch { case _: Throwable => () }
+    // the persisted bounded-degree neighbor graph vec_graph_topk_cached
+    // walks — index build is a one-time cost, not query cost
+    try queries.VectorQueries.prepareGraphIndex(spark, sfDir)
+    catch { case _: Throwable => () }
     // and the z-ordered events layout layout_zorder_read queries — the
     // layout rewrite is a one-time maintenance job, the query is the read
     try queries.LayoutQueries.prepareEventsLayout(spark, sfDir)

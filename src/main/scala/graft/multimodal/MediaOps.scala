@@ -101,6 +101,25 @@ object MediaOps {
     }
   }
 
+  /** 32-bit audio fingerprint over decoded sample bytes — the
+    * Haitsma–Kalker-style energy-delta sign hash in time-domain form:
+    * frame the first 256 samples into 32 8-sample frames, per-frame
+    * energy = Σ samples, bit i set iff frame i's energy exceeds frame
+    * (i+1 mod 32)'s. Delta SIGNS (not magnitudes) survive gain changes,
+    * which is why every published audio fingerprint keys on them.
+    * All-integer, so the codec path, any closed-form expression mirror,
+    * and the DuckDB oracle agree bit-for-bit — the same contract as
+    * [[aHash32]] for images. A real decoder feeds real PCM frames here;
+    * the contract is bytes-in → long-out. */
+  def audioFp32(samples: Array[Byte]): Long = {
+    require(samples.length >= 256, s"audioFp32 needs ≥256 samples, got ${samples.length}")
+    val e = Array.tabulate(32)(i =>
+      (0 until 8).map(j => (samples(8 * i + j) & 0xff).toLong).sum)
+    (0 until 32).foldLeft(0L) { (acc, i) =>
+      if (e(i) > e((i + 1) % 32)) acc | (1L << i) else acc
+    }
+  }
+
   /** Attach a `dims`-length `embedding` column extracted by `embedder`,
     * batch-at-a-time — the feature-extract stage between decode and the
     * vector operators. Same mapPartitions batch contract as

@@ -232,4 +232,77 @@ object MediaQueries {
       |  FROM scored)
       |SELECT probe_id, rank, doc_id AS neighbor_id, round(sim, 6) AS sim
       |FROM ranked WHERE rank <= $EmbedTopK ORDER BY probe_id, rank""".stripMargin
+
+  // --- audio fingerprint dedup -----------------------------------------
+  // The image pHash recipe applied to the SECOND modality, proving the
+  // codec boundary generalizes: rows are first FILTERED to audio by the
+  // real magic-byte sniff (modality routing is a codegen'd prefix
+  // compare, not metadata trust), then each payload's decoded samples
+  // are fingerprinted by the Haitsma–Kalker-style energy-delta sign
+  // hash ([[graft.multimodal.MediaOps.audioFp32]]): 32 8-sample frame
+  // energies, bit i = sign(eᵢ − e₍ᵢ₊₁ mod ₃₂₎). Delta signs survive
+  // gain changes — the property every published audio fingerprint keys
+  // on. The fake codec's samples are the documented (seed + i) & 255
+  // gradient, so the closed-form expression below IS the decode result
+  // (MultimodalSpec pins codec ≡ expression bit-for-bit); a real PCM
+  // decoder slots in behind audioFp32 unchanged.
+  //
+  // Scale shape: sniff + fingerprint are per-row projections at ingest
+  // (hash at decode time, never re-decode for dedup), grouping is ONE
+  // hash-agg on the 32-bit fingerprint — bounded output, no window, no
+  // join. Same plan as mm_phash_dedup, different modality.
+  def mmAudioDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val wav = docs.select(col("doc_id"), payload.as("content"))
+      .filter(MediaOps.sniffMime(col("content")) === "audio/wav")
+    val withSeed = wav.select(col("doc_id"), seed(col("content")).as("h"))
+    // layered projections (the mmPhashDedup lesson): energies once,
+    // then the 32 sign bits over named energy columns — inlining the
+    // 8-term sums into every comparison makes a codegen-hostile tree
+    val withE = withSeed.select(col("doc_id") +:
+      (0 until 32).map { i =>
+        (0 until 8).map(j => pmod(col("h") + lit((8 * i + j).toLong), lit(256L)))
+          .reduce(_ + _).as(s"e$i")
+      }: _*)
+    val afp = (0 until 32).map { i =>
+      when(col(s"e$i") > col(s"e${(i + 1) % 32}"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withE.select(col("doc_id"), afp.as("afp"))
+      .groupBy(col("afp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("afp"))
+  }
+
+  val mmAudioDedupSql: String = {
+    val energies = (0 until 32).map { i =>
+      (0 until 8).map(j => s"(h + ${8 * i + j}) % 256").mkString(" + ") + s" AS e$i"
+    }.mkString(",\n    ")
+    val bits = (0 until 32)
+      .map(i => s"CASE WHEN e$i > e${(i + 1) % 32} THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH media AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4
+      |       WHEN 0 THEN from_hex('89504E470D0A1A0A')
+      |       WHEN 1 THEN from_hex('FFD8FFE0')
+      |       WHEN 2 THEN from_hex('52494646') || encode('xxxxWAVE')
+      |       ELSE encode('') END) || encode(text) AS content
+      |  FROM documents),
+      |wav AS (
+      |  SELECT doc_id, content FROM (SELECT doc_id, content, hex(content) AS hx FROM media)
+      |  WHERE substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'),
+      |seeded AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(hex(content)), 1, 8)) AS BIGINT) AS h
+      |  FROM wav),
+      |energies AS (
+      |  SELECT doc_id,
+      |    $energies
+      |  FROM seeded),
+      |hashed AS (SELECT doc_id, $bits AS afp FROM energies)
+      |SELECT afp, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+      |FROM hashed GROUP BY afp HAVING count(*) >= 2
+      |ORDER BY afp""".stripMargin
+  }
 }

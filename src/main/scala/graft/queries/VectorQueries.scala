@@ -42,7 +42,7 @@ object VectorQueries {
   private val BucketCap = 200 // skew guard: drop degenerate LSH buckets
   private val SimThreshold = 0.35
 
-  private def cosine(a: Column, b: Column): Column =
+  private[graft] def cosine(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
   // --- brute-force top-k neighbors for a probe set ---------------------
@@ -1579,8 +1579,8 @@ object VectorQueries {
   // The whole pipeline is deterministic (ties break sim DESC, id ASC in
   // both engines), so the DuckDB oracle mirrors build + walk exactly,
   // with the hop CTEs unrolled at the same fixed `GraphHops`.
-  private val GraphMemb = 2 // coarse cells per vector (cross-cluster links)
-  private val GraphDegree = 8 // out-degree cap
+  private[graft] val GraphMemb = 2 // coarse cells per vector (cross-cluster links)
+  private[graft] val GraphDegree = 8 // out-degree cap
   private val GraphBeam = 8 // frontier width per hop
   private val GraphHops = 3 // fixed expansion rounds (oracle unrolls these)
   private val GraphEntries = 2 // entry centroids per probe
@@ -1612,38 +1612,48 @@ object VectorQueries {
       .select(col("src"), col("n.id").as("dst"))
   }
 
-  /** Beam search over a prebuilt adjacency: entry → `GraphHops` rounds of
-    * expand/score/prune → exact top-k over everything visited. */
-  private[graft] def graphBeamSearch(vecs: DataFrame, adj: DataFrame): DataFrame = {
-    val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
+  // Shared beam-walk machinery, used by BOTH the fixed-hop oracle face
+  // ([[graphBeamSearch]]) and the converged production face
+  // ([[graphBeamSearchConverged]]) so the two can never drift: probes,
+  // entry frontier, one expand round, final exact top-k.
+  private def beamProbes(vecs: DataFrame): DataFrame =
+    vecs.filter(col("vec_id") % ProbeStride === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+
+  private def beamEntry(vecs: DataFrame, probes: DataFrame): DataFrame = {
     val cents = sampledCentroids(vecs)
     val topE = udaf(new TopKAgg(GraphEntries))
-    val entry = probes.join(broadcast(cents))
+    probes.join(broadcast(cents))
       .select(col("probe_id"),
         cosine(col("pemb"), col("cemb")).as("csim"), col("cent_id"))
       .groupBy(col("probe_id"))
       .agg(topE(col("csim"), col("cent_id")).as("e"))
       .select(col("probe_id"), explode(col("e")).as("e"))
       .select(col("probe_id"), col("e.id").as("node"))
-    val emb = vecs.select(col("vec_id"), col("embedding"))
-    def score(candidates: DataFrame): DataFrame = candidates
-      .join(emb, col("node") === col("vec_id"))
+  }
+
+  private def beamScore(cands: DataFrame, emb: DataFrame, probes: DataFrame): DataFrame =
+    cands.join(emb, col("node") === col("vec_id"))
       .join(broadcast(probes), Seq("probe_id"))
       .select(col("probe_id"), col("node"),
         cosine(col("pemb"), col("embedding")).as("sim"))
+
+  /** One hop: beam-prune the visited set, expand out-edges, drop already-
+    * visited nodes, score the rest. Returns ONLY the newly scored rows. */
+  private def beamExpand(visited: DataFrame, adj: DataFrame,
+      emb: DataFrame, probes: DataFrame): DataFrame = {
     val topB = udaf(new TopKAgg(GraphBeam))
-    var visited = score(entry).localCheckpoint(true)
-    for (_ <- 1 to GraphHops) {
-      val frontier = visited.groupBy(col("probe_id"))
-        .agg(topB(col("sim"), col("node")).as("f"))
-        .select(col("probe_id"), explode(col("f")).as("f"))
-        .select(col("probe_id"), col("f.id").as("src"))
-      val cand = frontier.join(adj, Seq("src"))
-        .select(col("probe_id"), col("dst").as("node")).distinct()
-        .join(visited.select("probe_id", "node"), Seq("probe_id", "node"), "left_anti")
-      visited = visited.union(score(cand)).localCheckpoint(true)
-    }
+    val frontier = visited.groupBy(col("probe_id"))
+      .agg(topB(col("sim"), col("node")).as("f"))
+      .select(col("probe_id"), explode(col("f")).as("f"))
+      .select(col("probe_id"), col("f.id").as("src"))
+    val cand = frontier.join(adj, Seq("src"))
+      .select(col("probe_id"), col("dst").as("node")).distinct()
+      .join(visited.select("probe_id", "node"), Seq("probe_id", "node"), "left_anti")
+    beamScore(cand, emb, probes)
+  }
+
+  private def beamTopk(visited: DataFrame): DataFrame = {
     val topk = udaf(new TopKAgg(TopK))
     visited.filter(col("node") =!= col("probe_id"))
       .groupBy(col("probe_id"))
@@ -1654,12 +1664,89 @@ object VectorQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Beam search over a prebuilt adjacency: entry → `GraphHops` rounds of
+    * expand/score/prune → exact top-k over everything visited. */
+  private[graft] def graphBeamSearch(vecs: DataFrame, adj: DataFrame): DataFrame = {
+    val probes = beamProbes(vecs)
+    val emb = vecs.select(col("vec_id"), col("embedding"))
+    var visited = beamScore(beamEntry(vecs, probes), emb, probes).localCheckpoint(true)
+    for (_ <- 1 to GraphHops)
+      visited = visited.union(beamExpand(visited, adj, emb, probes)).localCheckpoint(true)
+    beamTopk(visited)
+  }
+
+  /** Beam search to CONVERGENCE — the production face (spec-gated; the
+    * oracle row stays on the fixed-hop schedule, the `kcoreConverged` /
+    * `pagerankConverged` split). Hops continue until the per-probe top-k
+    * SET is unchanged by a hop (or the frontier stops producing unvisited
+    * nodes — the stronger guarantee); fails loudly past `maxHops`,
+    * because a silently truncated walk under-reports recall. This is the
+    * standard graph-ANN termination rule (HNSW's "no candidate improves
+    * the result set" stop), and each hop's bill is identical to the
+    * fixed-hop form: one equi-join frontier→adjacency + one bounded
+    * TopKAgg per probe, with an eager `localCheckpoint` per round keeping
+    * plan depth constant. The convergence probe itself is cheap — the
+    * top-k frames are probes × k rows, compared with one anti join.
+    * Returns (result, hops actually run). */
+  private[graft] def graphBeamSearchConverged(vecs: DataFrame, adj: DataFrame,
+      maxHops: Int = 30): (DataFrame, Int) = {
+    val probes = beamProbes(vecs)
+    val emb = vecs.select(col("vec_id"), col("embedding"))
+    var visited = beamScore(beamEntry(vecs, probes), emb, probes).localCheckpoint(true)
+    var prevTopk = beamTopk(visited).localCheckpoint(true)
+    var stable = false
+    var hops = 0
+    while (!stable && hops < maxHops) {
+      val fresh = beamExpand(visited, adj, emb, probes).localCheckpoint(true)
+      hops += 1
+      if (fresh.isEmpty) stable = true // frontier exhausted: fixpoint
+      else {
+        visited = visited.union(fresh).localCheckpoint(true)
+        val curTopk = beamTopk(visited).localCheckpoint(true)
+        stable = curTopk.join(prevTopk,
+          Seq("probe_id", "rank", "neighbor_id"), "left_anti").isEmpty
+        prevTopk = curTopk
+      }
+    }
+    require(stable,
+      s"graph beam search did not reach a stable top-$TopK in $maxHops hops")
+    (prevTopk, hops)
+  }
+
   def vecGraphTopk(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
     val vecs = Tables.load(spark, sfDir, "embeddings")
     // build materialized ONCE (the hop loop's eager checkpoints would
     // otherwise re-run the whole graph build every round)
     graphBeamSearch(vecs, graphAdjacency(vecs).localCheckpoint(true))
+  }
+
+  // Build/query split for the graph index — the vec_ivf_topk_cached
+  // pattern applied to the adjacency: at 100 TB the bounded-degree graph
+  // (N × GraphDegree rows) is built once, persisted partitioned by a
+  // src-hash bucket, and every query's per-hop frontier→adjacency join
+  // reads only the index table. Same walk, same oracle (the adjacency is
+  // a deterministic function of the corpus).
+  private val graphIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per sfDir) and persist the bounded-degree neighbor
+    * graph `(src, dst)`; returns its directory. */
+  def prepareGraphIndex(spark: SparkSession, sfDir: String): String =
+    graphIndexDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+      val vecs = Tables.load(spark, sfDir, "embeddings")
+      graphAdjacency(vecs).write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** `vec_graph_topk` over the persisted adjacency — the query-path
+    * cost, benchable separately from the build. */
+  def vecGraphTopkCached(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val dir = prepareGraphIndex(spark, sfDir)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    graphBeamSearch(vecs, spark.read.parquet(dir))
   }
 
   val vecGraphTopkSql: String = {

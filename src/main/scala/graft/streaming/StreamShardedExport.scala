@@ -143,6 +143,13 @@ object StreamShardedExport {
   def readShard(spark: SparkSession, outDir: String, shard: Int): DataFrame =
     readAllWithShard(spark, outDir).filter(col(ShardCol) === shard).drop(ShardCol)
 
+  /** A SET of committed shards in one partition-pruned read — the
+    * multi-shard probe pattern (e.g. a graph-index epoch touching the
+    * batch's coarse cells reads only those cells' directories). */
+  def readShards(spark: SparkSession, outDir: String, shards: Seq[Int]): DataFrame =
+    readAllWithShard(spark, outDir)
+      .filter(col(ShardCol).isin(shards: _*)).drop(ShardCol)
+
   private def readAllWithShard(spark: SparkSession, outDir: String): DataFrame = {
     // marker-only epochs (empty micro-batches) have no data dir — they
     // are committed but contribute no rows

@@ -148,4 +148,41 @@ class MultimodalSpec extends AnyFunSuite {
       "extra pixels beyond 32 changed the hash")
     assert(a != b, "ascending and descending gradients collide")
   }
+
+  test("audioFp32 through the codec path equals the closed-form fingerprint") {
+    // second-modality twin of the aHash32 parity test: the fingerprint
+    // mm_audio_dedup keys on must be the SAME whether computed from
+    // decoded sample bytes (codec plumbing) or from the seed's closed
+    // form (the oracle-facing expression) — this is what proves the
+    // codec boundary generalizes beyond images
+    val decoded = FakeMediaCodec.decodeBatch(Seq(png, jpg, wav, txt))
+    Seq(png, jpg, wav, txt).zip(decoded).foreach { case (payload, d) =>
+      val viaCodec = MediaOps.audioFp32(d.pixels)
+      val h = FakeMediaCodec.seed(payload)
+      val e = Array.tabulate(32)(i => (0 until 8).map(j => (h + 8 * i + j) % 256).sum)
+      val closed = (0 until 32).foldLeft(0L) { (acc, i) =>
+        if (e(i) > e((i + 1) % 32)) acc | (1L << i) else acc
+      }
+      assert(viaCodec == closed, s"codec $viaCodec vs closed-form $closed")
+    }
+  }
+
+  test("audioFp32: gain-invariant to constant offsets, sensitive to shape") {
+    // the energy-DELTA-SIGN construction is what real audio
+    // fingerprints key on because uniform gain cancels in every
+    // comparison — pin that property on the JVM kernel
+    val base = Array.tabulate[Byte](256)(i => ((i * 7) % 101).toByte)
+    val gained = base.map(s => ((s & 0xff) + 20).toByte) // +20 "gain"
+    assert(base.forall(s => (s & 0xff) <= 235), "fixture would wrap under +20 gain")
+    assert(MediaOps.audioFp32(base) == MediaOps.audioFp32(gained),
+      "constant gain changed the fingerprint")
+    val reversed = base.reverse
+    assert(MediaOps.audioFp32(base) != MediaOps.audioFp32(reversed),
+      "reversed waveform collided")
+    // short payloads must fail loudly, not fingerprint garbage
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.audioFp32(Array.fill[Byte](100)(1))
+    }
+    assert(e.getMessage.contains("256"))
+  }
 }

@@ -356,4 +356,41 @@ class VectorSpec extends AnyFunSuite {
       s"graph recall $graph below IVF $ivf — the walk is not reaching neighbors")
     assert(graph >= 0.5 && graph <= 1.0, s"graph recall $graph out of bounds")
   }
+
+  test("converged beam search ≡ fixed-hop walk on the fixture, and fails loudly past the budget") {
+    // the production face stops on its own evidence (per-probe top-k set
+    // unchanged by a hop / frontier exhausted) instead of a pinned hop
+    // count — same split as kcoreConverged / pagerankConverged. On the
+    // deterministic fixture the walk stabilizes within the oracle's
+    // fixed GraphHops, so the two faces must emit IDENTICAL rows.
+    val sf = "/root/testdata/sf0.001"
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val adj = VectorQueries.graphAdjacency(vecs).localCheckpoint(true)
+    val fixed = VectorQueries.graphBeamSearch(vecs, adj)
+      .collect().map(_.toSeq).toSet
+    val (convDf, hops) = VectorQueries.graphBeamSearchConverged(vecs, adj)
+    val conv = convDf.orderBy(col("probe_id"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    info(s"beam search converged in $hops hops")
+    assert(hops >= 1, "converged walk must run at least one hop")
+    assert(conv == fixed,
+      "converged beam search diverged from the fixed-hop oracle face on the fixture")
+    // an exhausted budget must be LOUD, not a silently truncated walk
+    val e = intercept[IllegalArgumentException] {
+      VectorQueries.graphBeamSearchConverged(vecs, adj, maxHops = 0)
+    }
+    assert(e.getMessage.contains("did not reach a stable"))
+  }
+
+  test("vec_graph_topk_cached (persisted adjacency) ≡ the self-contained walk") {
+    // build/query split: the persisted index must answer bit-identically
+    // to the build-inline form — the vec_ivf_topk_cached acceptance bar.
+    val sf = "/root/testdata/sf0.001"
+    val inline = SparkEntry.queries("vec_graph_topk")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val cached = SparkEntry.queries("vec_graph_topk_cached")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(cached == inline, "persisted-adjacency walk diverged from inline build")
+  }
 }
