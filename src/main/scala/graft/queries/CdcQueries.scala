@@ -165,6 +165,62 @@ object CdcQueries {
       |  FROM latest WHERE tidb2dw_flag <> 'D'
       |) ORDER BY o_orderkey""".stripMargin
 
+  // --- PK-less merge (full-row identity) --------------------------------
+  // The reference REJECTS tables without a primary key
+  // (`/root/reference/README.md:42-47`); SURVEY §7.4(7) flags the fix:
+  // merge on the FULL ROW IMAGE. Semantics are SET semantics on images —
+  // the only coherent contract without a key: INSERT lands an image,
+  // DELETE removes every copy of one (a keyed warehouse MERGE on
+  // all-columns does the same), exact-duplicate source rows collapse to
+  // one, and UPDATE events are rejected loudly at the pipeline
+  // (an update cannot name the image it replaces — the changefeed must
+  // emit delete+insert pairs, which is how row-image logical replication
+  // behaves without a replica identity). `TableDefinition.mergeKeys`
+  // already falls back to all columns, so the whole merge/bucket
+  // machinery runs unchanged: TargetTable buckets by the row-image hash,
+  // the anti-join keys on the image, and dedup's (commit_ts, flag)
+  // ordering resolves same-ts delete+insert of one image to insert.
+  //
+  // Scale: identical to the keyed merge — the image hash distributes
+  // like any high-cardinality key, so buckets stay balanced and a batch
+  // still rewrites only touched buckets.
+  def mergePkless(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.load(spark, sfDir, "orders")
+    def images(df: DataFrame) =
+      df.select(col("o_custkey"), col("o_orderpriority")).distinct()
+    val target = images(ord.filter(col("o_orderkey") % 2 === 0))
+    val inserts = images(ord.filter(col("o_orderkey") % 2 === 1))
+      .withColumn(Envelope.FlagCol, lit(Envelope.Insert))
+      .withColumn(Envelope.CommitTsCol, lit(1L))
+    val deletes = images(ord.filter(col("o_custkey") % 5 === 0))
+      .withColumn(Envelope.FlagCol, lit(Envelope.Delete))
+      .withColumn(Envelope.CommitTsCol, lit(2L))
+    ChangeApply.applyChanges(target, inserts.unionByName(deletes),
+        Seq("o_custkey", "o_orderpriority"))
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
+  }
+
+  val mergePklessSql: String =
+    """WITH tgt AS (
+      |  SELECT DISTINCT o_custkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0),
+      |chg AS (
+      |  SELECT DISTINCT o_custkey, o_orderpriority, 'I' AS tidb2dw_flag, 1 AS tidb2dw_commit_ts
+      |  FROM orders WHERE o_orderkey % 2 = 1
+      |  UNION ALL
+      |  SELECT DISTINCT o_custkey, o_orderpriority, 'D', 2
+      |  FROM orders WHERE o_custkey % 5 = 0),
+      |latest AS (
+      |  SELECT * FROM chg
+      |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+      |    ORDER BY tidb2dw_commit_ts DESC, tidb2dw_flag DESC) = 1)
+      |SELECT o_custkey, o_orderpriority FROM (
+      |  SELECT t.o_custkey, t.o_orderpriority FROM tgt t
+      |  WHERE NOT EXISTS (SELECT 1 FROM latest l
+      |    WHERE l.o_custkey = t.o_custkey AND l.o_orderpriority = t.o_orderpriority)
+      |  UNION ALL
+      |  SELECT o_custkey, o_orderpriority FROM latest WHERE tidb2dw_flag <> 'D'
+      |) ORDER BY o_custkey, o_orderpriority""".stripMargin
+
   // --- time-travel (AS OF) read -----------------------------------------
   // Snapshot isolation over the replicated table: reconstruct its state
   // AS OF a commit timestamp by replaying only changes with

@@ -159,6 +159,16 @@ final class IncrementalPipeline(
       val changes = Envelope
         .tableFilter(rows, cfg.schemaName, cfg.tableName)
         .filter(col(Envelope.CommitTsCol) > cfg.startTso)
+      // PK-less tables merge on the FULL ROW IMAGE (mergeKeys falls back
+      // to all columns), so an Update event cannot name the image it
+      // replaces — applying it would land a silent duplicate insert and
+      // strand the old image forever. Fail LOUDLY: the changefeed must
+      // emit delete+insert pairs for tables without a replica identity.
+      if (defAt.pkColumns.isEmpty &&
+          !changes.filter(col(Envelope.FlagCol) === Envelope.Update).isEmpty)
+        sys.error(s"PK-less table ${cfg.schemaName}.${cfg.tableName}: Update " +
+          "events are not replicable by full-row identity; configure the " +
+          "changefeed to emit delete+insert pairs")
       // `latest` is consumed up to three times per version (touched-bucket
       // key collect, then applyLatest's upsert rows + anti-join keys) —
       // cache it so the CSV parse + dedup hash-agg run once per trigger,

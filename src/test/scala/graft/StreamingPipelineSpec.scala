@@ -598,6 +598,41 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got == Set((2L, "b"), (4L, "new")))
   }
 
+  test("PK-less table: an Update event fails LOUDLY (delete+insert required)") {
+    // full-row identity cannot apply a U (it names only the NEW image;
+    // the old image would be stranded as a silent duplicate) — the
+    // pipeline must kill the query with an actionable message, not merge
+    val root = Files.createTempDirectory("graft-nopk-u").toString
+    val defNoPk = TableDefinition(
+      schema = "tpch", table = "logs", tableVersion = 100L,
+      columns = Seq(
+        TableCol("1", "k", "bigint"),
+        TableCol("2", "v", "varchar")))
+    val inc = s"$root/increment"
+    val key = PathCodec.DmlPathKey("tpch", "logs", 100L, 0L, "2024-01-01")
+    Files.createDirectories(Paths.get(PathCodec.dmlPath(inc, key, 1L)).getParent)
+    Files.writeString(
+      Paths.get(PathCodec.schemaPath(inc, "tpch", "logs", 100L)),
+      TableDefJson.write(defNoPk))
+    Files.writeString(
+      Paths.get(PathCodec.dmlPath(inc, key, 1L)),
+      """"U","logs","tpch","11",1,"renamed"
+        |""".stripMargin)
+    Files.createDirectories(Paths.get(s"$root/snapshot"))
+    val cfg = PipelineConfig(
+      incrementRoot = inc, schemaName = "tpch", tableName = "logs",
+      targetRoot = s"$root/target", checkpointDir = s"$root/ckpt",
+      seed = defNoPk.copy(tableVersion = 0L), startTso = 10L)
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val q = ReplicationJob.replicateTable(spark, snap, s"$root/snapshot", cfg).get
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("delete+insert"),
+      s"wrong failure: ${e.getMessage.take(300)}")
+  }
+
   test("M8 in-stream: watermarked windowed change rates over the CDC source") {
     import graft.streaming.ChangeStats
     val root = Files.createTempDirectory("graft-stats").toString
