@@ -233,6 +233,145 @@ object MediaQueries {
       |SELECT probe_id, rank, doc_id AS neighbor_id, round(sim, 6) AS sim
       |FROM ranked WHERE rank <= $EmbedTopK ORDER BY probe_id, rank""".stripMargin
 
+  // --- cross-modal alignment filter (CLIP-score shape) ------------------
+  // The LAION recipe: a text↔image pair survives ingest only if the two
+  // towers' embeddings agree (cosine ≥ threshold) — the pair-quality
+  // gate every large image-text corpus is built with. Re-expressed:
+  // both towers are batched [[graft.multimodal.MediaEmbedder]] slots
+  // (here the documented md5-chain fakes, text tower salted ":t:" so
+  // the towers genuinely differ), the score is ONE cosine per row, and
+  // the output is (doc_id, clip_score, keep). Per-row projection,
+  // ZERO shuffle — at 100 TB this runs at scan speed and the keep flag
+  // feeds the same corpus_filter/funnel machinery as every other gate.
+  private val ClipThreshold = 0.78
+
+  /** Text-tower twin of [[embedExpr]]: dim j = md5(text ‖ ":t:" ‖ j)
+    * first 16 bits scaled to [0,1]. */
+  private def textEmbedExpr(text: Column): Column =
+    transform(sequence(lit(0), lit(EmbedDims - 1)),
+      j => (conv(substring(md5(concat(text, lit(":t:"), j.cast("string"))), 1, 4), 16, 10)
+        .cast("double") / lit(65535.0)).cast("float"))
+
+  def mmClipFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.select(col("doc_id"),
+        textEmbedExpr(col("text")).as("temb"),
+        embedExpr(payload).as("memb"))
+      .select(col("doc_id"),
+        call_function("cosine_sim", col("temb"), col("memb")).as("s"))
+      .select(col("doc_id"), round(col("s"), 6).as("clip_score"),
+        when(col("s") >= ClipThreshold, lit(1)).otherwise(lit(0)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmClipFilterSql: String =
+    s"""WITH media AS (
+      |  SELECT doc_id, text,
+      |    (CASE doc_id % 4
+      |       WHEN 0 THEN from_hex('89504E470D0A1A0A')
+      |       WHEN 1 THEN from_hex('FFD8FFE0')
+      |       WHEN 2 THEN from_hex('52494646') || encode('xxxxWAVE')
+      |       ELSE encode('') END) || encode(text) AS content
+      |  FROM documents),
+      |embs AS (
+      |  SELECT doc_id,
+      |    CAST([CAST(CAST(('0x' || substr(md5(text || ':t:' || j), 1, 4)) AS BIGINT) AS DOUBLE)
+      |            / 65535.0 for j in range(0, $EmbedDims)] AS REAL[]) AS temb,
+      |    CAST([CAST(CAST(('0x' || substr(md5(hex(content) || ':' || j), 1, 4)) AS BIGINT) AS DOUBLE)
+      |            / 65535.0 for j in range(0, $EmbedDims)] AS REAL[]) AS memb
+      |  FROM media),
+      |scored AS (
+      |  SELECT doc_id,
+      |    list_cosine_similarity(CAST(temb AS DOUBLE[]), CAST(memb AS DOUBLE[])) AS s
+      |  FROM embs)
+      |SELECT doc_id, round(s, 6) AS clip_score,
+      |  CAST(CASE WHEN s >= $ClipThreshold THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // --- sampled-frame near-duplicate detection ---------------------------
+  // Video/animation near-dup: two payloads are near-duplicates when
+  // their SAMPLED FRAMES' fingerprints overlap — the frame-level
+  // recall that a whole-file hash misses (re-encodes, trims). Shape is
+  // the LSH-banding pattern applied to frames: explode each payload's
+  // sampled frames (≤ ⌈32/stride⌉ rows per doc, bounded by the fake
+  // metadata cap exactly as real frame sampling is bounded by the
+  // sampler), fingerprint each frame, and generate candidate pairs ONLY
+  // within a fingerprint bucket — cost ∝ Σ bucket², never all-pairs.
+  // Per-pair overlap then scores an integer frame-Jaccard. The fake
+  // frame fingerprint derives from the payload seed (h mod 256 — the
+  // documented "content id" granularity of the fake codec) and the
+  // frame index, so re-used content shares frames exactly as re-encoded
+  // video would.
+  private val NeardupMinShared = 2
+
+  def mmFrameNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val h = seed(payload)
+    val meta = docs.select(col("doc_id"), h.as("h"),
+      (lit(1) + shiftright(h, 16).bitwiseAND(lit(31L))).as("n_frames"))
+    val frames = meta.select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(FrameStride.toLong))).as("frame_idx"),
+        pmod(col("h"), lit(256L)).as("cid"))
+      .select(col("doc_id"),
+        md5(concat(col("cid").cast("string"), lit(":"), col("frame_idx").cast("string")))
+          .as("frame_fp"))
+      // read 3x (both self-join sides + per-doc counts); eager
+      // localCheckpoint so the corpus is scanned ONCE for the ≤⌈32/stride⌉
+      // rows/doc frame index instead of 4x (the dedup_fuzzy precedent)
+      .localCheckpoint(true)
+    val counts = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val pairs = frames.select(col("frame_fp"), col("doc_id").as("doc_a"))
+      .join(frames.select(col("frame_fp"), col("doc_id").as("doc_b")), Seq("frame_fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= NeardupMinShared)
+    pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("nf").as("fa")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("nf").as("fb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared") * lit(1000000L) /
+          (col("fa") + col("fb") - col("n_shared"))).cast("long").as("frame_jaccard_e6"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val mmFrameNeardupSql: String =
+    s"""WITH media AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4
+      |       WHEN 0 THEN from_hex('89504E470D0A1A0A')
+      |       WHEN 1 THEN from_hex('FFD8FFE0')
+      |       WHEN 2 THEN from_hex('52494646') || encode('xxxxWAVE')
+      |       ELSE encode('') END) || encode(text) AS content
+      |  FROM documents),
+      |seeded AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(hex(content)), 1, 8)) AS BIGINT) AS h
+      |  FROM media),
+      |meta AS (
+      |  SELECT doc_id, h % 256 AS cid, 1 + ((h >> 16) & 31) AS n_frames
+      |  FROM seeded),
+      |frames AS (
+      |  SELECT doc_id,
+      |    md5(CAST(cid AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+      |  FROM (SELECT doc_id, cid, unnest(range(0, n_frames, $FrameStride)) AS frame_idx
+      |        FROM meta)),
+      |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM frames GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM frames a JOIN frames b
+      |    ON a.frame_fp = b.frame_fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= $NeardupMinShared)
+      |SELECT p.doc_a, p.doc_b, p.n_shared,
+      |  CAST(p.n_shared * 1000000 // (ca.nf + cb.nf - p.n_shared) AS BIGINT) AS frame_jaccard_e6
+      |FROM pairs p
+      |  JOIN counts ca ON ca.doc_id = p.doc_a
+      |  JOIN counts cb ON cb.doc_id = p.doc_b
+      |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   // --- audio fingerprint dedup -----------------------------------------
   // The image pHash recipe applied to the SECOND modality, proving the
   // codec boundary generalizes: rows are first FILTERED to audio by the

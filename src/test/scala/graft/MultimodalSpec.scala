@@ -167,6 +167,57 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_clip_filter: towers genuinely differ, keep tracks the threshold, mixed verdicts") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("mm_clip_filter")(spark, sf)
+      .as[(Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    // scores are cosines of non-negative vectors: [0, 1]
+    assert(rows.forall { case (_, s, _) => s >= 0.0 && s <= 1.0 })
+    // keep is the threshold verdict (6-dp rounding can't flip it unless
+    // a score lands within 5e-7 of the threshold — assert it doesn't)
+    rows.foreach { case (id, s, keep) =>
+      assert(math.abs(s - 0.78) > 1e-6, s"doc $id scored ON the threshold")
+      assert(keep == (if (s >= 0.78) 1 else 0), s"doc $id keep flag disagrees with score $s")
+    }
+    // the gate must actually filter: both verdicts present (a salted
+    // text tower identical to the media tower would score 1.0 for every
+    // row and keep everything)
+    assert(rows.exists(_._3 == 1) && rows.exists(_._3 == 0),
+      "clip filter is degenerate — one-sided verdicts")
+    assert(rows.forall(_._2 < 0.9999), "towers collapsed to identical embeddings")
+  }
+
+  test("mm_frame_neardup ≡ brute-force frame-set Jaccard on the JVM") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("mm_frame_neardup")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, n, j) => (a, b) -> ((n, j)) }.toMap
+    // brute-force oracle: payload → FakeMediaCodec.seed → (cid, sampled
+    // frame indices); md5 fingerprint equality ⟺ (cid, idx) equality
+    val magic = Map(
+      0L -> Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      1L -> Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte),
+      2L -> "RIFFxxxxWAVE".getBytes("UTF-8"),
+      3L -> Array.emptyByteArray)
+    val frames = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val h = FakeMediaCodec.seed(magic(id % 4) ++ text.getBytes("UTF-8"))
+        val cid = h % 256
+        val n = FakeMediaCodec.framesOf(h)
+        id -> (0 until n by 4).map(i => (cid, i.toLong)).toSet
+      }.toMap
+    val want = (for {
+      (a, fa) <- frames.toSeq; (b, fb) <- frames.toSeq if a < b
+      shared = (fa intersect fb).size.toLong if shared >= 2
+    } yield (a, b) -> ((shared, shared * 1000000L / (fa.size + fb.size - shared)))).toMap
+    assert(got == want,
+      s"pair sets diverge: spark-only=${(got.keySet -- want.keySet).take(3)}, " +
+        s"oracle-only=${(want.keySet -- got.keySet).take(3)}")
+    assert(want.nonEmpty, "fixture produced no near-dup pairs — test is vacuous")
+  }
+
   test("audioFp32: gain-invariant to constant offsets, sensitive to shape") {
     // the energy-DELTA-SIGN construction is what real audio
     // fingerprints key on because uniform gain cancels in every

@@ -478,6 +478,28 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"missing hash agg:\n${plan.take(2000)}")
   }
 
+  test("mm_clip_filter: pure per-row projection — one scan, no join/agg/window") {
+    val df = SparkEntry.queries("mm_clip_filter")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Join") && !plan.contains("Window") && !plan.contains("HashAggregate"),
+      s"clip filter must run at scan speed:\n${plan.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"clip filter scans the corpus $scans times")
+  }
+
+  test("mm_frame_neardup: corpus scanned once into the frame index, bucketed pairs only") {
+    val df = SparkEntry.queries("mm_frame_neardup")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), s"frame neardup plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"frame neardup pairs must come from fingerprint-bucket equi-joins:\n${plan.take(2000)}")
+    // the eager localCheckpoint already consumed the single corpus scan;
+    // the executed plan must join checkpointed frame rows, never re-scan
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"frame neardup re-scans the corpus $scans times past the checkpoint")
+    assert(plan.contains("Scan ExistingRDD"), s"expected checkpointed frame index:\n${plan.take(2000)}")
+  }
+
   test("retrieval_lexical_topk: bounded postings via TopKAgg, no window, no cartesian") {
     val df = SparkEntry.queries("retrieval_lexical_topk")(spark, sf)
     val plan = physical(df)
