@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.MediaOps
+import graft.multimodal.{FrameNeardupIndex, MediaOps}
 
 /** Multimodal-column query family (BASELINE north star): media payloads
   * as opaque binary + typed metadata, exercised end-to-end against the
@@ -23,7 +23,9 @@ import graft.multimodal.MediaOps
   */
 object MediaQueries {
 
-  private val FrameStride = 4
+  // sampling stride shared with the frame-neardup index so the two
+  // faces can never drift apart
+  private val FrameStride = FrameNeardupIndex.FrameStride
 
   /** payload = magic(doc_id % 4) ++ utf8(text). */
   private def payload: Column = {
@@ -304,24 +306,16 @@ object MediaQueries {
   // documented "content id" granularity of the fake codec) and the
   // frame index, so re-used content shares frames exactly as re-encoded
   // video would.
-  private val NeardupMinShared = 2
+  private val NeardupMinShared = FrameNeardupIndex.MinShared
 
   def mmFrameNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val h = seed(payload)
-    val meta = docs.select(col("doc_id"), h.as("h"),
-      (lit(1) + shiftright(h, 16).bitwiseAND(lit(31L))).as("n_frames"))
-    val frames = meta.select(col("doc_id"),
-        explode(sequence(lit(0L), col("n_frames") - 1, lit(FrameStride.toLong))).as("frame_idx"),
-        pmod(col("h"), lit(256L)).as("cid"))
-      .select(col("doc_id"),
-        md5(concat(col("cid").cast("string"), lit(":"), col("frame_idx").cast("string")))
-          .as("frame_fp"))
-      // read 3x (both self-join sides + per-doc counts); eager
-      // localCheckpoint so the corpus is scanned ONCE for the ≤⌈32/stride⌉
-      // rows/doc frame index instead of 4x (the dedup_fuzzy precedent)
-      .localCheckpoint(true)
-    val counts = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    // the shared index core (also the incremental query's and the
+    // streaming face's backend): the corpus is scanned ONCE into the
+    // ≤⌈32/stride⌉-rows/doc checkpointed frame index, then self-joined
+    val idx = FrameNeardupIndex.build(docs.select(col("doc_id"), payload.as("content")))
+    val frames = idx.frames
+    val counts = idx.fpsets.select(col("doc_id"), size(col("fps")).cast("long").as("nf"))
     val pairs = frames.select(col("frame_fp"), col("doc_id").as("doc_a"))
       .join(frames.select(col("frame_fp"), col("doc_id").as("doc_b")), Seq("frame_fp"))
       .filter(col("doc_a") < col("doc_b"))
@@ -353,12 +347,12 @@ object MediaQueries {
       |meta AS (
       |  SELECT doc_id, h % 256 AS cid, 1 + ((h >> 16) & 31) AS n_frames
       |  FROM seeded),
-      |frames AS (
+      |frames AS MATERIALIZED (
       |  SELECT doc_id,
       |    md5(CAST(cid AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp
       |  FROM (SELECT doc_id, cid, unnest(range(0, n_frames, $FrameStride)) AS frame_idx
       |        FROM meta)),
-      |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM frames GROUP BY 1),
+      |counts AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM frames GROUP BY 1),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(count(*) AS BIGINT) AS n_shared
@@ -371,6 +365,63 @@ object MediaQueries {
       |  JOIN counts ca ON ca.doc_id = p.doc_a
       |  JOIN counts cb ON cb.doc_id = p.doc_b
       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
+  // --- incremental (new-batch-vs-corpus) frame near-dup ------------------
+  // The continuous-ingest shape for media, mirroring dedup_incremental:
+  // a NEW batch of payloads (one source, ~5% of rows) is checked against
+  // the EXISTING corpus index without re-pairing the corpus against
+  // itself. Built inline here because the oracle query owns no persisted
+  // state — production builds [[FrameNeardupIndex]] once, `save`s it,
+  // and every increment (or the streaming face) matches against the load.
+  private val IncrementalSource = "src0"
+
+  def mmFrameNeardupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = docs.select(col("doc_id"), col("source"), payload.as("content"))
+    val newMedia = media.filter(col("source") === IncrementalSource)
+      .select(col("doc_id"), col("content"))
+    val corpus = media.filter(col("source") =!= IncrementalSource)
+      .select(col("doc_id"), col("content"))
+    FrameNeardupIndex.matchBatch(FrameNeardupIndex.build(corpus), newMedia)
+      .select(col("new_id").as("new_doc_id"), col("dup_of"),
+        col("n_shared"), col("frame_jaccard_e6"))
+      .orderBy(col("new_doc_id"), col("dup_of"))
+  }
+
+  val mmFrameNeardupIncrementalSql: String =
+    s"""WITH media AS (
+      |  SELECT doc_id, source,
+      |    (CASE doc_id % 4
+      |       WHEN 0 THEN from_hex('89504E470D0A1A0A')
+      |       WHEN 1 THEN from_hex('FFD8FFE0')
+      |       WHEN 2 THEN from_hex('52494646') || encode('xxxxWAVE')
+      |       ELSE encode('') END) || encode(text) AS content
+      |  FROM documents),
+      |seeded AS (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(hex(content)), 1, 8)) AS BIGINT) AS h
+      |  FROM media),
+      |meta AS (
+      |  SELECT doc_id, source, h % 256 AS cid, 1 + ((h >> 16) & 31) AS n_frames
+      |  FROM seeded),
+      |frames AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    md5(CAST(cid AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+      |  FROM (SELECT doc_id, source, cid, unnest(range(0, n_frames, $FrameStride)) AS frame_idx
+      |        FROM meta)),
+      |counts AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM frames GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS new_doc_id, b.doc_id AS dup_of,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM frames a JOIN frames b ON a.frame_fp = b.frame_fp
+      |  WHERE a.source = '$IncrementalSource' AND b.source != '$IncrementalSource'
+      |  GROUP BY 1, 2 HAVING count(*) >= $NeardupMinShared)
+      |SELECT p.new_doc_id, p.dup_of, p.n_shared,
+      |  CAST(p.n_shared * 1000000 // (ca.nf + cb.nf - p.n_shared) AS BIGINT) AS frame_jaccard_e6
+      |FROM pairs p
+      |  JOIN counts ca ON ca.doc_id = p.new_doc_id
+      |  JOIN counts cb ON cb.doc_id = p.dup_of
+      |ORDER BY p.new_doc_id, p.dup_of""".stripMargin
 
   // --- audio fingerprint dedup -----------------------------------------
   // The image pHash recipe applied to the SECOND modality, proving the
