@@ -311,11 +311,15 @@ object VectorQueries {
   // the sample, while the production path being graded stays
   // probed-list-priced. Integer outputs (hits, recall_e6 by integer
   // division) keep the row hashing-proof.
-  def vecIvfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared recall core: per probe, how many of brute force's true
+    * top-k the `approx` frame returned. Both frames are
+    * probe-count-sized; the compare is one keyed left join + one hash
+    * agg. recall_e6 by integer division — hashing-proof. */
+  private def recallVsBrute(spark: SparkSession, sfDir: String,
+      approx: DataFrame): DataFrame = {
     val brute = vecTopk(spark, sfDir).select(col("probe_id"), col("neighbor_id"))
-    val approx = vecIvfTopk(spark, sfDir)
-      .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
-    brute.join(approx, Seq("probe_id", "neighbor_id"), "left")
+    brute.join(approx.select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("probe_id", "neighbor_id"), "left")
       .groupBy(col("probe_id"))
       .agg(count(lit(1)).as("k"),
         sum(coalesce(col("hit"), lit(0))).as("hits"))
@@ -324,9 +328,11 @@ object VectorQueries {
       .orderBy(col("probe_id"))
   }
 
-  val vecIvfRecallSql: String =
+  /** The oracle template over any approx-top-k SQL producing
+    * (probe_id, neighbor_id, …). */
+  private def recallSqlOver(approxSql: String): String =
     s"""WITH brute AS ($vecTopkSql),
-      |approx AS ($vecIvfTopkSql)
+      |approx AS ($approxSql)
       |SELECT b.probe_id, CAST(count(*) AS BIGINT) AS k,
       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
@@ -334,6 +340,11 @@ object VectorQueries {
       |FROM brute b LEFT JOIN approx a
       |  ON a.probe_id = b.probe_id AND a.neighbor_id = b.neighbor_id
       |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
+
+  def vecIvfRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallVsBrute(spark, sfDir, vecIvfTopk(spark, sfDir))
+
+  val vecIvfRecallSql: String = recallSqlOver(vecIvfTopkSql)
 
   // --- graph-ANN recall vs brute force ----------------------------------
   // The same in-engine recall measurement `vec_ivf_recall` gives the
@@ -341,31 +352,30 @@ object VectorQueries {
   // brute force's true top-k the beam search returned. The two answer
   // frames are probe-count-sized; the compare is one keyed left join +
   // one hash agg. recall_e6 by integer division — hashing-proof.
-  def vecGraphRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val brute = vecTopk(spark, sfDir).select(col("probe_id"), col("neighbor_id"))
-    val approx = vecGraphTopk(spark, sfDir)
-      .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
-    brute.join(approx, Seq("probe_id", "neighbor_id"), "left")
-      .groupBy(col("probe_id"))
-      .agg(count(lit(1)).as("k"),
-        sum(coalesce(col("hit"), lit(0))).as("hits"))
-      .select(col("probe_id"), col("k"), col("hits"),
-        expr("hits * 1000000 div k").as("recall_e6"))
-      .orderBy(col("probe_id"))
-  }
+  def vecGraphRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallVsBrute(spark, sfDir, vecGraphTopk(spark, sfDir))
 
   // lazy: vecGraphTopkSql is declared later in the object, and a strict
   // val here would capture null during initialization
-  lazy val vecGraphRecallSql: String =
-    s"""WITH brute AS ($vecTopkSql),
-      |approx AS ($vecGraphTopkSql)
-      |SELECT b.probe_id, CAST(count(*) AS BIGINT) AS k,
-      |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-      |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
-      |    // count(*) AS BIGINT) AS recall_e6
-      |FROM brute b LEFT JOIN approx a
-      |  ON a.probe_id = b.probe_id AND a.neighbor_id = b.neighbor_id
-      |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
+  lazy val vecGraphRecallSql: String = recallSqlOver(vecGraphTopkSql)
+
+  // --- quantization-path recall: PQ and IVF-PQ --------------------------
+  // Completing the in-engine eval matrix: every approximate top-k path
+  // (IVF, graph, PQ, IVF-PQ) grades itself against the same brute-force
+  // ground truth, so an index owner tuning codebook size / NProbe /
+  // refine pool reads recall and cost from the SAME engine that serves.
+  // The PQ-family oracles are GENERATED (the approx leg embeds the
+  // trained codebooks as literals), so these exist only after the query
+  // has trained — the same `…SqlOpt` contract as `vec_pq_topk` itself.
+  def vecPqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallVsBrute(spark, sfDir, vecPqTopk(spark, sfDir))
+
+  def vecPqRecallSqlOpt: Option[String] = vecPqTopkSqlOpt.map(recallSqlOver)
+
+  def vecIvfPqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallVsBrute(spark, sfDir, vecIvfPqTopk(spark, sfDir))
+
+  def vecIvfPqRecallSqlOpt: Option[String] = vecIvfPqTopkSqlOpt.map(recallSqlOver)
 
   // --- IVF with a TRAINED coarse quantizer: one Lloyd iteration --------
   // The sampled-seed quantizer above is the bootstrap; real IVF trains
