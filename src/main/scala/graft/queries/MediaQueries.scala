@@ -292,6 +292,64 @@ object MediaQueries {
       |  CAST(CASE WHEN s >= $ClipThreshold THEN 1 ELSE 0 END AS INT) AS keep
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // --- cross-modal retrieval (text probes → media corpus) ---------------
+  // The other half of the CLIP lifecycle: where mm_clip_filter GATES
+  // aligned pairs, this RETRIEVES — a strided sample of text-tower
+  // probe embeddings ranks the media-tower corpus by cosine, the
+  // text-searches-images serving shape. Same scale plan as every top-k
+  // in the family: probes broadcast (|N/stride| rows), the corpus is
+  // scanned once at projection speed, and ranking runs through the
+  // bounded partial-merge TopKAgg — no window over probe×corpus rows.
+  def mmCrossmodalTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{TopKAgg, VectorFunctions}
+    VectorFunctions.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = docs.select(col("doc_id"), embedExpr(payload).as("memb"))
+    val probes = docs.filter(col("doc_id") % EmbedProbeStride === 0)
+      .select(col("doc_id").as("probe_id"), textEmbedExpr(col("text")).as("temb"))
+    val topk = udaf(new TopKAgg(EmbedTopK))
+    media.join(broadcast(probes), col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"),
+        call_function("cosine_sim", col("temb"), col("memb")).as("sim"),
+        col("doc_id").as("id"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.sim"), 6).as("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val mmCrossmodalTopkSql: String =
+    s"""WITH media AS (
+      |  SELECT doc_id, text,
+      |    (CASE doc_id % 4
+      |       WHEN 0 THEN from_hex('89504E470D0A1A0A')
+      |       WHEN 1 THEN from_hex('FFD8FFE0')
+      |       WHEN 2 THEN from_hex('52494646') || encode('xxxxWAVE')
+      |       ELSE encode('') END) || encode(text) AS content
+      |  FROM documents),
+      |membs AS (
+      |  SELECT doc_id,
+      |    CAST([CAST(CAST(('0x' || substr(md5(hex(content) || ':' || j), 1, 4)) AS BIGINT) AS DOUBLE)
+      |            / 65535.0 for j in range(0, $EmbedDims)] AS REAL[]) AS memb
+      |  FROM media),
+      |probes AS (
+      |  SELECT doc_id AS probe_id,
+      |    CAST([CAST(CAST(('0x' || substr(md5(text || ':t:' || j), 1, 4)) AS BIGINT) AS DOUBLE)
+      |            / 65535.0 for j in range(0, $EmbedDims)] AS REAL[]) AS temb
+      |  FROM media WHERE doc_id % $EmbedProbeStride = 0),
+      |scored AS (
+      |  SELECT p.probe_id, e.doc_id,
+      |    list_cosine_similarity(CAST(p.temb AS DOUBLE[]), CAST(e.memb AS DOUBLE[])) AS sim
+      |  FROM probes p JOIN membs e ON e.doc_id != p.probe_id),
+      |ranked AS (
+      |  SELECT probe_id, doc_id, sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT probe_id, rank, doc_id AS neighbor_id, round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= $EmbedTopK ORDER BY probe_id, rank""".stripMargin
+
   // --- sampled-frame near-duplicate detection ---------------------------
   // Video/animation near-dup: two payloads are near-duplicates when
   // their SAMPLED FRAMES' fingerprints overlap — the frame-level

@@ -33,7 +33,8 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       "vec_ivf_kmeans" -> SparkEntry.queries("vec_ivf_kmeans"),
       "vec_sq_topk" -> SparkEntry.queries("vec_sq_topk"),
       "vec_matryoshka_topk" -> SparkEntry.queries("vec_matryoshka_topk"),
-      "mm_embed_topk" -> SparkEntry.queries("mm_embed_topk")
+      "mm_embed_topk" -> SparkEntry.queries("mm_embed_topk"),
+      "mm_crossmodal_topk" -> SparkEntry.queries("mm_crossmodal_topk")
     ).foreach { case (name, fn) =>
       val plan = physical(fn(spark, sf))
       assert(!plan.contains("Window"), s"$name plans a Window:\n${plan.take(2000)}")
