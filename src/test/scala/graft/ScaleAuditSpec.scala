@@ -51,7 +51,13 @@ class ScaleAuditSpec extends AnyFunSuite {
     ("graph_domain_authority", 1.5, 1.0),
     ("vec_ivf_topk", 0.8, 0.8),
     ("vec_pq_topk", 0.8, 0.8),
-    ("vec_drift", 0.8, 0.8))
+    ("vec_drift", 0.8, 0.8),
+    // round-7 shapes (measured sw 0.0 / 0.2 / 0.4 MB): the fingerprint
+    // self-join must keep pairing inside buckets, and the recall evals
+    // must stay two probe-sized legs + one keyed join
+    ("mm_frame_neardup", 0.5, 0.5),
+    ("vec_graph_recall", 1.0, 0.8),
+    ("vec_ivfpq_recall", 1.5, 0.8))
 
   test("top bench queries stay under their pinned shuffle ceilings at sf0.01") {
     // memoized one-time builds bill to their first trigger — run them
