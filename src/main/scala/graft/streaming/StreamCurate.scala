@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.PiiRedact
-import graft.queries.{CurationQueries, TextQueries}
+import graft.queries.{CurationQueries, NearDupIndex, TextQueries}
 
 /** The continuous-ingest curation pipeline composed end-to-end — the
   * streaming face of the nightly `corpus_curate` job: documents are
@@ -26,8 +26,10 @@ import graft.queries.{CurationQueries, TextQueries}
   *    idempotent commit, so a redelivered batch never double-lands.
   *
   * Streaming STATE is zero: every stage is per-row or stream-static, so
-  * the query runs forever at any rate. Exact/near-duplicate removal is
-  * deliberately NOT in this chain — it is stateful and owned by
+  * the query runs forever at any rate. Near-duplicate removal against
+  * the LANDED corpus composes in via `neardup` (the persisted
+  * [[graft.queries.NearDupIndex]], a stream-static probe — still zero
+  * state); dedup WITHIN the stream remains stateful and owned by
   * [[StreamDedup]]/[[StreamNearDup]] upstream, or by the nightly batch
   * dedup over the landed shards.
   */
@@ -44,7 +46,8 @@ object StreamCurate {
       qualityThreshold: Double = TextQueries.QualityThreshold,
       model: Option[TextQueries.ClsModel] = None,
       gopherGate: Boolean = false,
-      domainBlock: Option[(DataFrame, Array[Long])] = None): DataFrame = {
+      domainBlock: Option[(DataFrame, Array[Long])] = None,
+      neardup: Option[NearDupIndex] = None): DataFrame = {
     // domain-level gate FIRST when configured — crawl pipelines drop
     // blocklisted domains before paying ANY content work (tokenization,
     // quality scoring, classifier prediction are all downstream of this
@@ -80,7 +83,20 @@ object StreamCurate {
           .filter(col("predict_pos")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
     }
-    StreamBlocklist.cleanStream(gated, block, words)
+    // corpus near-dup drop gate: a doc that near-duplicates the LANDED
+    // corpus must not re-land. Probe the domain-survivor rows, not
+    // `gated` — matching is per-doc deterministic and the anti join
+    // intersects with gate survivors anyway, so this avoids re-running
+    // the scoring pipeline on both join sides (the learned-gate
+    // rationale above). Stream-static: the corpus side never
+    // re-shuffles, the batch's band keys broadcast, zero state.
+    val deduped = neardup.fold(gated) { idx =>
+      gated.join(
+        NearDupIndex.matchBatch(idx, domainGated.select(col("doc_id"), col("text")))
+          .select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
+    StreamBlocklist.cleanStream(deduped, block, words)
       .select(col("doc_id"),
         PiiRedact.redact(col("text")).as("text"),
         round(col("quality"), 6).as("quality"))
@@ -90,13 +106,15 @@ object StreamCurate {
     * `outDir`'s exactly-once sharded layout. */
   def start(docs: DataFrame, block: DataFrame, words: Array[Long],
       outDir: String, numShards: Int, checkpoint: String,
-      model: Option[TextQueries.ClsModel] = None): StreamingQuery =
+      model: Option[TextQueries.ClsModel] = None,
+      neardup: Option[NearDupIndex] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         StreamShardedExport.commitBatch(
-          curateBatch(batch, block, words, model = model), "doc_id", outDir, numShards, id)
+          curateBatch(batch, block, words, model = model, neardup = neardup),
+          "doc_id", outDir, numShards, id)
         ()
       }
       .start()

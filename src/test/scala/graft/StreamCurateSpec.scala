@@ -112,6 +112,49 @@ class StreamCurateSpec extends AnyFunSuite {
       "gopher stage dropped nothing on the real corpus — not composing")
   }
 
+  test("neardup-gate stage composes: ingest drops docs near-duplicating the landed corpus") {
+    import graft.queries.NearDupIndex
+    implicit val sqlCtx = spark.sqlContext
+
+    // the proven band-colliding near-pair from StreamNearDupSpec
+    val landedText = "the quick brown fox jumps over the lazy dog today"
+    val nearCopy = "the quick brown fox jumps over the lazy cat today"
+    val freshText = "a completely new document about spark streaming state and windows today"
+
+    val index = NearDupIndex.build(Seq((900L, landedText)).toDF("doc_id", "text"))
+    val block = Seq.empty[String].toDF("t").select(fpOf(col("t")).as("bfp"))
+    val words = new Array[Long](1 << 11)
+    val rows = Seq((1L, nearCopy), (2L, freshText))
+
+    // direct chain: the near-copy drops, the fresh doc survives, and the
+    // gated output equals ungated ∖ corpus-matches
+    val withGate = StreamCurate.curateBatch(rows.toDF("doc_id", "text"), block, words,
+        neardup = Some(index))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val withoutGate = StreamCurate.curateBatch(rows.toDF("doc_id", "text"), block, words)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val matched = NearDupIndex.matchBatch(index, rows.toDF("doc_id", "text"))
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    assert(matched == Set(1L), s"fixture: only the near-copy may match the corpus: $matched")
+    assert(withGate == (withoutGate -- matched),
+      s"neardup gate diverges: $withGate vs ${withoutGate -- matched}")
+    assert(withGate.contains(2L) && !withGate.contains(1L),
+      s"near-copy must drop, fresh doc must survive: $withGate")
+
+    // and through the streaming query: same result lands in the shards
+    val out = java.nio.file.Files.createTempDirectory("stream-curate-nd").toFile.getAbsolutePath
+    val cp = java.nio.file.Files.createTempDirectory("stream-curate-nd-cp").toFile.getAbsolutePath
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCurate.start(input.toDF().toDF("doc_id", "text"), block, words,
+      out, numShards = 2, checkpoint = cp, neardup = Some(index))
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val landed = StreamShardedExport.readAll(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed == withGate, s"stream landing $landed != direct chain $withGate")
+  }
+
   test("domain-gate stage composes: ingest drops exactly the blocklisted domains") {
     // the ingest-time face of corpus_domain_blocklist: the same
     // synthetic-url → canonical → domain derivation, the same
