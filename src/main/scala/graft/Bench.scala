@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed control queries for solo re-measures: structurally diverse
+    * (scan-agg / text scoring / iterative graph), never the subject of
+    * a dispute themselves. A suspect's raw solo time means nothing
+    * across boxes; time / (median control ratio vs the sweep of
+    * record) does — the round-6 phantom-regression lesson, now
+    * tooling instead of judge-session procedure. */
+  private[graft] val Controls =
+    Seq("q1_pricing", "text_lm_score", "dedup_clusters_incremental")
+
+  /** Median of control ratios (solo / sweep-of-record) = the box-speed
+    * factor; 1.0 when no usable controls. */
+  private[graft] def boxFactor(controlRatios: Seq[Double]): Double =
+    if (controlRatios.isEmpty) 1.0
+    else controlRatios.sorted.apply(controlRatios.size / 2)
+
+  /** Parse (sfDir, name→seconds) out of a bench artifact — the same
+    * one-query-per-line JSON this object writes. */
+  private[graft] def parseTimings(txt: String): (Option[String], Map[String, Double]) = {
+    val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+    val qBlock = txt.indexOf("\"queries\"")
+    val body = if (qBlock >= 0) txt.substring(qBlock) else txt
+    val m = "\"([a-z0-9_]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(body)
+      .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+    (sf, m)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -79,8 +106,11 @@ object Bench {
         sys.exit(2)
       }
     }
+    // a solo re-measure times the CONTROLS alongside the suspects, so
+    // the box-speed normalization below never needs a second run
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case Some(names) =>
+        SparkEntry.queries.filter { case (n, _) => names(n) || Controls.contains(n) }
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
@@ -102,6 +132,39 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
+    }
+    // Solo re-measure: normalize the suspects against the committed
+    // sweep of record via the co-timed controls, so a dispute resolves
+    // from ONE run's stdout ("is 8.9 s regression or box noise?" needs
+    // no second opinion when the controls read 1.5x too).
+    val soloReport: Option[String] = only.map { suspects =>
+      val ref =
+        try {
+          val p = java.nio.file.Paths.get("bench/latest_timings.json")
+          Some(parseTimings(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+        } catch { case _: Throwable => None }
+      ref match {
+        case Some((Some(sfRef), sweep)) if sfRef == sfDir =>
+          // a control under dispute is the thing being measured — it
+          // cannot also calibrate the box
+          val ratios = Controls.filterNot(suspects).flatMap { c =>
+            for (now <- timings.get(c); rec <- sweep.get(c) if rec > 0) yield now / rec
+          }
+          val f = boxFactor(ratios)
+          val norm = suspects.toSeq.sorted.flatMap { s =>
+            timings.get(s).map { t =>
+              val n = t / f
+              val vs = sweep.get(s).filter(_ > 0)
+                .map(r => s""","vs_sweep":${n / r}""").getOrElse("")
+              s""""$s":{"solo":$t,"normalized":$n$vs}"""
+            }
+          }.mkString("{", ",", "}")
+          s""""box_factor":$f,"control_ratios":[${ratios.map(r => f"$r%.4f").mkString(",")}],"normalized":$norm"""
+        case Some((Some(sfRef), _)) =>
+          s""""normalized_skipped":"sweep of record is $sfRef, this run is $sfDir""""
+        case _ =>
+          s""""normalized_skipped":"no readable bench/latest_timings.json""""
       }
     }
     val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -131,7 +194,9 @@ object Bench {
       lines ++= timings.map { case (k, v) => s"""  "$k":$v""" }.mkString(",\n")
       lines ++= "\n },\n \"errors\":{\n"
       lines ++= errors.map { case (k, v) => s"""  "$k":"$v"""" }.mkString(",\n")
-      lines ++= "\n }\n}\n"
+      lines ++= "\n }"
+      soloReport.foreach { r => lines ++= ",\n " + r }
+      lines ++= "\n}\n"
       // a solo re-measure (SPARK_GRAFT_QUERIES set) must never clobber
       // the full-sweep artifact of record
       val target = if (only.isDefined) "solo_timings.json" else "latest_timings.json"
@@ -147,6 +212,7 @@ object Bench {
       System.err.println(s"bench artifact write failed: ${e.getMessage}")
     }
     println(full)
+    soloReport.foreach { r => println(s"""{"metric":"solo_normalized",$r}""") }
     val top = timings.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val artifact = if (only.isDefined) "bench/solo_timings.json" else "bench/latest_timings.json"
