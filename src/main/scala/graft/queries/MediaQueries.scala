@@ -181,7 +181,7 @@ object MediaQueries {
 
   /** The SQL-expression twin of [[graft.multimodal.FakeMediaEmbedder]]:
     * dim j = md5(hex ++ ":" ++ j) first 16 bits, scaled to [0,1]. */
-  private def embedExpr(content: Column): Column =
+  private[graft] def embedExpr(content: Column): Column =
     transform(sequence(lit(0), lit(EmbedDims - 1)),
       j => (conv(substring(md5(concat(hex(content), lit(":"), j.cast("string"))), 1, 4), 16, 10)
         .cast("double") / lit(65535.0)).cast("float"))
@@ -245,11 +245,11 @@ object MediaQueries {
   // the output is (doc_id, clip_score, keep). Per-row projection,
   // ZERO shuffle — at 100 TB this runs at scan speed and the keep flag
   // feeds the same corpus_filter/funnel machinery as every other gate.
-  private val ClipThreshold = 0.78
+  private[graft] val ClipThreshold = 0.78
 
   /** Text-tower twin of [[embedExpr]]: dim j = md5(text ‖ ":t:" ‖ j)
     * first 16 bits scaled to [0,1]. */
-  private def textEmbedExpr(text: Column): Column =
+  private[graft] def textEmbedExpr(text: Column): Column =
     transform(sequence(lit(0), lit(EmbedDims - 1)),
       j => (conv(substring(md5(concat(text, lit(":t:"), j.cast("string"))), 1, 4), 16, 10)
         .cast("double") / lit(65535.0)).cast("float"))
