@@ -293,6 +293,45 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(sqls.exists(_.contains("ALTER TABLE orders ADD COLUMN o_note VARCHAR(255);")))
   }
 
+  test("reference limitation 4 fixed: DDL-first increment, no prior DML, applies cleanly") {
+    // the reference errors unless at least one DML precedes a DDL
+    // (README known-limitation 4); here the FIRST increment files are
+    // already the post-DDL schema version — no v100 DML ever arrives —
+    // and the pipeline must diff seed→v200, apply the ALTER, widen the
+    // snapshot rows with NULLs, and merge the v200 rows
+    val root = Files.createTempDirectory("graft-ddlfirst").toString
+    writeDdlFixtures(root) // ONLY v200 schema + DML; no v100 increment at all
+    Files.createDirectories(Paths.get(s"$root/snapshot"))
+    val cfg = PipelineConfig(
+      incrementRoot = s"$root/increment",
+      schemaName = "tpch", tableName = "orders",
+      targetRoot = s"$root/target",
+      checkpointDir = s"$root/ckpt",
+      seed = defV100.copy(tableVersion = 0L),
+      startTso = 10L,
+      warehouseSqlDialect = Some(graft.dialects.SnowflakeDialect))
+    val q = ReplicationJob.replicateTable(spark, snapshotDf, s"$root/snapshot", cfg).get
+    q.processAllAvailable()
+    q.stop()
+    val got = new TargetTable(spark, cfg.targetRoot).read()
+      .select("o_orderkey", "o_status", "o_price", "o_note")
+      .as[(Long, String, Double, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, "F", 11.5, Some("note1")), // v200 update of a snapshot row
+      (2L, "O", 20.0, None), // untouched snapshot rows, NULL-widened
+      (3L, "F", 30.0, None),
+      (5L, "O", 40.0, Some("hello")))) // v200 insert
+    assert(new TargetTable(spark, cfg.targetRoot).readMarker("schema_version").contains("200"))
+    // the ALTER lands in the audit trail even with zero pre-DDL DML
+    val sqlDir = Paths.get(cfg.targetRoot, "_warehouse_sql")
+    val sqls = scala.util.Using.resource(Files.list(sqlDir)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(p => new String(Files.readAllBytes(p), "UTF-8")).toSeq
+    }
+    assert(sqls.exists(_.contains("ALTER TABLE orders ADD COLUMN o_note VARCHAR(255);")),
+      s"missing DDL in audit trail: $sqls")
+  }
+
   test("M5/O1: one micro-batch spanning two schema versions applies in version order") {
     val root = Files.createTempDirectory("graft-multiver").toString
     writeFixtures(root)
