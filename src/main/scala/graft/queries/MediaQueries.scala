@@ -350,6 +350,82 @@ object MediaQueries {
       |SELECT probe_id, rank, doc_id AS neighbor_id, round(sim, 6) AS sim
       |FROM ranked WHERE rank <= $EmbedTopK ORDER BY probe_id, rank""".stripMargin
 
+  // --- cross-modal IVF: the retrieval scale path -------------------------
+  // `mm_crossmodal_topk` is probes × corpus (the ground truth); at scale
+  // the media corpus is IVF-partitioned ONCE and each text probe pays
+  // only its NProbe inverted lists. The machinery is SHARED with the
+  // vector family ([[VectorQueries.assignNearest]]/`probeListsFrom` —
+  // one hash-agg assignment, bounded TopKAgg ranking, never a window
+  // over probe×corpus rows); only the towers differ: media-tower lists,
+  // text-tower probes. `mm_crossmodal_ivf_recall` grades it against the
+  // brute query through the same shared recall core as every ANN path.
+  def mmCrossmodalIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = docs.select(col("doc_id").as("vec_id"), embedExpr(payload).as("embedding"))
+    val cents = VectorQueries.sampledCentroids(media)
+    val assigned = VectorQueries.assignNearest(media, cents)
+    val probes = docs.filter(col("doc_id") % EmbedProbeStride === 0)
+      .select(col("doc_id").as("probe_id"), textEmbedExpr(col("text")).as("pemb"))
+    VectorQueries.probeListsFrom(probes, cents, assigned, EmbedTopK)
+  }
+
+  val mmCrossmodalIvfTopkSql: String =
+    s"""WITH media AS (
+      |  SELECT doc_id, text,
+      |    (CASE doc_id % 4
+      |       WHEN 0 THEN from_hex('89504E470D0A1A0A')
+      |       WHEN 1 THEN from_hex('FFD8FFE0')
+      |       WHEN 2 THEN from_hex('52494646') || encode('xxxxWAVE')
+      |       ELSE encode('') END) || encode(text) AS content
+      |  FROM documents),
+      |membs AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST([CAST(CAST(('0x' || substr(md5(hex(content) || ':' || j), 1, 4)) AS BIGINT) AS DOUBLE)
+      |            / 65535.0 for j in range(0, $EmbedDims)] AS REAL[]) AS memb
+      |  FROM media),
+      |cents AS (
+      |  SELECT doc_id AS cent_id, memb AS cemb FROM membs
+      |  WHERE doc_id % ${VectorQueries.CentroidStride} = 0),
+      |assigned AS (
+      |  SELECT doc_id, memb, cent_id FROM (
+      |    SELECT e.doc_id, e.memb, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.doc_id
+      |        ORDER BY list_cosine_similarity(CAST(e.memb AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM membs e CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT doc_id AS probe_id,
+      |    CAST([CAST(CAST(('0x' || substr(md5(text || ':t:' || j), 1, 4)) AS BIGINT) AS DOUBLE)
+      |            / 65535.0 for j in range(0, $EmbedDims)] AS REAL[]) AS pemb
+      |  FROM media WHERE doc_id % $EmbedProbeStride = 0),
+      |probe_cents AS (
+      |  SELECT probe_id, pemb, cent_id FROM (
+      |    SELECT p.probe_id, p.pemb, c.cent_id,
+      |      row_number() OVER (PARTITION BY p.probe_id
+      |        ORDER BY list_cosine_similarity(CAST(p.pemb AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM probes p CROSS JOIN cents c)
+      |  WHERE rn <= ${VectorQueries.NProbe}),
+      |scored AS (
+      |  SELECT pc.probe_id, a.doc_id,
+      |    list_cosine_similarity(CAST(pc.pemb AS DOUBLE[]), CAST(a.memb AS DOUBLE[])) AS sim
+      |  FROM probe_cents pc JOIN assigned a ON a.cent_id = pc.cent_id
+      |  WHERE a.doc_id != pc.probe_id),
+      |ranked AS (
+      |  SELECT probe_id, doc_id, sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT probe_id, rank, doc_id AS neighbor_id, round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= $EmbedTopK ORDER BY probe_id, rank""".stripMargin
+
+  def mmCrossmodalIvfRecall(spark: SparkSession, sfDir: String): DataFrame =
+    VectorQueries.recallOf(
+      mmCrossmodalTopk(spark, sfDir), mmCrossmodalIvfTopk(spark, sfDir))
+
+  val mmCrossmodalIvfRecallSql: String =
+    VectorQueries.recallSqlOf(mmCrossmodalTopkSql, mmCrossmodalIvfTopkSql)
+
   // --- sampled-frame near-duplicate detection ---------------------------
   // Video/animation near-dup: two payloads are near-duplicates when
   // their SAMPLED FRAMES' fingerprints overlap — the frame-level

@@ -180,14 +180,14 @@ object VectorQueries {
   // `NProbe` nearest inverted lists only — cost scales with list size,
   // not corpus size. Recall < 1 by design; the oracle mirrors the same
   // probe policy so parity is exact.
-  private val CentroidStride = 25
+  private[graft] val CentroidStride = 25
 
   /** The sampled coarse quantizer every IVF path shares: one (cent_id,
     * cemb) row per strided corpus vector — bounded model-sized frame. */
   private[graft] def sampledCentroids(vecs: DataFrame): DataFrame =
     vecs.filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
-  private val NProbe = 2
+  private[graft] val NProbe = 2
 
   /** Nearest-centroid assignment as ONE hash aggregation: `max_by`
     * partial-aggregates map-side, so the exchange carries one row per
@@ -208,9 +208,18 @@ object VectorQueries {
     * both per-probe rankings run through the bounded partial-merge
     * [[TopKAgg]] (shuffle ≤ probes × k rows), never a per-probe window
     * shuffle. */
-  private[graft] def probeLists(vecs: DataFrame, cents: DataFrame, assigned: DataFrame): DataFrame = {
-    val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+  private[graft] def probeLists(vecs: DataFrame, cents: DataFrame, assigned: DataFrame): DataFrame =
+    probeListsFrom(
+      vecs.filter(col("vec_id") % ProbeStride === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pemb")),
+      cents, assigned, TopK)
+
+  /** The IVF query core over an EXPLICIT probe frame (`probe_id`,
+    * `pemb`) — lets the probes live in a different embedding space than
+    * the corpus (the cross-modal text-tower case) while sharing the
+    * exact probed-list + TopKAgg machinery. */
+  private[graft] def probeListsFrom(probes: DataFrame, cents: DataFrame,
+      assigned: DataFrame, k: Int): DataFrame = {
     val topNProbe = udaf(new TopKAgg(NProbe))
     val probeCents = probes.join(broadcast(cents))
       .select(col("probe_id"), cosine(col("pemb"), col("cemb")).as("csim"), col("cent_id"))
@@ -223,7 +232,7 @@ object VectorQueries {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("id"),
         cosine(col("pemb"), col("embedding")).as("sim"))
-    val topk = udaf(new TopKAgg(TopK))
+    val topk = udaf(new TopKAgg(k))
     scored.groupBy(col("probe_id"))
       .agg(topk(col("sim"), col("id")).as("nn"))
       .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "n")))
@@ -316,9 +325,15 @@ object VectorQueries {
     * probe-count-sized; the compare is one keyed left join + one hash
     * agg. recall_e6 by integer division — hashing-proof. */
   private def recallVsBrute(spark: SparkSession, sfDir: String,
-      approx: DataFrame): DataFrame = {
-    val brute = vecTopk(spark, sfDir).select(col("probe_id"), col("neighbor_id"))
-    brute.join(approx.select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
+      approx: DataFrame): DataFrame =
+    recallOf(vecTopk(spark, sfDir), approx)
+
+  /** The recall agg over EXPLICIT ground-truth/approx frames, both
+    * carrying (probe_id, neighbor_id, …) — shared with the cross-modal
+    * eval in [[MediaQueries]]. */
+  private[graft] def recallOf(brute: DataFrame, approx: DataFrame): DataFrame = {
+    brute.select(col("probe_id"), col("neighbor_id"))
+      .join(approx.select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
         Seq("probe_id", "neighbor_id"), "left")
       .groupBy(col("probe_id"))
       .agg(count(lit(1)).as("k"),
@@ -331,7 +346,12 @@ object VectorQueries {
   /** The oracle template over any approx-top-k SQL producing
     * (probe_id, neighbor_id, …). */
   private def recallSqlOver(approxSql: String): String =
-    s"""WITH brute AS ($vecTopkSql),
+    recallSqlOf(vecTopkSql, approxSql)
+
+  /** Same, over an EXPLICIT ground-truth SQL — the cross-modal eval's
+    * oracle composes its own brute leg. */
+  private[graft] def recallSqlOf(bruteSql: String, approxSql: String): String =
+    s"""WITH brute AS ($bruteSql),
       |approx AS ($approxSql)
       |SELECT b.probe_id, CAST(count(*) AS BIGINT) AS k,
       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,

@@ -34,7 +34,8 @@ class PlanGuaranteesSpec extends AnyFunSuite {
       "vec_sq_topk" -> SparkEntry.queries("vec_sq_topk"),
       "vec_matryoshka_topk" -> SparkEntry.queries("vec_matryoshka_topk"),
       "mm_embed_topk" -> SparkEntry.queries("mm_embed_topk"),
-      "mm_crossmodal_topk" -> SparkEntry.queries("mm_crossmodal_topk")
+      "mm_crossmodal_topk" -> SparkEntry.queries("mm_crossmodal_topk"),
+      "mm_crossmodal_ivf_topk" -> SparkEntry.queries("mm_crossmodal_ivf_topk")
     ).foreach { case (name, fn) =>
       val plan = physical(fn(spark, sf))
       assert(!plan.contains("Window"), s"$name plans a Window:\n${plan.take(2000)}")
