@@ -426,6 +426,72 @@ object CurationQueries {
         sum(col("bin_tokens")).as("tokens"))
       .orderBy(col("fill_decile"))
 
+  // --- atomic sequence packing (docs never split) -------------------------
+  // The Llama-style packer next to corpus_pack's GPT concat-and-chunk:
+  // a document is ATOMIC — it joins the current bin only if it fits
+  // whole, else a new bin opens (an oversized doc sits alone in an
+  // overfull bin rather than truncating). Greedy first-fit in doc_id
+  // order is inherently SEQUENTIAL (each bin boundary depends on the
+  // whole prefix), so no window/cumsum can express it; the scale shape
+  // is the secondary-sort pattern: ONE shuffle by shard, a
+  // sort-within-partitions, and a streaming mapPartitions that carries
+  // (bin, fill) per shard in O(1) memory — never materializing a shard.
+  // Shard count is the parallelism knob exactly as in corpus_pack. The
+  // DuckDB oracle replays the same recursion as a recursive CTE.
+  def corpusPackAtomic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(PackShards)).as("shard"),
+        size(toks(col("text"))).cast("long").as("tokens"))
+    val assigned = docs
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .select(col("shard"), col("doc_id"), col("tokens"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue; var bin = 0L; var fill = 0L
+        it.map { case (sh, id, t) =>
+          if (sh != curShard) { curShard = sh; bin = 0L; fill = t }
+          else if (fill + t <= PackBudget) { fill += t }
+          else { bin += 1L; fill = t }
+          (sh, bin, id, t)
+        }
+      }
+      .toDF("shard", "bin", "doc_id", "tokens")
+    assigned.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  val corpusPackAtomicSql: String =
+    s"""WITH RECURSIVE d AS MATERIALIZED (
+      |  SELECT shard, doc_id, tokens,
+      |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        % $PackShards AS shard,
+      |      CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS tokens
+      |    FROM documents)),
+      |packed AS (
+      |  SELECT shard, rn, doc_id, tokens, CAST(0 AS BIGINT) AS bin, tokens AS fill
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.shard, d.rn, d.doc_id, d.tokens,
+      |    CASE WHEN p.fill + d.tokens <= $PackBudget THEN p.bin ELSE p.bin + 1 END,
+      |    CASE WHEN p.fill + d.tokens <= $PackBudget THEN p.fill + d.tokens ELSE d.tokens END
+      |  FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+      |SELECT shard, bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM packed GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+
   // --- exact-quota stratified sampling ---------------------------------
   // "Exactly n documents per source, reproducibly" — the mixture query's
   // rate-based cousin for when the recipe demands exact counts. Rank

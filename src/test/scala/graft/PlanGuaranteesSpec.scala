@@ -502,6 +502,18 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD"), s"expected checkpointed frame index:\n${plan.take(2000)}")
   }
 
+  test("corpus_pack_atomic: secondary-sort shape — no window, one corpus scan") {
+    // greedy first-fit is sequential per shard; the plan must be ONE
+    // shuffle by shard + sortWithinPartitions + streaming map, never a
+    // window (corpus_pack's cumsum window is the contrast)
+    val df = SparkEntry.queries("corpus_pack_atomic")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), s"atomic packing plans a Window:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"atomic packing plans a join:\n${plan.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"atomic packing scans the corpus $scans times")
+  }
+
   test("retrieval_lexical_topk: bounded postings via TopKAgg, no window, no cartesian") {
     val df = SparkEntry.queries("retrieval_lexical_topk")(spark, sf)
     val plan = physical(df)
