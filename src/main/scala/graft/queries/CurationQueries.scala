@@ -468,7 +468,9 @@ object CurationQueries {
       .orderBy(col("shard"), col("bin"))
   }
 
-  val corpusPackAtomicSql: String =
+  /** The shared recursive-greedy CTE chain (→ `packed` rows), composed
+    * by both the assignment query and the fill-efficiency report. */
+  private val packAtomicCteSql: String =
     s"""WITH RECURSIVE d AS MATERIALIZED (
       |  SELECT shard, doc_id, tokens,
       |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
@@ -485,12 +487,45 @@ object CurationQueries {
       |  SELECT d.shard, d.rn, d.doc_id, d.tokens,
       |    CASE WHEN p.fill + d.tokens <= $PackBudget THEN p.bin ELSE p.bin + 1 END,
       |    CASE WHEN p.fill + d.tokens <= $PackBudget THEN p.fill + d.tokens ELSE d.tokens END
-      |  FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+      |  FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)""".stripMargin
+
+  val corpusPackAtomicSql: String =
+    s"""$packAtomicCteSql
       |SELECT shard, bin,
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(tokens) AS BIGINT) AS bin_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM packed GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+
+  // --- atomic-packing efficiency report -----------------------------------
+  // The padding number the ATOMIC packer actually pays: concat-and-chunk
+  // fills every bin by construction, but a docs-never-split packer
+  // leaves real headroom in each bin (and >100 % bins mark oversized
+  // docs sitting alone). Same decile-histogram shape as
+  // corpus_pack_efficiency, over the atomic assignment — one
+  // |bins|-row agg, all exact integers.
+  def corpusPackAtomicEfficiency(spark: SparkSession, sfDir: String): DataFrame =
+    corpusPackAtomic(spark, sfDir)
+      .select(least(expr(s"bin_tokens * 10 div $PackBudget"), lit(10L))
+          .cast("int").as("fill_decile"),
+        col("n_docs"), col("bin_tokens"))
+      .groupBy(col("fill_decile"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("tokens"))
+      .orderBy(col("fill_decile"))
+
+  val corpusPackAtomicEfficiencySql: String =
+    s"""$packAtomicCteSql,
+      |bins AS (
+      |  SELECT shard, bin,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(tokens) AS BIGINT) AS bin_tokens
+      |  FROM packed GROUP BY 1, 2)
+      |SELECT CAST(least(bin_tokens * 10 // $PackBudget, 10) AS INT) AS fill_decile,
+      |  CAST(count(*) AS BIGINT) AS n_bins,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(bin_tokens) AS BIGINT) AS tokens
+      |FROM bins GROUP BY 1 ORDER BY fill_decile""".stripMargin
 
   // --- exact-quota stratified sampling ---------------------------------
   // "Exactly n documents per source, reproducibly" — the mixture query's
