@@ -188,6 +188,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_._2 < 0.9999), "towers collapsed to identical embeddings")
   }
 
+  test("crossmodal IVF recall eval is non-degenerate and honest about tower alignment") {
+    // the fake towers are independent md5 hashes, so text→media-centroid
+    // routing is weakly informative — the eval must REPORT that (recall
+    // well below 1.0 with NProbe≪C), not mask it; with real aligned CLIP
+    // towers the same query reads high. Degenerate shapes (0 everywhere =
+    // broken join; 1e6 everywhere = accidentally probing all lists) are
+    // what this pins against.
+    val rows = SparkEntry.queries("mm_crossmodal_ivf_recall")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, k, hits, e6) =>
+      assert(k == 3 && hits >= 0 && hits <= k, s"probe $p: $hits of $k")
+      assert(e6 == hits * 1000000L / k, s"probe $p recall arithmetic drifted")
+    }
+    assert(rows.exists(_._3 > 0), "no probe recalled anything — candidate join broken")
+    assert(rows.exists(_._3 < 3),
+      "every probe at full recall with NProbe << C — probing is not pruning")
+  }
+
   test("mm_frame_neardup ≡ brute-force frame-set Jaccard on the JVM") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("mm_frame_neardup")(spark, sf)
