@@ -494,4 +494,112 @@ object RetrievalQueries {
       |${leg(VectorQueries.vecSqTopkSql, "sq8")}
       |ORDER BY method, probe_id""".stripMargin
   }
+
+  // --- margin-based bitext mining (CCMatrix/LASER shape) ------------------
+  // Parallel-corpus mining across a language boundary: candidate (en, de)
+  // pairs are scored by the RATIO MARGIN — cos(x,y) over the mean of
+  // each side's top-k neighbor similarities — so a pair is accepted
+  // only when x and y are closer to EACH OTHER than to their average
+  // nearest neighbors (margin ≥ 1). Raw cosine can't do this: in any
+  // real embedding space some regions are dense (every pair scores
+  // high), and the margin normalizes that density away. The labeled
+  // `lang` column plays the upstream language gate; the md5 fake plays
+  // the multilingual encoder (both sides embedded by ONE function —
+  // the cross-lingual-space contract).
+  //
+  // Scale shape: the forward pass broadcasts the (strided, bounded)
+  // probe side into ONE scan of the other language; the backward
+  // averages touch only the ≤ probes×k candidate set, broadcast into
+  // ONE scan of the probe language; both rankings run through the
+  // bounded partial-merge TopKAgg — no window ever sees a corpus. At
+  // 100 TB the forward brute leg swaps for the IVF probe path
+  // (`vec_ivf_topk`'s inverted lists over the de side) without touching
+  // the margin logic. Both top-k means are fixed-operand-order sums
+  // ((s1+s2+s3)/3, rank order), so Spark and DuckDB compute the margin
+  // through identical IEEE chains.
+  private val MineK = 3
+  private val MineAStride = 10
+  private val MineMargin = 1.0 // accept iff closer than your average NN
+
+  private def bitextEmb(text: Column): Column =
+    transform(sequence(lit(0), lit(15)),
+      j => (conv(substring(md5(concat(text, lit(":b:"), j.cast("string"))), 1, 4), 16, 10)
+        .cast("double") / lit(65535.0)).cast("float"))
+
+  def retrievalBitextMine(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TopKAgg
+    VectorFunctions.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val en = docs.filter(col("lang") === "en")
+      .select(col("doc_id").as("a_id"), bitextEmb(col("text")).as("ea"))
+    val de = docs.filter(col("lang") === "de")
+      .select(col("doc_id").as("b_id"), bitextEmb(col("text")).as("eb"))
+    val probes = en.filter(col("a_id") % MineAStride === 0)
+    val topk = udaf(new TopKAgg(MineK))
+    // rank-ordered top-k mean, fixed operand order: ((s1+s2)+s3)/3
+    def avgK(nn: Column): Column =
+      (0 until MineK).map(i => element_at(nn, i + 1).getField("sim"))
+        .reduce(_ + _) / lit(MineK.toDouble)
+    val fwd = de.join(broadcast(probes))
+      .select(col("a_id"),
+        call_function("cosine_sim", col("ea"), col("eb")).as("sim"),
+        col("b_id").as("id"))
+      .groupBy(col("a_id")).agg(topk(col("sim"), col("id")).as("nn"))
+    val fwdPairs = fwd
+      .select(col("a_id"), avgK(col("nn")).as("avg_a"),
+        posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("a_id"), col("avg_a"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("b_id"), col("n.sim").as("sim"))
+    val ys = fwdPairs.select(col("b_id")).distinct()
+    val bwd = en.join(broadcast(de.join(broadcast(ys), Seq("b_id"))))
+      .select(col("b_id"),
+        call_function("cosine_sim", col("eb"), col("ea")).as("sim"),
+        col("a_id").as("id"))
+      .groupBy(col("b_id")).agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("b_id"), avgK(col("nn")).as("avg_b"))
+    val margin = col("sim") / ((col("avg_a") + col("avg_b")) / lit(2.0))
+    fwdPairs.join(bwd, Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("rank"),
+        round(margin, 6).as("margin"),
+        when(margin >= MineMargin, lit(1)).otherwise(lit(0)).as("accept"))
+      .orderBy(col("a_id"), col("rank"))
+  }
+
+  val retrievalBitextMineSql: String = {
+    val avgSql: String =
+      (1 to MineK).map(i => s"max(CASE WHEN rn = $i THEN sim END)").mkString("(", " + ", s") / $MineK.0")
+    s"""WITH embs AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    CAST([CAST(CAST(('0x' || substr(md5(text || ':b:' || j), 1, 4)) AS BIGINT) AS DOUBLE)
+      |            / 65535.0 for j in range(0, 16)] AS REAL[]) AS e
+      |  FROM documents WHERE lang IN ('en', 'de')),
+      |a AS (SELECT doc_id AS a_id, e AS ea FROM embs WHERE lang = 'en'),
+      |b AS (SELECT doc_id AS b_id, e AS eb FROM embs WHERE lang = 'de'),
+      |probes AS (SELECT * FROM a WHERE a_id % $MineAStride = 0),
+      |fwd AS MATERIALIZED (
+      |  SELECT a_id, b_id, sim, rn FROM (
+      |    SELECT p.a_id, b.b_id,
+      |      list_cosine_similarity(CAST(p.ea AS DOUBLE[]), CAST(b.eb AS DOUBLE[])) AS sim,
+      |      row_number() OVER (PARTITION BY p.a_id
+      |        ORDER BY list_cosine_similarity(CAST(p.ea AS DOUBLE[]), CAST(b.eb AS DOUBLE[])) DESC, b.b_id) AS rn
+      |    FROM probes p CROSS JOIN b)
+      |  WHERE rn <= $MineK),
+      |avga AS (SELECT a_id, $avgSql AS avg_a FROM fwd GROUP BY 1),
+      |bwd AS (
+      |  SELECT b_id, sim, rn FROM (
+      |    SELECT yb.b_id, aa.a_id,
+      |      list_cosine_similarity(CAST(yb.eb AS DOUBLE[]), CAST(aa.ea AS DOUBLE[])) AS sim,
+      |      row_number() OVER (PARTITION BY yb.b_id
+      |        ORDER BY list_cosine_similarity(CAST(yb.eb AS DOUBLE[]), CAST(aa.ea AS DOUBLE[])) DESC, aa.a_id) AS rn
+      |    FROM (SELECT DISTINCT f.b_id, bb.eb FROM fwd f JOIN b bb USING (b_id)) yb
+      |    CROSS JOIN a aa)
+      |  WHERE rn <= $MineK),
+      |avgb AS (SELECT b_id, $avgSql AS avg_b FROM bwd GROUP BY 1)
+      |SELECT f.a_id, f.b_id, CAST(f.rn AS INT) AS rank,
+      |  round(f.sim / ((avga.avg_a + avgb.avg_b) / 2.0), 6) AS margin,
+      |  CAST(CASE WHEN f.sim / ((avga.avg_a + avgb.avg_b) / 2.0) >= $MineMargin
+      |    THEN 1 ELSE 0 END AS INT) AS accept
+      |FROM fwd f JOIN avga USING (a_id) JOIN avgb USING (b_id)
+      |ORDER BY a_id, rank""".stripMargin
+  }
 }
