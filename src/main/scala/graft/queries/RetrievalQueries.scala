@@ -530,10 +530,16 @@ object RetrievalQueries {
     import graft.functions.TopKAgg
     VectorFunctions.register(spark)
     val docs = Tables.load(spark, sfDir, "documents")
+    // each language frame feeds both the forward and backward passes;
+    // eager localCheckpoint = ONE corpus scan per language (in
+    // production the embeddings are a precomputed table anyway — the
+    // checkpoint stands in for reading it)
     val en = docs.filter(col("lang") === "en")
       .select(col("doc_id").as("a_id"), bitextEmb(col("text")).as("ea"))
+      .localCheckpoint(true)
     val de = docs.filter(col("lang") === "de")
       .select(col("doc_id").as("b_id"), bitextEmb(col("text")).as("eb"))
+      .localCheckpoint(true)
     val probes = en.filter(col("a_id") % MineAStride === 0)
     val topk = udaf(new TopKAgg(MineK))
     // rank-ordered top-k mean, fixed operand order: ((s1+s2)+s3)/3
