@@ -517,17 +517,68 @@ object RetrievalQueries {
   // the margin logic. Both top-k means are fixed-operand-order sums
   // ((s1+s2+s3)/3, rank order), so Spark and DuckDB compute the margin
   // through identical IEEE chains.
-  private val MineK = 3
+  private[graft] val MineK = 3
   private val MineAStride = 10
   private val MineMargin = 1.0 // accept iff closer than your average NN
 
-  private def bitextEmb(text: Column): Column =
+  private[graft] def bitextEmb(text: Column): Column =
     transform(sequence(lit(0), lit(15)),
       j => (conv(substring(md5(concat(text, lit(":b:"), j.cast("string"))), 1, 4), 16, 10)
         .cast("double") / lit(65535.0)).cast("float"))
 
-  def retrievalBitextMine(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Rank-ordered top-k mean, fixed operand order ((s1+s2)+s3)/3 — the
+    * engine-portable margin denominator, shared with the continuous
+    * index face (`graft.streaming.StreamBitextIndex`). */
+  private[graft] def topkAvg(nn: Column): Column =
+    (0 until MineK).map(i => element_at(nn, i + 1).getField("sim"))
+      .reduce(_ + _) / lit(MineK.toDouble)
+
+  /** Forward pass: each probe's top-k candidates in `de` plus the
+    * forward average — (a_id, avg_a, rank, b_id, sim). */
+  private[graft] def forwardPairs(probes: DataFrame, de: DataFrame): DataFrame = {
     import graft.functions.TopKAgg
+    val topk = udaf(new TopKAgg(MineK))
+    de.join(broadcast(probes))
+      .select(col("a_id"),
+        call_function("cosine_sim", col("ea"), col("eb")).as("sim"),
+        col("b_id").as("id"))
+      .groupBy(col("a_id")).agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("a_id"), topkAvg(col("nn")).as("avg_a"),
+        posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("a_id"), col("avg_a"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("b_id"), col("n.sim").as("sim"))
+  }
+
+  /** Margin scoring over a forward-pairs frame and a (b_id, avg_b)
+    * frame — the final mile shared by the one-shot query and the
+    * index-serving path. */
+  private[graft] def marginFrame(fwdPairs: DataFrame, avgB: DataFrame): DataFrame = {
+    val margin = col("sim") / ((col("avg_a") + col("avg_b")) / lit(2.0))
+    fwdPairs.join(avgB, Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("rank"),
+        round(margin, 6).as("margin"),
+        when(margin >= MineMargin, lit(1)).otherwise(lit(0)).as("accept"))
+      .orderBy(col("a_id"), col("rank"))
+  }
+
+  /** The full mining core over explicit language frames — the one-shot
+    * query calls it with loaded tables; specs call it with fixtures to
+    * pin index-serving ≡ batch. */
+  private[graft] def mineCore(en: DataFrame, de: DataFrame, probes: DataFrame): DataFrame = {
+    import graft.functions.TopKAgg
+    val topk = udaf(new TopKAgg(MineK))
+    val fwdPairs = forwardPairs(probes, de)
+    val ys = fwdPairs.select(col("b_id")).distinct()
+    val bwd = en.join(broadcast(de.join(broadcast(ys), Seq("b_id"))))
+      .select(col("b_id"),
+        call_function("cosine_sim", col("eb"), col("ea")).as("sim"),
+        col("a_id").as("id"))
+      .groupBy(col("b_id")).agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("b_id"), topkAvg(col("nn")).as("avg_b"))
+    marginFrame(fwdPairs, bwd)
+  }
+
+  def retrievalBitextMine(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
     val docs = Tables.load(spark, sfDir, "documents")
     // each language frame feeds both the forward and backward passes;
@@ -540,35 +591,7 @@ object RetrievalQueries {
     val de = docs.filter(col("lang") === "de")
       .select(col("doc_id").as("b_id"), bitextEmb(col("text")).as("eb"))
       .localCheckpoint(true)
-    val probes = en.filter(col("a_id") % MineAStride === 0)
-    val topk = udaf(new TopKAgg(MineK))
-    // rank-ordered top-k mean, fixed operand order: ((s1+s2)+s3)/3
-    def avgK(nn: Column): Column =
-      (0 until MineK).map(i => element_at(nn, i + 1).getField("sim"))
-        .reduce(_ + _) / lit(MineK.toDouble)
-    val fwd = de.join(broadcast(probes))
-      .select(col("a_id"),
-        call_function("cosine_sim", col("ea"), col("eb")).as("sim"),
-        col("b_id").as("id"))
-      .groupBy(col("a_id")).agg(topk(col("sim"), col("id")).as("nn"))
-    val fwdPairs = fwd
-      .select(col("a_id"), avgK(col("nn")).as("avg_a"),
-        posexplode(col("nn")).as(Seq("pos", "n")))
-      .select(col("a_id"), col("avg_a"), (col("pos") + 1).cast("int").as("rank"),
-        col("n.id").as("b_id"), col("n.sim").as("sim"))
-    val ys = fwdPairs.select(col("b_id")).distinct()
-    val bwd = en.join(broadcast(de.join(broadcast(ys), Seq("b_id"))))
-      .select(col("b_id"),
-        call_function("cosine_sim", col("eb"), col("ea")).as("sim"),
-        col("a_id").as("id"))
-      .groupBy(col("b_id")).agg(topk(col("sim"), col("id")).as("nn"))
-      .select(col("b_id"), avgK(col("nn")).as("avg_b"))
-    val margin = col("sim") / ((col("avg_a") + col("avg_b")) / lit(2.0))
-    fwdPairs.join(bwd, Seq("b_id"))
-      .select(col("a_id"), col("b_id"), col("rank"),
-        round(margin, 6).as("margin"),
-        when(margin >= MineMargin, lit(1)).otherwise(lit(0)).as("accept"))
-      .orderBy(col("a_id"), col("rank"))
+    mineCore(en, de, en.filter(col("a_id") % MineAStride === 0))
   }
 
   val retrievalBitextMineSql: String = {

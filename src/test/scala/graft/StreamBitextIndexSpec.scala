@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.RetrievalQueries
+import graft.streaming.StreamBitextIndex
+
+/** Continuous bitext-mining state: de docs arriving across micro-batches
+  * (with a redelivery) must leave EXACTLY the state a batch build over
+  * the same corpus produces — serving from state equals
+  * `RetrievalQueries.mineCore` margin-for-margin. The en-side merge is
+  * associative (TopKAgg total order), the de-side averages are computed
+  * once at arrival against the static en frame. */
+class StreamBitextIndexSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.build(4, "stream-bitext-spec")
+  import spark.implicits._
+
+  private def enFrame = (1 to 8).map(i => (i.toLong, s"english document number $i"))
+    .toDF("a_id", "text")
+    .select(col("a_id"), RetrievalQueries.bitextEmb(col("text")).as("ea"))
+
+  private def deDoc(i: Long) = (100L + i, s"deutsches dokument nummer $i")
+
+  test("stream-maintained state serves exactly the batch mining result; redeliveries no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val en = enFrame.localCheckpoint(true)
+    val allDe = (1 to 10).map(i => deDoc(i))
+    val dir = java.nio.file.Files.createTempDirectory("bitext-idx").toString
+    val cp = java.nio.file.Files.createTempDirectory("bitext-idx-cp").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamBitextIndex.start(
+      input.toDF().toDF("b_id", "text")
+        .select(col("b_id"), RetrievalQueries.bitextEmb(col("text")).as("eb")),
+      en, dir, numBuckets = 2, checkpoint = cp)
+    input.addData(allDe.take(4))
+    q.processAllAvailable()
+    input.addData(allDe.drop(4))
+    q.processAllAvailable()
+    q.stop()
+
+    val served = StreamBitextIndex.serve(spark, dir, 2)
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+
+    // a redelivery of the LAST epoch (the only epoch Structured
+    // Streaming ever replays — crash between commit and offset write)
+    // must change nothing
+    val batch1 = allDe.drop(4).toDF("b_id", "text")
+      .select(col("b_id"), RetrievalQueries.bitextEmb(col("text")).as("eb"))
+    StreamBitextIndex.applyBatch(batch1, en, dir, 2, epochId = 1L)
+    val servedAfterReplay = StreamBitextIndex.serve(spark, dir, 2)
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+    assert(servedAfterReplay == served, "a redelivered epoch mutated the state")
+
+    val de = allDe.toDF("b_id", "text")
+      .select(col("b_id"), RetrievalQueries.bitextEmb(col("text")).as("eb"))
+      .localCheckpoint(true)
+    val batch = RetrievalQueries.mineCore(en, de, en)
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+
+    assert(served == batch,
+      s"served-only=${(served -- batch).take(3)}, batch-only=${(batch -- served).take(3)}")
+    assert(batch.nonEmpty, "fixture degenerate: no mined pairs")
+    val margins = batch.map(_._4)
+    assert(margins.min < margins.max, "fixture degenerate: all margins identical")
+  }
+}
