@@ -12,10 +12,17 @@ object Bench {
     Seq("q1_pricing", "text_lm_score", "dedup_clusters_incremental")
 
   /** Median of control ratios (solo / sweep-of-record) = the box-speed
-    * factor; 1.0 when no usable controls. */
+    * factor; 1.0 when no usable controls. Even-sized lists average the
+    * two middle elements — with one control under dispute only 2 ratios
+    * remain, and picking the upper-middle would hand the whole
+    * calibration to whichever control happened to run slower. */
   private[graft] def boxFactor(controlRatios: Seq[Double]): Double =
     if (controlRatios.isEmpty) 1.0
-    else controlRatios.sorted.apply(controlRatios.size / 2)
+    else {
+      val s = controlRatios.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
 
   /** Parse (sfDir, name→seconds) out of a bench artifact — the same
     * one-query-per-line JSON this object writes. */
@@ -160,7 +167,7 @@ object Bench {
               s""""$s":{"solo":$t,"normalized":$n$vs}"""
             }
           }.mkString("{", ",", "}")
-          s""""box_factor":$f,"control_ratios":[${ratios.map(r => f"$r%.4f").mkString(",")}],"normalized":$norm"""
+          s""""box_factor":$f,"control_ratios":[${ratios.map(_.toString).mkString(",")}],"normalized":$norm"""
         case Some((Some(sfRef), _)) =>
           s""""normalized_skipped":"sweep of record is $sfRef, this run is $sfDir""""
         case _ =>
@@ -198,15 +205,31 @@ object Bench {
       soloReport.foreach { r => lines ++= ",\n " + r }
       lines ++= "\n}\n"
       // a solo re-measure (SPARK_GRAFT_QUERIES set) must never clobber
-      // the full-sweep artifact of record
-      val target = if (only.isDefined) "solo_timings.json" else "latest_timings.json"
-      java.nio.file.Files.write(dir.resolve(target),
-        lines.toString.getBytes("UTF-8"))
-      // per-round copy when the driver exports a round tag
-      if (only.isEmpty) sys.env.get("SPARK_GRAFT_ROUND").foreach { r =>
-        java.nio.file.Files.copy(dir.resolve("latest_timings.json"),
-          dir.resolve(s"timings_r$r.json"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the full-sweep artifact of record; and a full sweep at a
+      // NON-record SF (sf0.001/sf0.01 scaling-curve legs) must not
+      // either — it lands in its per-SF map only. latest_timings.json
+      // stays the sf0.1 sweep of record the solo normalizer reads.
+      val base = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val bytes = lines.toString.getBytes("UTF-8")
+      if (only.isDefined)
+        java.nio.file.Files.write(dir.resolve("solo_timings.json"), bytes)
+      else {
+        // per-SF map (timings_sf0.001.json / _sf0.01 / _sf0.1): the three
+        // committed maps are the input to the scaling-curve report — how
+        // each query's time GROWS across the 100x SF span is the directly
+        // measurable form of the "survives 100x" claim that shuffle-byte
+        // ceilings only approximate
+        if (base.matches("sf[0-9.]+"))
+          java.nio.file.Files.write(dir.resolve(s"timings_$base.json"), bytes)
+        if (base == "sf0.1" || !base.matches("sf[0-9.]+")) {
+          java.nio.file.Files.write(dir.resolve("latest_timings.json"), bytes)
+          // per-round copy when the driver exports a round tag
+          sys.env.get("SPARK_GRAFT_ROUND").foreach { r =>
+            java.nio.file.Files.copy(dir.resolve("latest_timings.json"),
+              dir.resolve(s"timings_r$r.json"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
       }
     } catch { case e: Throwable =>
       System.err.println(s"bench artifact write failed: ${e.getMessage}")

@@ -528,9 +528,13 @@ object RetrievalQueries {
 
   /** Rank-ordered top-k mean, fixed operand order ((s1+s2)+s3)/3 — the
     * engine-portable margin denominator, shared with the continuous
-    * index face (`graft.streaming.StreamBitextIndex`). */
+    * index face (`graft.streaming.StreamBitextIndex`). `try_element_at`
+    * (not ANSI `element_at`, which throws on a missing rank): an
+    * under-full top-k — a corpus smaller than MineK — yields a NULL
+    * mean, the documented undefined-margin bootstrap region, instead
+    * of failing the whole mining job. */
   private[graft] def topkAvg(nn: Column): Column =
-    (0 until MineK).map(i => element_at(nn, i + 1).getField("sim"))
+    (0 until MineK).map(i => try_element_at(nn, lit(i + 1)).getField("sim"))
       .reduce(_ + _) / lit(MineK.toDouble)
 
   /** Forward pass: each probe's top-k candidates in `de` plus the
@@ -563,7 +567,15 @@ object RetrievalQueries {
 
   /** The full mining core over explicit language frames — the one-shot
     * query calls it with loaded tables; specs call it with fixtures to
-    * pin index-serving ≡ batch. */
+    * pin index-serving ≡ batch.
+    *
+    * BOOTSTRAP PRECONDITION: margins are defined only when `de` has at
+    * least [[MineK]] rows — `topkAvg`'s fixed k-term operand chain (the
+    * cross-engine IEEE contract) has no value on an under-full top-k,
+    * so a smaller corpus yields forward pairs with NULL margins here
+    * and NO rows from `StreamBitextIndex.serve` (which filters to full
+    * lists rather than serve NULL margins). Divergence pinned in
+    * `StreamBitextIndexSpec`. */
   private[graft] def mineCore(en: DataFrame, de: DataFrame, probes: DataFrame): DataFrame = {
     import graft.functions.TopKAgg
     val topk = udaf(new TopKAgg(MineK))

@@ -106,7 +106,18 @@ object StreamBitextIndex {
 
   /** Mine from state alone: margins for every en doc with a full top-k
     * versus the de corpus landed so far — the SAME output frame
-    * [[RetrievalQueries.mineCore]] computes from scratch. */
+    * [[RetrievalQueries.mineCore]] computes from scratch.
+    *
+    * BOOTSTRAP PRECONDITION (shared with mineCore): the margin is only
+    * defined once at least [[RetrievalQueries.MineK]] de docs have
+    * landed — `topkAvg` is a fixed-operand-order k-term mean (the
+    * cross-engine IEEE contract), so an under-full top-k has no
+    * denominator. Below that, mineCore emits the forward pairs with
+    * NULL margins (the fixed sum hits a missing rank) while this face
+    * emits nothing — the `size(nn) >= MineK` filter below makes the
+    * undefined region explicit instead of serving NULL margins.
+    * stream ≡ batch holds for every corpus of ≥ MineK de docs; the
+    * under-full divergence is pinned in `StreamBitextIndexSpec`. */
   def serve(spark: SparkSession, dir: String, numBuckets: Int): DataFrame = {
     val fwdPairs = enTable(spark, dir, numBuckets).read()
       .filter(size(col("nn")) >= RetrievalQueries.MineK)

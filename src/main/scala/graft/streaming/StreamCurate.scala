@@ -29,7 +29,12 @@ import graft.queries.{CurationQueries, NearDupIndex, TextQueries}
   * the query runs forever at any rate. Near-duplicate removal against
   * the LANDED corpus composes in via `neardup` (the persisted
   * [[graft.queries.NearDupIndex]], a stream-static probe — still zero
-  * state); dedup WITHIN the stream remains stateful and owned by
+  * state). The index contract: it is built over the LANDED (post-
+  * PII-redaction) text — rebuild it from the landed shards — and the
+  * probe redacts incoming text with the same [[PiiRedact.redact]]
+  * chain before shingling, so probe and corpus derive identical
+  * shingles even around redacted spans. Dedup WITHIN the stream
+  * remains stateful and owned by
   * [[StreamDedup]]/[[StreamNearDup]] upstream, or by the nightly batch
   * dedup over the landed shards.
   */
@@ -90,9 +95,16 @@ object StreamCurate {
     // the scoring pipeline on both join sides (the learned-gate
     // rationale above). Stream-static: the corpus side never
     // re-shuffles, the batch's band keys broadcast, zero state.
+    // Probe POST-redaction text: the landed corpus this gate guards is
+    // written after PiiRedact (the landing select below), so an index
+    // rebuilt from the landed shards shingles redacted text — probing
+    // raw text would see different shingles around redacted spans and
+    // miss near-duplicates. Redaction is the same per-row chain the
+    // landing applies, so probe and corpus derivations always match.
     val deduped = neardup.fold(gated) { idx =>
       gated.join(
-        NearDupIndex.matchBatch(idx, domainGated.select(col("doc_id"), col("text")))
+        NearDupIndex.matchBatch(idx,
+            domainGated.select(col("doc_id"), PiiRedact.redact(col("text")).as("text")))
           .select(col("new_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
     }

@@ -67,4 +67,37 @@ class StreamBitextIndexSpec extends AnyFunSuite {
     val margins = batch.map(_._4)
     assert(margins.min < margins.max, "fixture degenerate: all margins identical")
   }
+
+  test("bootstrap precondition: under MineK de docs serve is empty, mineCore margins are NULL; at MineK the faces converge") {
+    // the documented undefined region: topkAvg is a fixed MineK-term
+    // operand chain, so with fewer de docs than MineK the margin has no
+    // value — mineCore emits forward pairs with NULL margins, serve
+    // emits nothing (it refuses to serve NULL margins). One more doc
+    // and stream ≡ batch holds margin-for-margin.
+    val en = enFrame.localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("bitext-boot").toString
+    def deOf(n: Int) = (1 to n).map(i => deDoc(i)).toDF("b_id", "text")
+      .select(col("b_id"), RetrievalQueries.bitextEmb(col("text")).as("eb"))
+      .localCheckpoint(true)
+
+    val under = RetrievalQueries.MineK - 1
+    StreamBitextIndex.applyBatch(deOf(under), en, dir, 2, epochId = 0L)
+    assert(StreamBitextIndex.serve(spark, dir, 2).isEmpty,
+      "serve must emit nothing while fewer than MineK de docs have landed")
+    val coreUnder = RetrievalQueries.mineCore(en, deOf(under), en).collect()
+    assert(coreUnder.nonEmpty && coreUnder.forall(_.isNullAt(3)),
+      "mineCore under MineK must emit forward pairs with NULL margins")
+
+    // land the doc that completes the top-k: the divergence closes
+    StreamBitextIndex.applyBatch(
+      Seq(deDoc(RetrievalQueries.MineK.toLong)).toDF("b_id", "text")
+        .select(col("b_id"), RetrievalQueries.bitextEmb(col("text")).as("eb")),
+      en, dir, 2, epochId = 1L)
+    val served = StreamBitextIndex.serve(spark, dir, 2)
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+    val batch = RetrievalQueries.mineCore(en, deOf(RetrievalQueries.MineK), en)
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+    assert(served.nonEmpty && served == batch,
+      s"faces must converge at exactly MineK de docs: served=${served.size}, batch=${batch.size}")
+  }
 }

@@ -155,6 +155,39 @@ class StreamCurateSpec extends AnyFunSuite {
     assert(landed == withGate, s"stream landing $landed != direct chain $withGate")
   }
 
+  test("neardup gate probes POST-redaction text: PII-bearing near-copy of a landed doc still drops") {
+    import graft.queries.NearDupIndex
+    import graft.functions.PiiRedact
+
+    // the landed corpus is written post-PiiRedact, so the index is built
+    // from redacted text (= what a rebuild from the landed shards sees);
+    // the incoming near-copy carries raw PII in the redacted span — if
+    // the gate probed raw text its shingles around the span would differ
+    // from the corpus derivation and the near-dup would slip through
+    val rawLanded = "contact me at alice@example.com the quick brown fox jumps over the lazy dog today and tomorrow"
+    val rawIncoming = "contact me at alice@example.com the quick brown fox jumps over the lazy cat today and tomorrow"
+    val landedRedacted = Seq((900L, rawLanded)).toDF("doc_id", "raw")
+      .select(col("doc_id"), PiiRedact.redact(col("raw")).as("text"))
+    // fixture sanity: redaction actually fired, so raw and landed shingles differ
+    assert(!landedRedacted.collect().head.getString(1).contains("alice@example.com"),
+      "fixture: the email must be redacted in the landed text")
+    val index = NearDupIndex.build(landedRedacted)
+    val block = Seq.empty[String].toDF("t").select(fpOf(col("t")).as("bfp"))
+    val words = new Array[Long](1 << 11)
+
+    val gated = StreamCurate.curateBatch(
+        Seq((1L, rawIncoming)).toDF("doc_id", "text"), block, words,
+        neardup = Some(index))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ungated = StreamCurate.curateBatch(
+        Seq((1L, rawIncoming)).toDF("doc_id", "text"), block, words)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ungated.contains(1L),
+      s"fixture: the doc must pass the quality gate without the neardup stage: $ungated")
+    assert(!gated.contains(1L),
+      s"PII-bearing near-copy must drop against the post-redaction index: $gated")
+  }
+
   test("domain-gate stage composes: ingest drops exactly the blocklisted domains") {
     // the ingest-time face of corpus_domain_blocklist: the same
     // synthetic-url → canonical → domain derivation, the same
