@@ -366,6 +366,121 @@ object VectorQueries {
 
   val vecIvfRecallSql: String = recallSqlOver(vecIvfTopkSql)
 
+  // --- IVF recall/cost frontier: the NProbe sweep -----------------------
+  // One query grades EVERY operating point 1..SweepMaxNProbe against the
+  // brute truth: aggregate recall (hits over the truth set) plus the
+  // probed-candidate count that setting pays — the frontier an index
+  // owner reads to pick NProbe, measured by the engine that serves
+  // (the `dedup_threshold_sweep` shape applied to ANN).
+  //
+  // Scale shape: the sweep costs ONE pipeline, not SweepMaxNProbe of
+  // them — centroids are ranked once per probe through a bounded
+  // TopKAgg(SweepMaxNProbe), every probed candidate is scored ONCE
+  // tagged with its list's rank, and the per-setting expansion joins an
+  // 8-row literal frame (candidate × ≤SweepMaxNProbe rows, still
+  // probed-list-priced). Per-(setting, probe) top-k and probed-row
+  // counts come out of the SAME hash agg; recall joins the truth frame
+  // once. Outputs are integers (hits, probed_rows, recall_e6 by integer
+  // division) — hashing-proof across engines.
+  private[graft] val SweepMaxNProbe = 8
+
+  def vecIvfNprobeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val cents = sampledCentroids(vecs)
+    val assigned = assignNearest(vecs, cents)
+    val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+    // rank the sweep's full centroid budget once per probe
+    val topMax = udaf(new TopKAgg(SweepMaxNProbe))
+    val probeCents = probes.join(broadcast(cents))
+      .select(col("probe_id"), cosine(col("pemb"), col("cemb")).as("csim"), col("cent_id"))
+      .groupBy(col("probe_id"))
+      .agg(topMax(col("csim"), col("cent_id")).as("pc"))
+      .select(col("probe_id"), posexplode(col("pc")).as(Seq("pos", "pc")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("cent_rank"),
+        col("pc.id").as("cent_id"))
+      .join(probes, Seq("probe_id"))
+    // score each probed candidate ONCE, tagged with its list's rank;
+    // a candidate in list rank r belongs to every setting n >= r
+    val scored = probeCents.join(assigned, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cent_rank"), col("vec_id").as("id"),
+        cosine(col("pemb"), col("embedding")).as("sim"))
+    val settings = spark.range(1, SweepMaxNProbe + 1)
+      .select(col("id").cast("int").as("nprobe"))
+    val topk = udaf(new TopKAgg(TopK))
+    // ONE hash agg yields both the setting's answer list and its cost
+    val perProbe = scored
+      .join(broadcast(settings), col("nprobe") >= col("cent_rank"))
+      .groupBy(col("nprobe"), col("probe_id"))
+      .agg(topk(col("sim"), col("id")).as("nn"), count(lit(1)).as("probed"))
+    val approxIds = perProbe
+      .select(col("nprobe"), col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("nprobe"), col("probe_id"), col("n.id").as("neighbor_id"))
+    val brute = vecTopk(spark, sfDir).select(col("probe_id"), col("neighbor_id"))
+    val hits = approxIds.join(brute, Seq("probe_id", "neighbor_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    val kTotal = brute.agg(count(lit(1)).as("k_total"))
+    perProbe.groupBy(col("nprobe")).agg(sum(col("probed")).as("probed_rows"))
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(kTotal))
+      .select(col("nprobe"), col("probed_rows"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("k_total"),
+        expr("coalesce(hits, 0) * 1000000 div k_total").as("recall_e6"))
+      .orderBy(col("nprobe"))
+  }
+
+  val vecIvfNprobeSweepSql: String =
+    s"""WITH sw_cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings
+      |  WHERE vec_id % $CentroidStride = 0),
+      |sw_assigned AS (
+      |  SELECT vec_id, embedding, cent_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM embeddings e CROSS JOIN sw_cents c)
+      |  WHERE rn = 1),
+      |sw_probes AS (
+      |  SELECT vec_id AS probe_id, embedding AS pemb FROM embeddings
+      |  WHERE vec_id % $ProbeStride = 0),
+      |sw_probe_cents AS (
+      |  SELECT probe_id, pemb, cent_id, rn AS cent_rank FROM (
+      |    SELECT p.probe_id, p.pemb, c.cent_id,
+      |      row_number() OVER (PARTITION BY p.probe_id
+      |        ORDER BY list_cosine_similarity(CAST(p.pemb AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM sw_probes p CROSS JOIN sw_cents c)
+      |  WHERE rn <= $SweepMaxNProbe),
+      |settings AS (SELECT CAST(n AS INT) AS nprobe FROM generate_series(1, $SweepMaxNProbe) t(n)),
+      |sw_scored AS MATERIALIZED (
+      |  SELECT s.nprobe, pc.probe_id, a.vec_id,
+      |    list_cosine_similarity(CAST(pc.pemb AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+      |  FROM sw_probe_cents pc
+      |  JOIN settings s ON s.nprobe >= pc.cent_rank
+      |  JOIN sw_assigned a ON pc.cent_id = a.cent_id AND a.vec_id != pc.probe_id),
+      |approx AS (
+      |  SELECT nprobe, probe_id, vec_id FROM (
+      |    SELECT nprobe, probe_id, vec_id,
+      |      row_number() OVER (PARTITION BY nprobe, probe_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM sw_scored)
+      |  WHERE rank <= $TopK),
+      |brute AS MATERIALIZED ($vecTopkSql),
+      |hits AS (
+      |  SELECT a.nprobe, CAST(count(*) AS BIGINT) AS hits
+      |  FROM approx a JOIN brute b
+      |    ON b.probe_id = a.probe_id AND b.neighbor_id = a.vec_id
+      |  GROUP BY a.nprobe),
+      |cost AS (
+      |  SELECT nprobe, CAST(count(*) AS BIGINT) AS probed_rows
+      |  FROM sw_scored GROUP BY nprobe),
+      |ktotal AS (SELECT CAST(count(*) AS BIGINT) AS k_total FROM brute)
+      |SELECT c.nprobe, c.probed_rows,
+      |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, k.k_total,
+      |  CAST(coalesce(h.hits, 0) * 1000000 // k.k_total AS BIGINT) AS recall_e6
+      |FROM cost c LEFT JOIN hits h ON h.nprobe = c.nprobe CROSS JOIN ktotal k
+      |ORDER BY c.nprobe""".stripMargin
+
   // --- graph-ANN recall vs brute force ----------------------------------
   // The same in-engine recall measurement `vec_ivf_recall` gives the
   // quantization path, for the graph/beam path: per probe, how many of

@@ -383,6 +383,33 @@ class VectorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not reach a stable"))
   }
 
+  test("vec_ivf_nprobe_sweep: recall and cost are monotone in NProbe, frontier is non-degenerate") {
+    // the recall/cost frontier an index owner tunes from: probing more
+    // lists can only add candidates, and a candidate that displaces a
+    // true-top-k member from an answer list must itself be in the true
+    // top-k (the global k best under the shared (sim desc, id asc)
+    // order) — so hits and probed_rows are both non-decreasing in
+    // nprobe. Degenerate frontiers (flat recall, or recall already 1.0
+    // at nprobe=1) would make the sweep worthless as a tuning tool.
+    val sf = "/root/testdata/sf0.001"
+    val rows = VectorQueries.vecIvfNprobeSweep(spark, sf)
+      .select(col("nprobe"), col("probed_rows"), col("hits"), col("recall_e6"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to VectorQueries.SweepMaxNProbe),
+      s"one row per setting expected: ${rows.map(_._1).mkString(",")}")
+    rows.sliding(2).foreach {
+      case Array((n1, c1, h1, r1), (n2, c2, h2, r2)) =>
+        assert(c2 >= c1, s"probed_rows fell $c1 -> $c2 from nprobe=$n1 to $n2")
+        assert(h2 >= h1, s"hits fell $h1 -> $h2 from nprobe=$n1 to $n2")
+        assert(r2 >= r1, s"recall fell $r1 -> $r2 from nprobe=$n1 to $n2")
+      case _ =>
+    }
+    assert(rows.last._2 > rows.head._2, "cost axis degenerate: probing 8 lists costs no more than 1")
+    assert(rows.last._4 > rows.head._4,
+      s"recall axis degenerate: ${rows.head._4} -> ${rows.last._4}; the sweep grades nothing")
+  }
+
   test("vec_graph_topk_cached (persisted adjacency) ≡ the self-contained walk") {
     // build/query split: the persisted index must answer bit-identically
     // to the build-inline form — the vec_ivf_topk_cached acceptance bar.
