@@ -419,6 +419,48 @@ object MediaQueries {
       |SELECT probe_id, rank, doc_id AS neighbor_id, round(sim, 6) AS sim
       |FROM ranked WHERE rank <= $EmbedTopK ORDER BY probe_id, rank""".stripMargin
 
+  // Build/query split for the cross-modal path — the `vec_ivf_topk_cached`
+  // recipe on the media tower: the N×C media-tower assignment (the
+  // expensive leg: every corpus payload embedded and scored against
+  // every centroid) is built ONCE per corpus and persisted as the
+  // inverted-list table; a query then pays only its probed lists plus
+  // the text-tower projection of its own probes. Same result, same
+  // oracle — the index is a deterministic function of the corpus.
+  private val crossmodalIvfDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per sfDir) and persist the media-tower inverted-list
+    * table `(vec_id, embedding, cent_id)`; returns its directory. */
+  def prepareCrossmodalIvfIndex(spark: SparkSession, sfDir: String): String =
+    crossmodalIvfDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mm-ivf").toString
+      val docs = Tables.load(spark, sfDir, "documents")
+      val media = docs.select(col("doc_id").as("vec_id"), embedExpr(payload).as("embedding"))
+      VectorQueries.assignNearest(media, VectorQueries.sampledCentroids(media))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** `mm_crossmodal_ivf_topk` over the persisted media-tower index —
+    * the query-path cost (text-tower probes only; the media corpus is
+    * never re-embedded). */
+  def mmCrossmodalIvfTopkCached(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val dir = prepareCrossmodalIvfIndex(spark, sfDir)
+    val assigned = spark.read.parquet(dir)
+    // the bounded centroid frame re-derives from the persisted lists
+    // (cent_id rows carry their members' embeddings; the centroid's own
+    // row is its self-assignment) — no second scan of the raw corpus
+    val cents = assigned
+      .filter(col("vec_id") % VectorQueries.CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val docs = Tables.load(spark, sfDir, "documents")
+    val probes = docs.filter(col("doc_id") % EmbedProbeStride === 0)
+      .select(col("doc_id").as("probe_id"), textEmbedExpr(col("text")).as("pemb"))
+    VectorQueries.probeListsFrom(probes, cents, assigned, EmbedTopK)
+  }
+
   def mmCrossmodalIvfRecall(spark: SparkSession, sfDir: String): DataFrame =
     VectorQueries.recallOf(
       mmCrossmodalTopk(spark, sfDir), mmCrossmodalIvfTopk(spark, sfDir))

@@ -207,6 +207,21 @@ class MultimodalSpec extends AnyFunSuite {
       "every probe at full recall with NProbe << C — probing is not pruning")
   }
 
+  test("mm_crossmodal_ivf_topk_cached (persisted media tower) ≡ the self-contained query") {
+    // build/query split: the persisted inverted-list table must answer
+    // bit-identically to the build-inline form — the vec_ivf_topk_cached
+    // acceptance bar, now on the cross-modal path (and the centroid
+    // frame re-derived FROM the persisted lists must equal the one
+    // sampled from the raw corpus, or the probe routing silently drifts)
+    val sf = "/root/testdata/sf0.001"
+    val inline = SparkEntry.queries("mm_crossmodal_ivf_topk")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val cached = SparkEntry.queries("mm_crossmodal_ivf_topk_cached")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(inline.nonEmpty, "fixture degenerate: inline crossmodal IVF returned nothing")
+    assert(cached == inline, "persisted-media-tower query diverged from inline build")
+  }
+
   test("mm_frame_neardup ≡ brute-force frame-set Jaccard on the JVM") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("mm_frame_neardup")(spark, sf)
