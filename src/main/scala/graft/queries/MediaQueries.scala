@@ -617,15 +617,18 @@ object MediaQueries {
   // (hash at decode time, never re-decode for dedup), grouping is ONE
   // hash-agg on the 32-bit fingerprint — bounded output, no window, no
   // join. Same plan as mm_phash_dedup, different modality.
-  def mmAudioDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val wav = docs.select(col("doc_id"), payload.as("content"))
-      .filter(MediaOps.sniffMime(col("content")) === "audio/wav")
-    val withSeed = wav.select(col("doc_id"), seed(col("content")).as("h"))
-    // layered projections (the mmPhashDedup lesson): energies once,
-    // then the 32 sign bits over named energy columns — inlining the
-    // 8-term sums into every comparison makes a codegen-hostile tree
-    val withE = withSeed.select(col("doc_id") +:
+  /** Sniff-to-audio + layered energy projections + 32 delta-sign bits —
+    * the ONE fingerprint derivation shared by the batch dedup, the
+    * corpus index build, and the continuous probe
+    * ([[graft.streaming.StreamAudioDedup]]), so stream ≡ batch holds by
+    * construction. `keep` columns pass through; emits keep :+ `afp`.
+    * Layered projections (the mmPhashDedup lesson): energies once over
+    * named columns, then the sign bits — inlining the 8-term sums into
+    * every comparison makes a codegen-hostile tree. */
+  private[graft] def audioFingerprints(media: DataFrame, keep: Seq[String]): DataFrame = {
+    val wav = media.filter(MediaOps.sniffMime(col("content")) === "audio/wav")
+    val withSeed = wav.select(keep.map(col) :+ seed(col("content")).as("h"): _*)
+    val withE = withSeed.select(keep.map(col) ++
       (0 until 32).map { i =>
         (0 until 8).map(j => pmod(col("h") + lit((8 * i + j).toLong), lit(256L)))
           .reduce(_ + _).as(s"e$i")
@@ -633,7 +636,12 @@ object MediaQueries {
     val afp = (0 until 32).map { i =>
       when(col(s"e$i") > col(s"e${(i + 1) % 32}"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    withE.select(col("doc_id"), afp.as("afp"))
+    withE.select(keep.map(col) :+ afp.as("afp"): _*)
+  }
+
+  def mmAudioDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    audioFingerprints(docs.select(col("doc_id"), payload.as("content")), Seq("doc_id"))
       .groupBy(col("afp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
       .filter(col("n_docs") >= 2)
