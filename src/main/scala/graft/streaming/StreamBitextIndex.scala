@@ -87,6 +87,11 @@ object StreamBitextIndex {
       .groupBy(col("b_id")).agg(topk(col("sim"), col("id")).as("nn"))
       .select(col("b_id"), RetrievalQueries.topkAvg(col("nn")).as("avg_b"))
     StreamShardedExport.commitBatch(avgB, "b_id", s"$dir/$DeDir", DeShards, epochId)
+    // crash point: de-side averages landed, en-side merge (and with it
+    // the epoch's version marker) not yet — serve() must still answer
+    // from the previous epoch (the new b_ids have no forward pairs to
+    // join), and the replay must converge to the batch answer
+    Failpoints.hit("bitext.between-lands")
 
     // 2. merge the batch's candidates into every en doc's bounded list
     val candsK = cands.select(col("a_id"), col("sim"), col("b_id").as("id"))

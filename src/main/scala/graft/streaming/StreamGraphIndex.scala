@@ -101,6 +101,11 @@ object StreamGraphIndex {
       memb.withColumn(ShardedExport.ShardCol,
         element_at(toShard, col("cent_id")).cast("int")),
       s"$dir/$MembDir", idx.size, epochId)
+    // crash point: membership landed, adjacency (and with it the
+    // epoch's version marker) not yet — the replay re-lands membership
+    // as a marker no-op, reads back the very rows this attempt wrote,
+    // and must converge to the batch-built graph
+    Failpoints.hit("graph.between-lands")
 
     // 2. cell-keyed candidates: ONLY the touched cells' membership
     // directories are read (partition-pruned multi-shard read)

@@ -119,6 +119,10 @@ object StreamShardedExport {
     batch
       .repartition(numShards, col(ShardCol))
       .write.partitionBy(ShardCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // crash point: shard files fully written, nothing published — the
+    // orphan .tmp dir must be invisible to readers and harmless to the
+    // replay (which writes its own attempt-unique tmp)
+    Failpoints.hit("sharded.after-tmp-write")
     // count what actually landed, then publish: rename data, marker LAST
     val counts = batch.sparkSession.read.schema(batch.schema)
       .parquet(tmp.toString)
@@ -130,6 +134,9 @@ object StreamShardedExport {
     }
     ShardedExport.deleteRecursively(dest) // orphan from a crash before the marker write
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    // crash point: data renamed into place but NO marker — readers must
+    // still exclude it, and the replay must overwrite the orphan dest
+    Failpoints.hit("sharded.before-marker")
     publishMarker(counts)
   }
 

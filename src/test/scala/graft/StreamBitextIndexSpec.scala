@@ -68,6 +68,43 @@ class StreamBitextIndexSpec extends AnyFunSuite {
     assert(margins.min < margins.max, "fixture degenerate: all margins identical")
   }
 
+  test("crash between the de-side land and the en-side marker: serving stays consistent, replay converges to batch") {
+    import graft.streaming.Failpoints
+    val en = enFrame.localCheckpoint(true)
+    val allDe = (1 to 10).map(i => deDoc(i))
+    def deFrame(docs: Seq[(Long, String)]) = docs.toDF("b_id", "text")
+      .select(col("b_id"), RetrievalQueries.bitextEmb(col("text")).as("eb"))
+    val dir = java.nio.file.Files.createTempDirectory("bitext-crash").toString
+
+    StreamBitextIndex.applyBatch(deFrame(allDe.take(5)), en, dir, 2, epochId = 0L)
+    val served0 = StreamBitextIndex.serve(spark, dir, 2)
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+
+    // kill the job between land 1 (de averages committed) and land 2
+    // (the en merge whose version id IS the epoch marker)
+    Failpoints.arm("bitext.between-lands")
+    intercept[Failpoints.InjectedCrash] {
+      StreamBitextIndex.applyBatch(deFrame(allDe.drop(5)), en, dir, 2, epochId = 1L)
+    }
+    // mid-crash serving must NOT tear: the landed epoch-1 averages have
+    // no forward pairs to join yet, so serve still answers epoch 0
+    val servedMid = StreamBitextIndex.serve(spark, dir, 2)
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+    assert(servedMid == served0,
+      "a crash between the two lands leaked a half-applied epoch into serving")
+
+    // Structured Streaming redelivers the epoch; recovery must converge
+    // to exactly the batch answer over the full corpus
+    assert(StreamBitextIndex.applyBatch(deFrame(allDe.drop(5)), en, dir, 2, epochId = 1L),
+      "the replayed epoch must commit")
+    val servedAfter = StreamBitextIndex.serve(spark, dir, 2)
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+    val batch = RetrievalQueries.mineCore(en, deFrame(allDe).localCheckpoint(true), en)
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+    assert(servedAfter == batch,
+      s"replay did not converge: served-only=${(servedAfter -- batch).take(3)}, batch-only=${(batch -- servedAfter).take(3)}")
+  }
+
   test("bootstrap precondition: under MineK de docs serve is empty, mineCore margins are NULL; at MineK the faces converge") {
     // the documented undefined region: topkAvg is a fixed MineK-term
     // operand chain, so with fewer de docs than MineK the margin has no

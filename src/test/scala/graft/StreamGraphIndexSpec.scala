@@ -92,4 +92,38 @@ class StreamGraphIndexSpec extends AnyFunSuite {
     assert(edgeSet(StreamGraphIndex.readAdjacency(spark, dir2, Buckets)) ==
       edgeSet(VectorQueries.graphAdjacency(vecs)))
   }
+
+  test("crash between the membership land and the adjacency merge: replay converges to the batch-built graph") {
+    import graft.streaming.Failpoints
+    val vecs = corpus()
+    val cents = VectorQueries.sampledCentroids(vecs).cache()
+    val idx = graft.streaming.StreamVectorIndex.listIndex(cents)
+    val dir = tmpDir()
+
+    val h1 = vecs.filter(col("vec_id") % 2 === 0)
+    val h2 = vecs.filter(col("vec_id") % 2 === 1)
+    assert(StreamGraphIndex.applyBatch(h1, cents, idx, dir, Buckets, epochId = 0L))
+    val graph0 = edgeSet(StreamGraphIndex.readAdjacency(spark, dir, Buckets))
+
+    // kill the job between land 1 (epoch-1 membership committed) and
+    // land 2 (the adjacency merge whose version id IS the epoch marker)
+    Failpoints.arm("graph.between-lands")
+    intercept[Failpoints.InjectedCrash] {
+      StreamGraphIndex.applyBatch(h2, cents, idx, dir, Buckets, epochId = 1L)
+    }
+    // the walkable graph must not tear mid-crash: adjacency is still
+    // exactly the epoch-0 state
+    assert(edgeSet(StreamGraphIndex.readAdjacency(spark, dir, Buckets)) == graph0,
+      "a crash between the two lands leaked half an epoch into the adjacency")
+
+    // the replayed epoch re-lands membership as a marker no-op, reads
+    // back the rows the crashed attempt wrote, and must converge to the
+    // batch-built graph over the full corpus
+    assert(StreamGraphIndex.applyBatch(h2, cents, idx, dir, Buckets, epochId = 1L),
+      "the replayed epoch must commit")
+    val streamed = edgeSet(StreamGraphIndex.readAdjacency(spark, dir, Buckets))
+    val batch = edgeSet(VectorQueries.graphAdjacency(vecs))
+    assert(streamed == batch,
+      s"replay did not converge: ${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
+  }
 }

@@ -75,6 +75,45 @@ class StreamShardedExportSpec extends AnyFunSuite {
       "orphan batch leaked into the committed read")
   }
 
+  test("crash injection: failures after the tmp write and between rename and marker both replay to exactly-once") {
+    import graft.streaming.Failpoints
+    val out = tmpDir()
+    def docs(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    assert(StreamShardedExport.commitBatch(docs(0, 40), "doc_id", out, 4, 0L))
+
+    // gap 1: shard files fully written, nothing renamed, no marker —
+    // the orphan .tmp dir must be invisible and the replay must land
+    Failpoints.arm("sharded.after-tmp-write")
+    intercept[Failpoints.InjectedCrash] {
+      StreamShardedExport.commitBatch(docs(40, 80), "doc_id", out, 4, 1L)
+    }
+    assert(!StreamShardedExport.committedEpochs(out).contains(1L),
+      "a crash before any publish must not commit the epoch")
+    assert(StreamShardedExport.readAll(spark, out).count() == 40,
+      "the orphan tmp write leaked into the committed read")
+    assert(StreamShardedExport.commitBatch(docs(40, 80), "doc_id", out, 4, 1L),
+      "the replay of the crashed epoch must land")
+    assert(StreamShardedExport.readAll(spark, out).count() == 80)
+
+    // gap 2: data dir renamed into place but the marker write never
+    // ran — readers exclude the orphan dest; the replay OVERWRITES it
+    // (not appends beside it) and publishes, so rows count once
+    Failpoints.arm("sharded.before-marker")
+    intercept[Failpoints.InjectedCrash] {
+      StreamShardedExport.commitBatch(docs(80, 120), "doc_id", out, 4, 2L)
+    }
+    assert(Files.isDirectory(java.nio.file.Paths.get(out, "batch=2")),
+      "fixture: the crash must land AFTER the dest rename")
+    assert(!StreamShardedExport.committedEpochs(out).contains(2L))
+    assert(StreamShardedExport.readAll(spark, out).count() == 80,
+      "an unmarked dest dir leaked into the committed read")
+    assert(StreamShardedExport.commitBatch(docs(80, 120), "doc_id", out, 4, 2L))
+    assert(StreamShardedExport.readAll(spark, out).count() == 120,
+      "replay over the orphan dest double-landed or lost rows")
+    assert(StreamShardedExport.manifest(out).values.sum == 120)
+  }
+
   test("empty micro-batches commit marker-only and never wedge the stream; stray marker files are ignored") {
     val out = tmpDir()
     val docs = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
