@@ -1,0 +1,137 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.Bench
+
+/** The scaling-curve report — the directly measurable form of the
+  * "survives a 100× scale-up" claim that shuffle-byte ceilings only
+  * approximate: how each query's wall time GROWS across the three
+  * committed scale factors.
+  *
+  * Inputs are the per-SF sweep maps Bench writes
+  * (`bench/timings_sf{0.001,0.01,0.1}.json`). The headline number per
+  * query is the LAST-DECADE growth exponent
+  *
+  *   exp_last = log10( t(sf0.1) / t(sf0.01) )
+  *
+  * because over that decade every driver table grows ~10×
+  * (lineitem/orders/events/documents; embeddings grows 4×, which only
+  * UNDERSTATES its queries' exponents — conservative), while the first
+  * decade is flat for the fixed-size document/embedding tables and
+  * would read as noise. exp ≈ 1 is linear scaling, ≈ 0 is
+  * overhead-dominated, > [[ExpCeiling]] is superlinear growth that
+  * will not survive 100×.
+  *
+  * Gate discipline (the bench-noise lesson): single-sweep timings
+  * carry multi-× noise on SUB-SECOND queries — a 0.2 s → 0.9 s jitter
+  * reads as exp 0.65 of pure noise — so the red-list only considers
+  * queries with t(sf0.1) ≥ [[GateFloorSec]], where a >
+  * 10^1.3 ≈ 20× decade ratio cannot be jitter. Red-listed queries must
+  * carry a plan-level justification in [[Justified]] or
+  * `ScalingCurveSpec` fails.
+  *
+  *   runMain graft.tools.ScalingCurve   # writes bench/scaling_report.json
+  */
+object ScalingCurve {
+
+  val Sfs: Seq[String] = Seq("sf0.001", "sf0.01", "sf0.1")
+  /** Red-list threshold on the last-decade exponent: 10^1.3 ≈ a 20×
+    * time ratio for a 10× input ratio. */
+  val ExpCeiling = 1.3
+  /** Queries faster than this at sf0.1 are overhead/noise-dominated —
+    * their exponents are not plan signal. */
+  val GateFloorSec = 1.0
+
+  /** Plan-level justifications for red-listed queries — additions here
+    * require the justification to name the superlinear term in the
+    * PLAN, never "the sweep was slow today". */
+  val Justified: Map[String, String] = Map.empty
+
+  /** exp_last: decade growth exponent, NaN when either leg is missing
+    * or non-positive. */
+  def exponent(t2: Double, t3: Double): Double =
+    if (t2 > 0 && t3 > 0) math.log10(t3 / t2) else Double.NaN
+
+  final case class Row(name: String, t: Seq[Option[Double]],
+      expLast: Double, expOverall: Double) {
+    def red: Boolean =
+      t.last.exists(_ >= GateFloorSec) && !expLast.isNaN && expLast > ExpCeiling
+  }
+
+  /** Build the per-query curve rows from the three sweep maps (ordered
+    * as [[Sfs]]); queries appearing in ANY map are reported. */
+  def buildRows(maps: Seq[Map[String, Double]]): Seq[Row] = {
+    require(maps.size == 3, s"need 3 SF maps, got ${maps.size}")
+    val names = maps.flatMap(_.keys).distinct.sorted
+    names.map { n =>
+      val t = maps.map(_.get(n))
+      val expLast = (t(1), t(2)) match {
+        case (Some(a), Some(b)) => exponent(a, b)
+        case _ => Double.NaN
+      }
+      val expOverall = (t(0), t(2)) match {
+        case (Some(a), Some(b)) if a > 0 && b > 0 => math.log10(b / a) / 2.0
+        case _ => Double.NaN
+      }
+      Row(n, t, expLast, expOverall)
+    }
+  }
+
+  /** Load a per-SF sweep map from `bench/timings_<sf>.json`; None when
+    * the artifact is absent. */
+  def loadMap(sf: String): Option[Map[String, Double]] = {
+    val p = Paths.get(s"bench/timings_$sf.json")
+    if (!Files.isRegularFile(p)) return None
+    val (sfDir, m) = Bench.parseTimings(Files.readString(p))
+    // the artifact must actually be the sweep it claims to be
+    if (!sfDir.exists(_.endsWith(sf))) return None
+    Some(m)
+  }
+
+  private def num(d: Double): String =
+    if (d.isNaN) "null" else f"$d%.4f".replace(',', '.')
+
+  def main(args: Array[String]): Unit = {
+    val maps = Sfs.map(sf => loadMap(sf).getOrElse {
+      System.err.println(s"missing or mismatched bench/timings_$sf.json — " +
+        s"run: SPARK_GRAFT_SF_DIR=/root/testdata/$sf sbt 'runMain graft.Bench'")
+      sys.exit(2)
+    })
+    val rows = buildRows(maps)
+    val lines = rows.map { r =>
+      val ts = Sfs.zip(r.t).map { case (sf, v) =>
+        s""""t_$sf":${v.map(_.toString).getOrElse("null")}"""
+      }.mkString(",")
+      val just = Justified.get(r.name)
+        .map(j => s""","justified":"$j"""").getOrElse("")
+      s"""  {"q":"${r.name}",$ts,"exp_last":${num(r.expLast)},"exp_overall":${num(r.expOverall)},"red":${r.red}$just}"""
+    }
+    val red = rows.filter(_.red)
+    val out = new StringBuilder
+    out ++= "{\n"
+    out ++= s""" "exp_ceiling":$ExpCeiling,"gate_floor_sec":$GateFloorSec,"queries":${rows.size},"red":${red.size},\n"""
+    out ++= " \"rows\":[\n" + lines.mkString(",\n") + "\n ]\n}\n"
+    Files.createDirectories(Paths.get("bench"))
+    Files.writeString(Paths.get("bench/scaling_report.json"), out.toString)
+
+    val steepest = rows.filter(_.t.last.exists(_ >= GateFloorSec))
+      .filterNot(_.expLast.isNaN).sortBy(-_.expLast).take(10)
+    println(f"${"query"}%-32s ${"t_sf0.001"}%9s ${"t_sf0.01"}%9s ${"t_sf0.1"}%9s exp_last exp_all")
+    steepest.foreach { r =>
+      def p(o: Option[Double]) = o.map(v => f"$v%9.2f").getOrElse("        -")
+      println(f"${r.name}%-32s ${p(r.t(0))} ${p(r.t(1))} ${p(r.t(2))} ${num(r.expLast)}%8s ${num(r.expOverall)}%7s")
+    }
+    if (red.nonEmpty) {
+      println(s"RED (exp_last > $ExpCeiling at t >= $GateFloorSec s): " +
+        red.map(r => s"${r.name}=${num(r.expLast)}").mkString(", "))
+      val unjustified = red.filterNot(r => Justified.contains(r.name))
+      if (unjustified.nonEmpty) {
+        System.err.println("UNJUSTIFIED superlinear queries: " +
+          unjustified.map(_.name).mkString(", "))
+        sys.exit(1)
+      }
+    }
+    println(s"""{"metric":"scaling_red","value":${red.size},"queries":${rows.size},"report":"bench/scaling_report.json"}""")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.ScalingCurve
+
+/** The scaling-curve gate: exponent math pinned on fixtures, red-list
+  * discipline pinned on the COMMITTED per-SF sweeps — every query whose
+  * last-decade growth exceeds the ceiling at gate-eligible time must
+  * carry a plan-level justification, or this suite fails. */
+class ScalingCurveSpec extends AnyFunSuite {
+
+  test("exponent math: linear decade = 1, flat = 0, missing legs = NaN") {
+    assert(math.abs(ScalingCurve.exponent(1.0, 10.0) - 1.0) < 1e-9)
+    assert(math.abs(ScalingCurve.exponent(2.0, 2.0)) < 1e-9)
+    assert(math.abs(ScalingCurve.exponent(1.0, 100.0) - 2.0) < 1e-9)
+    assert(ScalingCurve.exponent(0.0, 5.0).isNaN)
+    assert(ScalingCurve.exponent(5.0, 0.0).isNaN)
+  }
+
+  test("red-list logic: slow superlinear flags; sub-floor jitter and fast queries never do") {
+    val rows = ScalingCurve.buildRows(Seq(
+      Map("lin" -> 0.1, "bad" -> 0.1, "noisy" -> 0.01, "flat" -> 0.5),
+      Map("lin" -> 0.5, "bad" -> 0.2, "noisy" -> 0.02, "flat" -> 0.5),
+      Map("lin" -> 5.0, "bad" -> 9.0, "noisy" -> 0.9, "flat" -> 0.6)))
+    val byName = rows.map(r => r.name -> r).toMap
+    assert(!byName("lin").red, "10x/decade (exp 1.0) is the linear contract, not a defect")
+    assert(byName("bad").red, "45x/decade at 9 s must red-list")
+    // 45x growth but t(sf0.1)=0.9 s: under the floor, exponents of
+    // sub-second timings are sweep jitter, not plan signal
+    assert(!byName("noisy").red, "sub-floor queries must never red-list")
+    assert(!byName("flat").red)
+    assert(byName("flat").expLast < 0.1, "flat time must read exp ~0")
+    // a query absent from one sweep reports NaN, never a phantom red
+    val partial = ScalingCurve.buildRows(Seq(
+      Map[String, Double](), Map("q" -> 1.0), Map[String, Double]()))
+    assert(partial.head.expLast.isNaN && !partial.head.red)
+  }
+
+  test("committed sweeps: every red-listed query carries a plan-level justification") {
+    val maps = ScalingCurve.Sfs.map(ScalingCurve.loadMap)
+    assume(maps.forall(_.isDefined),
+      s"per-SF sweep artifacts missing (${ScalingCurve.Sfs.mkString(", ")}) — run graft.Bench at each SF")
+    val rows = ScalingCurve.buildRows(maps.map(_.get))
+    val eligible = rows.filter(_.t.last.exists(_ >= ScalingCurve.GateFloorSec))
+    assert(eligible.nonEmpty, "no gate-eligible queries — sweep artifacts look empty")
+    val steepest = eligible.filterNot(_.expLast.isNaN).sortBy(-_.expLast).take(5)
+    steepest.foreach { r =>
+      info(f"${r.name}%-32s exp_last ${r.expLast}%6.2f  t(sf0.1) ${r.t.last.getOrElse(0.0)}%6.2f s")
+    }
+    val unjustified = rows.filter(_.red)
+      .filterNot(r => ScalingCurve.Justified.contains(r.name))
+    assert(unjustified.isEmpty,
+      "superlinear growth without a plan-level justification: " +
+        unjustified.map(r => f"${r.name} exp_last=${r.expLast}%.2f").mkString(", "))
+  }
+}
