@@ -639,6 +639,15 @@ object MediaQueries {
     withE.select(keep.map(col) :+ afp.as("afp"): _*)
   }
 
+  /** The corpus fingerprint index: one row per distinct audio
+    * fingerprint with its canonical (min) doc — EVERY fingerprint, not
+    * just duplicated ones, because a probe must also catch the first
+    * re-arrival of a unique payload. Shared by the incremental query
+    * and the continuous face ([[graft.streaming.StreamAudioDedup]]). */
+  private[graft] def audioFingerprintIndex(corpus: DataFrame): DataFrame =
+    audioFingerprints(corpus, Seq("doc_id"))
+      .groupBy(col("afp")).agg(min(col("doc_id")).as("dup_of"))
+
   def mmAudioDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     audioFingerprints(docs.select(col("doc_id"), payload.as("content")), Seq("doc_id"))
@@ -648,15 +657,19 @@ object MediaQueries {
       .orderBy(col("afp"))
   }
 
-  val mmAudioDedupSql: String = {
+  /** The sniff + fingerprint chain as DuckDB CTEs ending in
+    * `hashed(doc_id, source, afp)` — shared by the one-shot dedup and
+    * the incremental oracle so both mirror [[audioFingerprints]]'s
+    * derivation exactly. */
+  private val audioHashedCtes: String = {
     val energies = (0 until 32).map { i =>
       (0 until 8).map(j => s"(h + ${8 * i + j}) % 256").mkString(" + ") + s" AS e$i"
     }.mkString(",\n    ")
     val bits = (0 until 32)
       .map(i => s"CASE WHEN e$i > e${(i + 1) % 32} THEN ${1L << i} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH media AS (
-      |  SELECT doc_id,
+    s"""media AS (
+      |  SELECT doc_id, source,
       |    (CASE doc_id % 4
       |       WHEN 0 THEN from_hex('89504E470D0A1A0A')
       |       WHEN 1 THEN from_hex('FFD8FFE0')
@@ -664,19 +677,59 @@ object MediaQueries {
       |       ELSE encode('') END) || encode(text) AS content
       |  FROM documents),
       |wav AS (
-      |  SELECT doc_id, content FROM (SELECT doc_id, content, hex(content) AS hx FROM media)
+      |  SELECT doc_id, source, content FROM (SELECT doc_id, source, content, hex(content) AS hx FROM media)
       |  WHERE substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'),
       |seeded AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, source,
       |    CAST(('0x' || substr(md5(hex(content)), 1, 8)) AS BIGINT) AS h
       |  FROM wav),
       |energies AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, source,
       |    $energies
       |  FROM seeded),
-      |hashed AS (SELECT doc_id, $bits AS afp FROM energies)
+      |hashed AS MATERIALIZED (SELECT doc_id, source, $bits AS afp FROM energies)""".stripMargin
+  }
+
+  val mmAudioDedupSql: String =
+    s"""WITH $audioHashedCtes
       |SELECT afp, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
       |FROM hashed GROUP BY afp HAVING count(*) >= 2
       |ORDER BY afp""".stripMargin
+
+  // --- incremental audio dedup ------------------------------------------
+  // The batch oracle face of [[graft.streaming.StreamAudioDedup]]'s
+  // probe, completing the modality's lifecycle (one-shot query →
+  // persisted index → INCREMENTAL query → streaming face, the
+  // mm_frame_neardup set): arrivals are fingerprinted and probe the
+  // index built from the REST of the corpus — one per-row projection
+  // per side, one hash-agg for the index, one equi-join on the 32-bit
+  // fingerprint (afp is unique in the index, so each arrival emits at
+  // most one row). The audio lane's incremental source is src2, not
+  // the text family's src0: sources ride doc_id % 20 and the audio
+  // payload rides doc_id % 4, so src0 contains NO audio rows.
+  private val AudioIncrementalSource = "src2"
+
+  def mmAudioDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = docs.select(col("doc_id"), col("source"), payload.as("content"))
+    val corpus = media.filter(col("source") =!= AudioIncrementalSource)
+      .select(col("doc_id"), col("content"))
+    val arrivals = media.filter(col("source") === AudioIncrementalSource)
+      .select(col("doc_id"), col("content"))
+    audioFingerprints(arrivals, Seq("doc_id"))
+      .select(col("doc_id").as("new_doc_id"), col("afp"))
+      .join(audioFingerprintIndex(corpus), Seq("afp"))
+      .select(col("new_doc_id"), col("afp"), col("dup_of"))
+      .orderBy(col("new_doc_id"))
   }
+
+  val mmAudioDedupIncrementalSql: String =
+    s"""WITH $audioHashedCtes,
+      |idx AS (
+      |  SELECT afp, min(doc_id) AS dup_of FROM hashed
+      |  WHERE source != '$AudioIncrementalSource' GROUP BY afp)
+      |SELECT a.doc_id AS new_doc_id, a.afp, i.dup_of
+      |FROM hashed a JOIN idx i ON i.afp = a.afp
+      |WHERE a.source = '$AudioIncrementalSource'
+      |ORDER BY new_doc_id""".stripMargin
 }

@@ -225,6 +225,11 @@ final class IncrementalPipeline(
           }
         }
       } finally latest.unpersist()
+      // crash point: the version is landed and `_current` repointed,
+      // but the schema_version marker, warehouse-SQL audit entry, and
+      // metrics have not run — the replayed batch must recompute,
+      // no-op on the existing version id, and finish the bookkeeping
+      Failpoints.hit("cdc.after-version-land")
       emitWarehouseSql(vId, curDef, defAt, reg, paths)
       target.writeMarker("schema_version", defAt.tableVersion.toString)
       metrics.set(metrics.Names.TableVersion, cfg.tableName, defAt.tableVersion)

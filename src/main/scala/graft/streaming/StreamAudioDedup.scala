@@ -38,10 +38,12 @@ object StreamAudioDedup {
     * per fingerprint — `mm_audio_dedup`'s grouping, kept at every
     * fingerprint (not just the already-duplicated ones) because the
     * probe must also catch the FIRST re-arrival of a unique payload.
-    * Persist with `.write.parquet`; corpus-fingerprint-count rows. */
+    * The SAME core the oracle-gated `mm_audio_dedup_incremental` probes
+    * ([[MediaQueries.audioFingerprintIndex]]), so the continuous face
+    * serves exactly the batch query's verdicts. Persist with
+    * `.write.parquet`; corpus-fingerprint-count rows. */
   def fingerprintIndex(corpus: DataFrame): DataFrame =
-    MediaQueries.audioFingerprints(corpus, Seq("doc_id"))
-      .groupBy(col("afp")).agg(min(col("doc_id")).as("dup_of"))
+    MediaQueries.audioFingerprintIndex(corpus)
 
   /** Matches of a streaming (or batch — shared for stream≡batch specs)
     * `(idCol, content)` frame against the index: one row

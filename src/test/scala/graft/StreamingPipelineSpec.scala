@@ -332,6 +332,73 @@ class StreamingPipelineSpec extends AnyFunSuite {
       s"missing DDL in audit trail: $sqls")
   }
 
+  test("crash after the version land, before the schema marker: restart replays the batch and converges (steady-state AND DDL)") {
+    import graft.streaming.Failpoints
+    // the flagship CDC path's own two-land gap: TargetTable has
+    // committed data_<vId> and repointed _current, but the
+    // schema_version marker / audit SQL / metrics never ran. The
+    // restarted stream redelivers the batch (offsets were never
+    // committed); the replay recomputes, no-ops on the existing
+    // version id (discarding whatever it recomputed — including the
+    // DDL branch's re-evolution of already-evolved data), and finishes
+    // the bookkeeping.
+    val root = Files.createTempDirectory("graft-crash").toString
+    writeFixtures(root)
+    Files.createDirectories(Paths.get(s"$root/snapshot"))
+    val cfg = PipelineConfig(
+      incrementRoot = s"$root/increment",
+      schemaName = "tpch", tableName = "orders",
+      targetRoot = s"$root/target",
+      checkpointDir = s"$root/ckpt",
+      seed = defV100.copy(tableVersion = 0L),
+      startTso = 10L)
+
+    // stage 1: crash mid-first-increment (steady-state merge path)
+    Failpoints.arm("cdc.after-version-land")
+    val q = ReplicationJob.replicateTable(spark, snapshotDf, s"$root/snapshot", cfg).get
+    val e = intercept[Throwable] { q.processAllAvailable() }
+    q.stop()
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(e).isInstanceOf[Failpoints.InjectedCrash],
+      s"expected the injected crash, got: ${rootCause(e)}")
+    val target = new TargetTable(spark, cfg.targetRoot)
+    assert(target.readMarker("schema_version").isEmpty,
+      "fixture: the crash must land BEFORE the schema marker")
+
+    val q2 = new IncrementalPipeline(spark, cfg).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(target.read().as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "F", 11.0), (3L, "F", 31.0), (4L, "O", 40.5)),
+      "replayed steady-state batch did not converge to the no-crash answer")
+    assert(target.readMarker("schema_version").contains("100"),
+      "the replay must finish the crashed batch's bookkeeping")
+
+    // stage 2: crash mid-DDL-batch — the replay's re-evolution of
+    // already-evolved data is computed and DISCARDED by the version
+    // no-op; the committed image stands
+    writeDdlFixtures(root)
+    Failpoints.arm("cdc.after-version-land")
+    val q3 = new IncrementalPipeline(spark, cfg).start()
+    val e2 = intercept[Throwable] { q3.processAllAvailable() }
+    q3.stop()
+    assert(rootCause(e2).isInstanceOf[Failpoints.InjectedCrash])
+    assert(target.readMarker("schema_version").contains("100"),
+      "marker must still read the pre-DDL version after the crash")
+
+    val q4 = new IncrementalPipeline(spark, cfg).start()
+    q4.processAllAvailable()
+    q4.stop()
+    assert(target.read()
+      .select("o_orderkey", "o_status", "o_price", "o_note")
+      .as[(Long, String, Double, Option[String])].collect().toSet ==
+      Set((1L, "F", 11.5, Some("note1")), (3L, "F", 31.0, None),
+        (4L, "O", 40.5, None), (5L, "O", 40.0, Some("hello"))),
+      "replayed DDL batch did not converge to the no-crash answer")
+    assert(target.readMarker("schema_version").contains("200"))
+  }
+
   test("M5/O1: one micro-batch spanning two schema versions applies in version order") {
     val root = Files.createTempDirectory("graft-multiver").toString
     writeFixtures(root)
