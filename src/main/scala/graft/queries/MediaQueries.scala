@@ -456,8 +456,13 @@ object MediaQueries {
       .filter(col("vec_id") % VectorQueries.CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
     val docs = Tables.load(spark, sfDir, "documents")
+    // eager checkpoint: probeListsFrom reads the probe frame twice
+    // (centroid routing + candidate scoring) — one strided scan and
+    // one text-tower projection instead of two, and the served plan's
+    // ONLY raw-table read
     val probes = docs.filter(col("doc_id") % EmbedProbeStride === 0)
       .select(col("doc_id").as("probe_id"), textEmbedExpr(col("text")).as("pemb"))
+      .localCheckpoint(true)
     VectorQueries.probeListsFrom(probes, cents, assigned, EmbedTopK)
   }
 

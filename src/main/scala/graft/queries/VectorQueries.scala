@@ -402,11 +402,16 @@ object VectorQueries {
         col("pc.id").as("cent_id"))
       .join(probes, Seq("probe_id"))
     // score each probed candidate ONCE, tagged with its list's rank;
-    // a candidate in list rank r belongs to every setting n >= r
+    // a candidate in list rank r belongs to every setting n >= r.
+    // Eager checkpoint: the scoring pass (probed-list-sized) feeds the
+    // per-setting agg twice downstream (answers + costs) — without it
+    // every consumer replans the whole scan→assign→score subtree and
+    // the "one pipeline" claim silently becomes N pipelines
     val scored = probeCents.join(assigned, Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("cent_rank"), col("vec_id").as("id"),
         cosine(col("pemb"), col("embedding")).as("sim"))
+      .localCheckpoint(true)
     val settings = spark.range(1, SweepMaxNProbe + 1)
       .select(col("id").cast("int").as("nprobe"))
     val topk = udaf(new TopKAgg(TopK))
@@ -415,10 +420,14 @@ object VectorQueries {
       .join(broadcast(settings), col("nprobe") >= col("cent_rank"))
       .groupBy(col("nprobe"), col("probe_id"))
       .agg(topk(col("sim"), col("id")).as("nn"), count(lit(1)).as("probed"))
+      .localCheckpoint(true) // settings × probes rows, read twice
     val approxIds = perProbe
       .select(col("nprobe"), col("probe_id"), explode(col("nn")).as("n"))
       .select(col("nprobe"), col("probe_id"), col("n.id").as("neighbor_id"))
+    // the truth frame (probes × k rows) joins hits AND counts the
+    // denominator — one brute pass, not two
     val brute = vecTopk(spark, sfDir).select(col("probe_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     val hits = approxIds.join(brute, Seq("probe_id", "neighbor_id"))
       .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
     val kTotal = brute.agg(count(lit(1)).as("k_total"))

@@ -42,6 +42,46 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_ivf_nprobe_sweep costs one pipeline, not eight: scans don't multiply with the settings") {
+    // the sweep's whole point: every NProbe setting 1..8 is graded from
+    // ONE candidate scoring pass (settings expand via an 8-row literal
+    // join) — a regression to per-setting pipelines multiplies the
+    // corpus scans by the sweep width
+    val df = SparkEntry.queries("vec_ivf_nprobe_sweep")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), s"sweep plans a Window:\n${plan.take(2000)}")
+    // the scoring pass, per-setting agg, and truth frame are eagerly
+    // checkpointed (probe-sized frames), so the SERVED plan reads
+    // those RDDs — corpus scans must stay far below the sweep width
+    // however many settings are graded (14 scans before the
+    // checkpoints; a per-setting regression reads 8× that)
+    val scans = plan.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("embeddings"))
+    assert(scans <= 8,
+      s"sweep scans the embeddings table $scans times — per-setting pipelines?\n${plan.take(2000)}")
+  }
+
+  test("mm_crossmodal_ivf_topk_cached never re-embeds the media corpus at query time") {
+    // the build/query split's contract: the cached query touches the
+    // raw documents table ONLY for its text-tower probes (one scan);
+    // the media tower comes from the persisted inverted-list parquet.
+    // The inline form, by contrast, embeds the corpus in-plan (two
+    // documents scans: media tower + probes).
+    queries.MediaQueries.prepareCrossmodalIvfIndex(spark, sf)
+    def docScans(name: String): Int =
+      physical(SparkEntry.queries(name)(spark, sf)).linesIterator
+        .count(l => l.contains("FileScan") && l.contains("documents"))
+    val cachedScans = docScans("mm_crossmodal_ivf_topk_cached")
+    val inlineScans = docScans("mm_crossmodal_ivf_topk")
+    // ≤ 1: the probe tower is eagerly checkpointed at construction, so
+    // the SERVED plan reads zero or one documents scans — any more
+    // means the media tower crept back into the query path
+    assert(cachedScans <= 1,
+      s"cached crossmodal IVF reads documents $cachedScans times — re-embedding the corpus?")
+    assert(inlineScans > cachedScans,
+      s"fixture: the inline form should scan documents more ($inlineScans vs $cachedScans)")
+  }
+
   test("corpus_canonical_cached reads labels, never recomputes the dedup pipeline") {
     // the cached variant's whole point: one corpus scan + one anti-join
     // against persisted labels — no shingle explode (Generate), no

@@ -57,7 +57,14 @@ class ScaleAuditSpec extends AnyFunSuite {
     // must stay two probe-sized legs + one keyed join
     ("mm_frame_neardup", 0.5, 0.5),
     ("vec_graph_recall", 1.0, 0.8),
-    ("vec_ivfpq_recall", 1.5, 0.8))
+    ("vec_ivfpq_recall", 1.5, 0.8),
+    // round-8 shapes (measured sw 0.2 / 0.0 / 0.0 MB): the NProbe sweep
+    // must grade all 8 settings from ONE scoring pass, the cached
+    // crossmodal probe and the incremental audio probe must stay
+    // probe-projection + keyed-join sized
+    ("vec_ivf_nprobe_sweep", 1.0, 0.8),
+    ("mm_crossmodal_ivf_topk_cached", 0.5, 0.5),
+    ("mm_audio_dedup_incremental", 0.5, 0.5))
 
   test("top bench queries stay under their pinned shuffle ceilings at sf0.01") {
     // memoized one-time builds bill to their first trigger — run them
@@ -65,6 +72,8 @@ class ScaleAuditSpec extends AnyFunSuite {
     try queries.CurationQueries.prepareCanonicalLabels(spark, sfDir)
     catch { case _: Throwable => () }
     try queries.VectorQueries.prepareIvfIndex(spark, sfDir)
+    catch { case _: Throwable => () }
+    try queries.MediaQueries.prepareCrossmodalIvfIndex(spark, sfDir)
     catch { case _: Throwable => () }
     val failures = ceilings.flatMap { case (name, swCapMb, taskCapMb) =>
       val m = ScaleAudit.measure(spark) {
