@@ -174,6 +174,58 @@ class StreamScaleAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("per-key stateful faces hold exactly one state row per key: transitions, domain cap, sessionize") {
+    // the remaining flatMapGroupsWithState faces' "one tiny state row
+    // per key" contracts, counted: 400 events over 23 users leave 23
+    // rows (last event each), 300 docs over 11 domains leave 11 rows
+    // (admission counters), and open sessions hold one row per user —
+    // none of them scale with the EVENT count
+    implicit val sqlCtx = spark.sqlContext
+
+    locally {
+      val input = MemoryStream[StreamTransitions.Ev]
+      val q = StreamTransitions.transitions(input.toDS())
+        .writeStream.format("memory").queryName("audit_trans")
+        .outputMode("append").start()
+      input.addData((0L until 400L).map(i =>
+        StreamTransitions.Ev(i % 23, s"t${i % 3}", i * 1000L, i)): _*)
+      q.processAllAvailable()
+      val rows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      info(s"StreamTransitions state rows: $rows (users: 23, events: 400)")
+      assert(rows == 23L, s"transitions state must be one row per user, got $rows")
+    }
+
+    locally {
+      val input = MemoryStream[StreamDomainCap.Doc]
+      val q = StreamDomainCap.admit(input.toDS(), cap = 5L)
+        .writeStream.format("memory").queryName("audit_domcap")
+        .outputMode("append").start()
+      input.addData((0L until 300L).map(i =>
+        StreamDomainCap.Doc(i, s"d${i % 11}.example")): _*)
+      q.processAllAvailable()
+      val rows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      info(s"StreamDomainCap state rows: $rows (domains: 11, docs: 300)")
+      assert(rows == 11L, s"domain-cap state must be one counter per domain, got $rows")
+    }
+
+    locally {
+      val input = MemoryStream[StreamSessionize.Event]
+      val q = StreamSessionize.sessions(
+          input.toDS().withWatermark("ts", "0 seconds"), gapMs = 60000L)
+        .writeStream.format("memory").queryName("audit_sess")
+        .outputMode("append").start()
+      input.addData((0L until 200L).map(i =>
+        StreamSessionize.Event(i % 13, new Timestamp(1000L + i), 1.0)): _*)
+      q.processAllAvailable()
+      val rows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      info(s"StreamSessionize state rows: $rows (users: 13, events: 200)")
+      assert(rows == 13L, s"sessionize state must be one open session per user, got $rows")
+    }
+  }
+
   test("canary: an unwatermarked distinct's state grows with the stream — the meter sees it") {
     // the state gate is only as good as its meter: a face that keys
     // state on an unbounded set must show MONOTONE GROWTH in
