@@ -577,17 +577,25 @@ object RetrievalQueries {
     * lists rather than serve NULL margins). Divergence pinned in
     * `StreamBitextIndexSpec`. */
   private[graft] def mineCore(en: DataFrame, de: DataFrame, probes: DataFrame): DataFrame = {
+    val fwdPairs = forwardPairs(probes, de)
+    marginFrame(fwdPairs, backwardAvg(en, de, fwdPairs))
+  }
+
+  /** Backward averages for the candidate de docs a forward pass
+    * surfaced: ≤ probes × k candidates broadcast into ONE en scan —
+    * shared by the exact and IVF mining faces (the backward leg is
+    * already candidate-bounded, so it never needs an index). */
+  private[graft] def backwardAvg(en: DataFrame, de: DataFrame,
+      fwdPairs: DataFrame): DataFrame = {
     import graft.functions.TopKAgg
     val topk = udaf(new TopKAgg(MineK))
-    val fwdPairs = forwardPairs(probes, de)
     val ys = fwdPairs.select(col("b_id")).distinct()
-    val bwd = en.join(broadcast(de.join(broadcast(ys), Seq("b_id"))))
+    en.join(broadcast(de.join(broadcast(ys), Seq("b_id"))))
       .select(col("b_id"),
         call_function("cosine_sim", col("eb"), col("ea")).as("sim"),
         col("a_id").as("id"))
       .groupBy(col("b_id")).agg(topk(col("sim"), col("id")).as("nn"))
       .select(col("b_id"), topkAvg(col("nn")).as("avg_b"))
-    marginFrame(fwdPairs, bwd)
   }
 
   def retrievalBitextMine(spark: SparkSession, sfDir: String): DataFrame = {
@@ -626,6 +634,120 @@ object RetrievalQueries {
       |    FROM probes p CROSS JOIN b)
       |  WHERE rn <= $MineK),
       |avga AS (SELECT a_id, $avgSql AS avg_a FROM fwd GROUP BY 1),
+      |bwd AS (
+      |  SELECT b_id, sim, rn FROM (
+      |    SELECT yb.b_id, aa.a_id,
+      |      list_cosine_similarity(CAST(yb.eb AS DOUBLE[]), CAST(aa.ea AS DOUBLE[])) AS sim,
+      |      row_number() OVER (PARTITION BY yb.b_id
+      |        ORDER BY list_cosine_similarity(CAST(yb.eb AS DOUBLE[]), CAST(aa.ea AS DOUBLE[])) DESC, aa.a_id) AS rn
+      |    FROM (SELECT DISTINCT f.b_id, bb.eb FROM fwd f JOIN b bb USING (b_id)) yb
+      |    CROSS JOIN a aa)
+      |  WHERE rn <= $MineK),
+      |avgb AS (SELECT b_id, $avgSql AS avg_b FROM bwd GROUP BY 1)
+      |SELECT f.a_id, f.b_id, CAST(f.rn AS INT) AS rank,
+      |  round(f.sim / ((avga.avg_a + avgb.avg_b) / 2.0), 6) AS margin,
+      |  CAST(CASE WHEN f.sim / ((avga.avg_a + avgb.avg_b) / 2.0) >= $MineMargin
+      |    THEN 1 ELSE 0 END AS INT) AS accept
+      |FROM fwd f JOIN avga USING (a_id) JOIN avgb USING (b_id)
+      |ORDER BY a_id, rank""".stripMargin
+  }
+
+  // --- bitext mining, IVF forward leg -------------------------------------
+  // The 100 TB form of the forward pass, previously only narrated: the
+  // GROWING language side is IVF-partitioned once (the vec_ivf_topk
+  // recipe — sampled coarse centroids + one assignment scan), and each
+  // en probe scores only its NProbe inverted lists instead of the whole
+  // de corpus. The backward leg stays EXACT ([[backwardAvg]]) — it is
+  // already bounded by the ≤ probes × k candidates the forward pass
+  // surfaced, so it never needs an index. Margin math, tie-breaks, and
+  // the fixed-operand-order top-k mean are all shared with the exact
+  // face; probes whose probed lists can't fill a MineK top-k are
+  // DROPPED (the StreamBitextIndex.serve bootstrap rule: no NULL
+  // margins served), and the oracle mirrors the drop via HAVING.
+  /** Forward pass over probed inverted lists: (a_id, avg_a, rank, b_id,
+    * sim) for every probe whose lists fill a MineK top-k. */
+  private[graft] def forwardPairsIvf(probes: DataFrame, cents: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    import graft.functions.TopKAgg
+    val topNProbe = udaf(new TopKAgg(VectorQueries.NProbe))
+    val topk = udaf(new TopKAgg(MineK))
+    val probeCents = probes.join(broadcast(cents))
+      .select(col("a_id"),
+        call_function("cosine_sim", col("ea"), col("cemb")).as("csim"),
+        col("cent_id"))
+      .groupBy(col("a_id")).agg(topNProbe(col("csim"), col("cent_id")).as("pc"))
+      .select(col("a_id"), explode(col("pc")).as("pc"))
+      .select(col("a_id"), col("pc.id").as("cent_id"))
+      .join(probes, Seq("a_id"))
+    probeCents.join(assigned, Seq("cent_id"))
+      .select(col("a_id"),
+        call_function("cosine_sim", col("ea"), col("embedding")).as("sim"),
+        col("vec_id").as("id"))
+      .groupBy(col("a_id")).agg(topk(col("sim"), col("id")).as("nn"))
+      .filter(size(col("nn")) >= MineK)
+      .select(col("a_id"), topkAvg(col("nn")).as("avg_a"),
+        posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("a_id"), col("avg_a"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("b_id"), col("n.sim").as("sim"))
+  }
+
+  def retrievalBitextMineIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val en = docs.filter(col("lang") === "en")
+      .select(col("doc_id").as("a_id"), bitextEmb(col("text")).as("ea"))
+      .localCheckpoint(true)
+    val de = docs.filter(col("lang") === "de")
+      .select(col("doc_id").as("b_id"), bitextEmb(col("text")).as("eb"))
+      .localCheckpoint(true)
+    val probes = en.filter(col("a_id") % MineAStride === 0)
+    // the growing side's one-time index: sampled coarse quantizer +
+    // one assignment scan (persistable exactly like prepareIvfIndex)
+    val cents = de.filter(col("b_id") % VectorQueries.CentroidStride === 0)
+      .select(col("b_id").as("cent_id"), col("eb").as("cemb"))
+    val assigned = VectorQueries.assignNearest(
+      de.select(col("b_id").as("vec_id"), col("eb").as("embedding")), cents)
+    val fwdPairs = forwardPairsIvf(probes, cents, assigned)
+      .localCheckpoint(true) // read by the margin join AND the backward candidates
+    marginFrame(fwdPairs, backwardAvg(en, de, fwdPairs))
+  }
+
+  val retrievalBitextMineIvfSql: String = {
+    val avgSql: String =
+      (1 to MineK).map(i => s"max(CASE WHEN rn = $i THEN sim END)").mkString("(", " + ", s") / $MineK.0")
+    s"""WITH embs AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    CAST([CAST(CAST(('0x' || substr(md5(text || ':b:' || j), 1, 4)) AS BIGINT) AS DOUBLE)
+      |            / 65535.0 for j in range(0, 16)] AS REAL[]) AS e
+      |  FROM documents WHERE lang IN ('en', 'de')),
+      |a AS (SELECT doc_id AS a_id, e AS ea FROM embs WHERE lang = 'en'),
+      |b AS (SELECT doc_id AS b_id, e AS eb FROM embs WHERE lang = 'de'),
+      |mprobes AS (SELECT * FROM a WHERE a_id % $MineAStride = 0),
+      |mcents AS (SELECT b_id AS cent_id, eb AS cemb FROM b
+      |  WHERE b_id % ${VectorQueries.CentroidStride} = 0),
+      |massigned AS MATERIALIZED (
+      |  SELECT b_id, eb, cent_id FROM (
+      |    SELECT bb.b_id, bb.eb, c.cent_id,
+      |      row_number() OVER (PARTITION BY bb.b_id
+      |        ORDER BY list_cosine_similarity(CAST(bb.eb AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM b bb CROSS JOIN mcents c)
+      |  WHERE rn = 1),
+      |mprobe_cents AS (
+      |  SELECT a_id, ea, cent_id FROM (
+      |    SELECT p.a_id, p.ea, c.cent_id,
+      |      row_number() OVER (PARTITION BY p.a_id
+      |        ORDER BY list_cosine_similarity(CAST(p.ea AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cent_id) AS rn
+      |    FROM mprobes p CROSS JOIN mcents c)
+      |  WHERE rn <= ${VectorQueries.NProbe}),
+      |fwd AS MATERIALIZED (
+      |  SELECT a_id, b_id, sim, rn FROM (
+      |    SELECT pc.a_id, s.b_id,
+      |      list_cosine_similarity(CAST(pc.ea AS DOUBLE[]), CAST(s.eb AS DOUBLE[])) AS sim,
+      |      row_number() OVER (PARTITION BY pc.a_id
+      |        ORDER BY list_cosine_similarity(CAST(pc.ea AS DOUBLE[]), CAST(s.eb AS DOUBLE[])) DESC, s.b_id) AS rn
+      |    FROM mprobe_cents pc JOIN massigned s ON s.cent_id = pc.cent_id)
+      |  WHERE rn <= $MineK),
+      |avga AS (SELECT a_id, $avgSql AS avg_a FROM fwd GROUP BY 1 HAVING count(*) >= $MineK),
       |bwd AS (
       |  SELECT b_id, sim, rn FROM (
       |    SELECT yb.b_id, aa.a_id,

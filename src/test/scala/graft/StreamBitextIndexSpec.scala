@@ -68,6 +68,46 @@ class StreamBitextIndexSpec extends AnyFunSuite {
     assert(margins.min < margins.max, "fixture degenerate: all margins identical")
   }
 
+  test("IVF forward leg: margins agree exactly where the probed top-k equals the exact top-k; pruning is structural") {
+    // the 100 TB mining face vs the exact face on the real corpus: the
+    // IVF leg may miss candidates (that's the recall price), but for
+    // every probe whose probed lists surfaced the SAME top-k, the
+    // margin math must be bit-identical — shared topkAvg chain, shared
+    // backward leg, shared marginFrame
+    val sf = "/root/testdata/sf0.001"
+    def byProbe(rows: Array[(Long, Long, Int, Double, Int)]) =
+      rows.groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    val exact = byProbe(SparkEntry.queries("retrieval_bitext_mine")(spark, sf)
+      .as[(Long, Long, Int, Double, Int)].collect())
+    val ivf = byProbe(SparkEntry.queries("retrieval_bitext_mine_ivf")(spark, sf)
+      .as[(Long, Long, Int, Double, Int)].collect())
+    assert(ivf.nonEmpty, "IVF mining returned nothing")
+
+    val agreeing = ivf.keys.filter { a =>
+      exact.get(a).exists(_.map(_._2).toSeq == ivf(a).map(_._2).toSeq)
+    }
+    assert(agreeing.nonEmpty,
+      "no probe's probed lists surfaced the exact top-k — fixture degenerate for the agreement check")
+    agreeing.foreach { a =>
+      assert(ivf(a).toSeq == exact(a).toSeq,
+        s"probe $a: same top-k but different margins — the margin math diverged between faces")
+    }
+    // accepted-pair recall vs the exact face (the price of pruning),
+    // and the pruning must be real: more cells than NProbe, so every
+    // probe structurally skips at least one inverted list
+    val exactAcc = exact.values.flatten.filter(_._5 == 1).map(r => (r._1, r._2)).toSet
+    val ivfAcc = ivf.values.flatten.filter(_._5 == 1).map(r => (r._1, r._2)).toSet
+    info(s"accepted-pair recall: ${(ivfAcc intersect exactAcc).size}/${exactAcc.size} " +
+      s"(ivf accepted ${ivfAcc.size})")
+    if (exactAcc.nonEmpty)
+      assert((ivfAcc intersect exactAcc).nonEmpty, "IVF face recovered zero accepted pairs")
+    val docs = Tables.load(spark, sf, "documents")
+    val deCells = docs.filter(col("lang") === "de")
+      .filter(col("doc_id") % graft.queries.VectorQueries.CentroidStride === 0).count()
+    assert(deCells > graft.queries.VectorQueries.NProbe,
+      s"only $deCells de cells — NProbe covers everything, nothing is pruned")
+  }
+
   test("crash between the de-side land and the en-side marker: serving stays consistent, replay converges to batch") {
     import graft.streaming.Failpoints
     val en = enFrame.localCheckpoint(true)
