@@ -542,18 +542,20 @@ class PlanGuaranteesSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD"), s"expected checkpointed frame index:\n${plan.take(2000)}")
   }
 
-  test("retrieval_bitext_mine: checkpointed language frames, TopKAgg ranking, no window") {
-    val df = SparkEntry.queries("retrieval_bitext_mine")(spark, sf)
-    val plan = physical(df)
-    assert(!plan.contains("Window"), s"bitext mining plans a Window:\n${plan.take(2000)}")
-    assert(!plan.contains("CartesianProduct"),
-      s"bitext mining plans a cartesian:\n${plan.take(2000)}")
-    assert(plan.contains("ObjectHashAggregate"),
-      s"TopKAgg lost from the margin rankings:\n${plan.take(2000)}")
-    // both passes must read the checkpointed embedding frames, never
-    // re-derive them from the corpus
-    val scans = "Scan parquet".r.findAllIn(plan).size
-    assert(scans == 0, s"bitext mining re-scans the corpus $scans times past the checkpoints")
+  test("retrieval_bitext_mine (exact AND ivf): checkpointed language frames, TopKAgg ranking, no window") {
+    Seq("retrieval_bitext_mine", "retrieval_bitext_mine_ivf").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = physical(df)
+      assert(!plan.contains("Window"), s"$name plans a Window:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian:\n${plan.take(2000)}")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name lost TopKAgg from the margin rankings:\n${plan.take(2000)}")
+      // both passes must read the checkpointed embedding frames, never
+      // re-derive them from the corpus
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans == 0, s"$name re-scans the corpus $scans times past the checkpoints")
+    }
   }
 
   test("corpus_pack_atomic: secondary-sort shape — no window, one corpus scan") {

@@ -64,7 +64,10 @@ class ScaleAuditSpec extends AnyFunSuite {
     // probe-projection + keyed-join sized
     ("vec_ivf_nprobe_sweep", 1.0, 0.8),
     ("mm_crossmodal_ivf_topk_cached", 0.5, 0.5),
-    ("mm_audio_dedup_incremental", 0.5, 0.5))
+    ("mm_audio_dedup_incremental", 0.5, 0.5),
+    // IVF mining leg (measured sw 0.0 MB): probed lists only, exact
+    // backward leg stays candidate-bounded
+    ("retrieval_bitext_mine_ivf", 0.5, 0.5))
 
   test("top bench queries stay under their pinned shuffle ceilings at sf0.01") {
     // memoized one-time builds bill to their first trigger — run them
