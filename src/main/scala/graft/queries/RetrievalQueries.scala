@@ -765,4 +765,40 @@ object RetrievalQueries {
       |FROM fwd f JOIN avga USING (a_id) JOIN avgb USING (b_id)
       |ORDER BY a_id, rank""".stripMargin
   }
+
+  // Accepted-pair recall of the IVF leg vs the exact face, as ONE
+  // oracle row — the price of pruning, measured by the engine that
+  // serves (the vec_*_recall discipline applied to mining): both faces
+  // run, accepted (a,b) pairs intersect through one keyed join, and
+  // the single integer row is hash-gated cross-engine every round.
+  def retrievalBitextIvfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = retrievalBitextMine(spark, sfDir)
+      .filter(col("accept") === 1).select(col("a_id"), col("b_id"))
+      .localCheckpoint(true) // read by the intersect and its own count
+    val ivf = retrievalBitextMineIvf(spark, sfDir)
+      .filter(col("accept") === 1).select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
+    val common = exact.join(ivf, Seq("a_id", "b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(ivf.agg(count(lit(1)).as("n_ivf"))))
+      .crossJoin(broadcast(common))
+      .select(col("n_exact"), col("n_ivf"), col("n_common"),
+        expr("CASE WHEN n_exact = 0 THEN 0 ELSE n_common * 1000000 div n_exact END")
+          .as("recall_e6"))
+  }
+
+  val retrievalBitextIvfRecallSql: String =
+    s"""WITH ex AS MATERIALIZED (
+      |  SELECT a_id, b_id FROM ($retrievalBitextMineSql) WHERE accept = 1),
+      |iv AS MATERIALIZED (
+      |  SELECT a_id, b_id FROM ($retrievalBitextMineIvfSql) WHERE accept = 1),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+      |  FROM ex JOIN iv USING (a_id, b_id)),
+      |e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+      |i AS (SELECT CAST(count(*) AS BIGINT) AS n_ivf FROM iv)
+      |SELECT e.n_exact, i.n_ivf, c.n_common,
+      |  CAST(CASE WHEN e.n_exact = 0 THEN 0
+      |    ELSE c.n_common * 1000000 // e.n_exact END AS BIGINT) AS recall_e6
+      |FROM e CROSS JOIN i CROSS JOIN c""".stripMargin
 }
