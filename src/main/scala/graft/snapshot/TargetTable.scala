@@ -122,6 +122,10 @@ final class TargetTable(
       if (bucketed) df.withColumn(BucketCol, bucketExpr).write.partitionBy(BucketCol)
       else df.write
     writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // crash point: version fully written under .tmp_, nothing
+    // published — readers must keep serving the current version and a
+    // retry must land cleanly over the orphan (Overwrite on the tmp)
+    graft.streaming.Failpoints.hit("target.before-move")
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     repoint(s"data_$v")
     true
@@ -154,6 +158,9 @@ final class TargetTable(
           linkOrCopy(f, destBucket.resolve(f.getFileName.toString))
         }
       }
+    // crash point: merged buckets written + carryover links laid, not
+    // yet swapped — the same invariant as writeVersion's gap
+    graft.streaming.Failpoints.hit("target.before-move")
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     repoint(s"data_$v")
     true

@@ -469,6 +469,47 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(Files.exists(v1.resolve(s"_bucket=${touched.head}")))
   }
 
+  test("crash before the version swap: readers keep the current version, the retry lands over the orphan tmp") {
+    import graft.cdc.Envelope
+    import graft.merge.ChangeApply
+    import graft.streaming.Failpoints
+    val root = Files.createTempDirectory("graft-tmpcrash").toString
+    val t = new TargetTable(spark, root, Seq("k"), 4)
+    t.writeVersion(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "v0")
+
+    // writeVersion gap: full image written under .tmp_, no swap
+    Failpoints.arm("target.before-move")
+    intercept[Failpoints.InjectedCrash] {
+      t.writeVersion(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), "v1")
+    }
+    assert(Files.exists(Paths.get(root, ".tmp_v1")),
+      "fixture: the crash must land after the tmp write")
+    assert(!t.hasVersion("v1"), "an unswapped tmp must not read as a version")
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "readers must keep serving the current version past the orphan")
+    assert(t.writeVersion(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), "v1"),
+      "the retry must land over the orphan tmp")
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // mergeVersion gap: merged buckets + carryover links laid, no swap
+    val latest = Seq((2L, "U", 10L, "b2"))
+      .toDF("k", Envelope.FlagCol, Envelope.CommitTsCol, "v")
+    val touched = t.touchedBuckets(latest.select("k"))
+    val merged = ChangeApply.applyLatest(t.readBuckets(touched), latest, Seq("k"))
+      .localCheckpoint() // pin the pre-merge read before any swap happens
+    Failpoints.arm("target.before-move")
+    intercept[Failpoints.InjectedCrash] { t.mergeVersion(merged, touched, "v2") }
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      "a crashed merge must not tear the readable image")
+    assert(t.mergeVersion(merged, touched, "v2"), "the merge retry must land")
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+  }
+
   test("high bucket count: a 1-key batch rewrites exactly 1 of 256 buckets") {
     import graft.cdc.Envelope
     import graft.merge.ChangeApply
