@@ -38,9 +38,15 @@ class ScalingCurveSpec extends AnyFunSuite {
   }
 
   test("committed sweeps: every red-listed query carries a plan-level justification") {
+    // HARD assert, not assume: the three per-SF maps are committed
+    // repo artifacts (bench/timings_sf*.json), so a missing one means
+    // the scaling evidence was deleted or the Bench per-SF write
+    // regressed — silently skipping would disable the gate (the same
+    // reasoning as gate.sh failing on a reworded SURVEY count)
     val maps = ScalingCurve.Sfs.map(ScalingCurve.loadMap)
-    assume(maps.forall(_.isDefined),
-      s"per-SF sweep artifacts missing (${ScalingCurve.Sfs.mkString(", ")}) — run graft.Bench at each SF")
+    assert(maps.forall(_.isDefined),
+      s"per-SF sweep artifacts missing or sf-mismatched (${ScalingCurve.Sfs.mkString(", ")}) — " +
+        "re-run graft.Bench at each SF and commit bench/timings_sf*.json")
     val rows = ScalingCurve.buildRows(maps.map(_.get))
     val eligible = rows.filter(_.t.last.exists(_ >= ScalingCurve.GateFloorSec))
     assert(eligible.nonEmpty, "no gate-eligible queries — sweep artifacts look empty")
