@@ -14,6 +14,11 @@ class BenchNormSpec extends AnyFunSuite {
     // median picks the middle, robust to one outlier control
     assert(Bench.boxFactor(Seq(1.4, 1.5, 9.0)) == 1.5)
     assert(Bench.boxFactor(Seq(9.0, 1.4, 1.5)) == 1.5)
+    // even-sized lists average the middle pair — with one control under
+    // dispute only two ratios remain, and taking the upper-middle would
+    // hand the calibration to whichever control ran slower
+    assert(Bench.boxFactor(Seq(1.0, 2.0)) == 1.5)
+    assert(Bench.boxFactor(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
   }
 
   test("parseTimings round-trips the artifact format Bench writes") {
