@@ -242,7 +242,16 @@ object Bench {
     soloReport.foreach { r => println(s"""{"metric":"solo_normalized",$r}""") }
     val top = timings.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val artifact = if (only.isDefined) "bench/solo_timings.json" else "bench/latest_timings.json"
+    // the pointer must name the file THIS run actually wrote: a full
+    // sweep at a non-record SF lands only in its per-SF map, and a
+    // stale latest_timings.json pointer would hand the tail-recovery
+    // workflow another SF's numbers
+    val benchBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val artifact =
+      if (only.isDefined) "bench/solo_timings.json"
+      else if (benchBase.matches("sf[0-9.]+") && benchBase != "sf0.1")
+        s"bench/timings_$benchBase.json"
+      else "bench/latest_timings.json"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"errors":$errs,"failed":${errors.size},"count":${timings.size},"sf":"$sfDir","full_timings":"$artifact"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -669,16 +669,11 @@ object RetrievalQueries {
   private[graft] def forwardPairsIvf(probes: DataFrame, cents: DataFrame,
       assigned: DataFrame): DataFrame = {
     import graft.functions.TopKAgg
-    val topNProbe = udaf(new TopKAgg(VectorQueries.NProbe))
     val topk = udaf(new TopKAgg(MineK))
-    val probeCents = probes.join(broadcast(cents))
-      .select(col("a_id"),
-        call_function("cosine_sim", col("ea"), col("cemb")).as("csim"),
-        col("cent_id"))
-      .groupBy(col("a_id")).agg(topNProbe(col("csim"), col("cent_id")).as("pc"))
-      .select(col("a_id"), explode(col("pc")).as("pc"))
-      .select(col("a_id"), col("pc.id").as("cent_id"))
-      .join(probes, Seq("a_id"))
+    // the vec family's shared routing block, on the cross-language tower
+    val probeCents = VectorQueries
+      .routeProbes(probes, cents, "a_id", "ea", VectorQueries.NProbe)
+      .drop("cent_rank")
     probeCents.join(assigned, Seq("cent_id"))
       .select(col("a_id"),
         call_function("cosine_sim", col("ea"), col("embedding")).as("sim"),
@@ -747,14 +742,15 @@ object RetrievalQueries {
       |        ORDER BY list_cosine_similarity(CAST(pc.ea AS DOUBLE[]), CAST(s.eb AS DOUBLE[])) DESC, s.b_id) AS rn
       |    FROM mprobe_cents pc JOIN massigned s ON s.cent_id = pc.cent_id)
       |  WHERE rn <= $MineK),
-      |avga AS (SELECT a_id, $avgSql AS avg_a FROM fwd GROUP BY 1 HAVING count(*) >= $MineK),
+      |avga AS MATERIALIZED (SELECT a_id, $avgSql AS avg_a FROM fwd GROUP BY 1 HAVING count(*) >= $MineK),
       |bwd AS (
       |  SELECT b_id, sim, rn FROM (
       |    SELECT yb.b_id, aa.a_id,
       |      list_cosine_similarity(CAST(yb.eb AS DOUBLE[]), CAST(aa.ea AS DOUBLE[])) AS sim,
       |      row_number() OVER (PARTITION BY yb.b_id
       |        ORDER BY list_cosine_similarity(CAST(yb.eb AS DOUBLE[]), CAST(aa.ea AS DOUBLE[])) DESC, aa.a_id) AS rn
-      |    FROM (SELECT DISTINCT f.b_id, bb.eb FROM fwd f JOIN b bb USING (b_id)) yb
+      |    FROM (SELECT DISTINCT f.b_id, bb.eb FROM fwd f
+      |          JOIN avga USING (a_id) JOIN b bb USING (b_id)) yb
       |    CROSS JOIN a aa)
       |  WHERE rn <= $MineK),
       |avgb AS (SELECT b_id, $avgSql AS avg_b FROM bwd GROUP BY 1)

@@ -214,20 +214,33 @@ object VectorQueries {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pemb")),
       cents, assigned, TopK)
 
+  /** Probe→centroid routing — the ONE block every IVF face shares
+    * (vec/crossmodal probeListsFrom, the NProbe sweep, the bitext
+    * forward leg): rank the bounded broadcast centroid frame per probe
+    * through TopKAgg(`width`) and emit the probe frame rejoined with
+    * (cent_rank, cent_id). A tie-break or routing-policy change edits
+    * exactly here, never per face. */
+  private[graft] def routeProbes(probes: DataFrame, cents: DataFrame,
+      idCol: String, embCol: String, width: Int): DataFrame = {
+    val topW = udaf(new TopKAgg(width))
+    probes.join(broadcast(cents))
+      .select(col(idCol), cosine(col(embCol), col("cemb")).as("csim"), col("cent_id"))
+      .groupBy(col(idCol))
+      .agg(topW(col("csim"), col("cent_id")).as("pc"))
+      .select(col(idCol), posexplode(col("pc")).as(Seq("pos", "pc")))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("cent_rank"),
+        col("pc.id").as("cent_id"))
+      .join(probes, Seq(idCol))
+  }
+
   /** The IVF query core over an EXPLICIT probe frame (`probe_id`,
     * `pemb`) — lets the probes live in a different embedding space than
     * the corpus (the cross-modal text-tower case) while sharing the
     * exact probed-list + TopKAgg machinery. */
   private[graft] def probeListsFrom(probes: DataFrame, cents: DataFrame,
       assigned: DataFrame, k: Int): DataFrame = {
-    val topNProbe = udaf(new TopKAgg(NProbe))
-    val probeCents = probes.join(broadcast(cents))
-      .select(col("probe_id"), cosine(col("pemb"), col("cemb")).as("csim"), col("cent_id"))
-      .groupBy(col("probe_id"))
-      .agg(topNProbe(col("csim"), col("cent_id")).as("pc"))
-      .select(col("probe_id"), explode(col("pc")).as("pc"))
-      .select(col("probe_id"), col("pc.id").as("cent_id"))
-      .join(probes, Seq("probe_id"))
+    val probeCents = routeProbes(probes, cents, "probe_id", "pemb", NProbe)
+      .drop("cent_rank")
     val scored = probeCents.join(assigned, Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("id"),
@@ -391,16 +404,9 @@ object VectorQueries {
     val assigned = assignNearest(vecs, cents)
     val probes = vecs.filter(col("vec_id") % ProbeStride === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
-    // rank the sweep's full centroid budget once per probe
-    val topMax = udaf(new TopKAgg(SweepMaxNProbe))
-    val probeCents = probes.join(broadcast(cents))
-      .select(col("probe_id"), cosine(col("pemb"), col("cemb")).as("csim"), col("cent_id"))
-      .groupBy(col("probe_id"))
-      .agg(topMax(col("csim"), col("cent_id")).as("pc"))
-      .select(col("probe_id"), posexplode(col("pc")).as(Seq("pos", "pc")))
-      .select(col("probe_id"), (col("pos") + 1).cast("int").as("cent_rank"),
-        col("pc.id").as("cent_id"))
-      .join(probes, Seq("probe_id"))
+    // rank the sweep's full centroid budget once per probe — the same
+    // shared routing block every IVF face runs, just wider
+    val probeCents = routeProbes(probes, cents, "probe_id", "pemb", SweepMaxNProbe)
     // score each probed candidate ONCE, tagged with its list's rank;
     // a candidate in list rank r belongs to every setting n >= r.
     // Eager checkpoint: the scoring pass (probed-list-sized) feeds the

@@ -125,7 +125,7 @@ final class TargetTable(
     // crash point: version fully written under .tmp_, nothing
     // published — readers must keep serving the current version and a
     // retry must land cleanly over the orphan (Overwrite on the tmp)
-    graft.streaming.Failpoints.hit("target.before-move")
+    graft.tools.Failpoints.hit("target.before-move")
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     repoint(s"data_$v")
     true
@@ -160,7 +160,7 @@ final class TargetTable(
       }
     // crash point: merged buckets written + carryover links laid, not
     // yet swapped — the same invariant as writeVersion's gap
-    graft.streaming.Failpoints.hit("target.before-move")
+    graft.tools.Failpoints.hit("target.before-move")
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     repoint(s"data_$v")
     true

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.tools.Failpoints
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -156,34 +157,34 @@ final class IncrementalPipeline(
           if (clean.isEmpty) repaired else cleanLines.unionByName(repaired)
         }
       val rows = Envelope.project(raw, defAt.columns, cfg.binaryDialect)
-      val changes = Envelope
+      val rawChanges = Envelope
         .tableFilter(rows, cfg.schemaName, cfg.tableName)
         .filter(col(Envelope.CommitTsCol) > cfg.startTso)
+      // PK-less tables merge on the FULL ROW IMAGE (mergeKeys falls back
+      // to all columns), so an Update event cannot name the image it
+      // replaces — applying it would land a silent duplicate insert and
+      // strand the old image forever. Fail LOUDLY and BEFORE dedup: a
+      // later exact-same-image event in the same tick would mask the
+      // Update from the deduped frame and the corruption would land
+      // without an error. The PRE-dedup frame is cached first for
+      // PK-less tables, so the guard's action materializes the same
+      // cache the dedup then reads — exact detection, still one CSV
+      // parse per trigger (the caching rationale below).
+      val changes =
+        if (defAt.pkColumns.isEmpty) rawChanges.cache() else rawChanges
+      if (defAt.pkColumns.isEmpty &&
+          !changes.filter(col(Envelope.FlagCol) === Envelope.Update).isEmpty) {
+        changes.unpersist()
+        sys.error(s"PK-less table ${cfg.schemaName}.${cfg.tableName}: Update " +
+          "events are not replicable by full-row identity; configure the " +
+          "changefeed to emit delete+insert pairs")
+      }
       // `latest` is consumed up to three times per version (touched-bucket
       // key collect, then applyLatest's upsert rows + anti-join keys) —
       // cache it so the CSV parse + dedup hash-agg run once per trigger,
       // not once per consumer (`ChangeApply.applyChanges` caches for the
       // same reason). Unpersisted after the version commit.
       val latest = ChangeApply.dedupLatestPerKey(changes, defAt.mergeKeys).cache()
-      // PK-less tables merge on the FULL ROW IMAGE (mergeKeys falls back
-      // to all columns), so an Update event cannot name the image it
-      // replaces — applying it would land a silent duplicate insert and
-      // strand the old image forever. Fail LOUDLY: the changefeed must
-      // emit delete+insert pairs for tables without a replica identity.
-      // The guard probes the cached `latest`, not `changes`: this first
-      // action materializes the cache the version's consumers reuse, so
-      // the steady-state check costs no extra CSV scan per trigger. With
-      // full-row merge keys an Update's image IS its dedup key, so a
-      // misconfigured feed's Update survives dedup (only an exact-image
-      // later event in the same tick could mask one — and the feed
-      // errors on its next surviving Update anyway).
-      if (defAt.pkColumns.isEmpty &&
-          !latest.filter(col(Envelope.FlagCol) === Envelope.Update).isEmpty) {
-        latest.unpersist()
-        sys.error(s"PK-less table ${cfg.schemaName}.${cfg.tableName}: Update " +
-          "events are not replicable by full-row identity; configure the " +
-          "changefeed to emit delete+insert pairs")
-      }
       val vId = s"b${batchId}_v$version"
       try {
         if (defAt.tableVersion != curDef.tableVersion) {
@@ -224,7 +225,11 @@ final class IncrementalPipeline(
             viewNext.foreach(writeView)
           }
         }
-      } finally latest.unpersist()
+      } finally {
+        latest.unpersist()
+        if (defAt.pkColumns.isEmpty) changes.unpersist()
+        ()
+      }
       // crash point: the version is landed and `_current` repointed,
       // but the schema_version marker, warehouse-SQL audit entry, and
       // metrics have not run — the replayed batch must recompute,

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.tools.Failpoints
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery

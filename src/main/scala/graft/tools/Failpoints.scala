@@ -1,12 +1,11 @@
-package graft.streaming
+package graft.tools
 
 /** One-shot crash injection for the exactly-once land sequences — the
   * storage-engine failpoint pattern: specs arm a named point, the next
   * pass through it throws (and disarms, so the REPLAY runs through),
   * and the test proves recovery converges to the batch answer. The
-  * two-land epoch protocols (de-side-before-marker in
-  * [[StreamBitextIndex]], membership-before-adjacency in
-  * [[StreamGraphIndex]], tmp→rename→marker in [[StreamShardedExport]])
+  * two-land epoch protocols (de-side-before-marker in `StreamBitextIndex`, membership-before-adjacency in
+  * `StreamGraphIndex`, tmp→rename→marker in `StreamShardedExport`)
   * are correct by construction; these make "a crash between the lands
   * recovers" a TESTED property instead of a narrated one.
   *

@@ -55,8 +55,13 @@ object ScalingCurve {
 
   final case class Row(name: String, t: Seq[Option[Double]],
       expLast: Double, expOverall: Double) {
+    /** Red = gate-eligible (slow enough at sf0.1 to be plan signal) AND
+      * either superlinear or MISSING its sf0.01 leg — a query that
+      * errors at sf0.01 but completes at sf0.1 must not silently escape
+      * the gate through a NaN exponent (the per-query form of the
+      * whole-artifact hard-assert in ScalingCurveSpec). */
     def red: Boolean =
-      t.last.exists(_ >= GateFloorSec) && !expLast.isNaN && expLast > ExpCeiling
+      t.last.exists(_ >= GateFloorSec) && (expLast.isNaN || expLast > ExpCeiling)
   }
 
   /** Build the per-query curve rows from the three sweep maps (ordered

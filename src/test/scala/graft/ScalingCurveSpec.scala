@@ -31,10 +31,17 @@ class ScalingCurveSpec extends AnyFunSuite {
     assert(!byName("noisy").red, "sub-floor queries must never red-list")
     assert(!byName("flat").red)
     assert(byName("flat").expLast < 0.1, "flat time must read exp ~0")
-    // a query absent from one sweep reports NaN, never a phantom red
+    // a query absent at sf0.1 is not gate-eligible: NaN, never red
     val partial = ScalingCurve.buildRows(Seq(
       Map[String, Double](), Map("q" -> 1.0), Map[String, Double]()))
     assert(partial.head.expLast.isNaN && !partial.head.red)
+    // but a gate-eligible query MISSING its sf0.01 leg (it errored
+    // there, so Bench excluded it) must red-list — a NaN exponent must
+    // not let a superlinear-or-broken query escape the gate
+    val gap = ScalingCurve.buildRows(Seq(
+      Map("g" -> 0.1), Map[String, Double](), Map("g" -> 5.0)))
+    assert(gap.head.expLast.isNaN && gap.head.red,
+      "a gate-eligible row with a missing middle leg must require justification")
   }
 
   test("committed sweeps: every red-listed query carries a plan-level justification") {

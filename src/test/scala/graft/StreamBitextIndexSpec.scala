@@ -109,7 +109,7 @@ class StreamBitextIndexSpec extends AnyFunSuite {
   }
 
   test("crash between the de-side land and the en-side marker: serving stays consistent, replay converges to batch") {
-    import graft.streaming.Failpoints
+    import graft.tools.Failpoints
     val en = enFrame.localCheckpoint(true)
     val allDe = (1 to 10).map(i => deDoc(i))
     def deFrame(docs: Seq[(Long, String)]) = docs.toDF("b_id", "text")

@@ -94,7 +94,7 @@ class StreamGraphIndexSpec extends AnyFunSuite {
   }
 
   test("crash between the membership land and the adjacency merge: replay converges to the batch-built graph") {
-    import graft.streaming.Failpoints
+    import graft.tools.Failpoints
     val vecs = corpus()
     val cents = VectorQueries.sampledCentroids(vecs).cache()
     val idx = graft.streaming.StreamVectorIndex.listIndex(cents)

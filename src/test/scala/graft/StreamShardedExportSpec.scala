@@ -76,7 +76,7 @@ class StreamShardedExportSpec extends AnyFunSuite {
   }
 
   test("crash injection: failures after the tmp write and between rename and marker both replay to exactly-once") {
-    import graft.streaming.Failpoints
+    import graft.tools.Failpoints
     val out = tmpDir()
     def docs(lo: Long, hi: Long) =
       (lo until hi).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -333,7 +333,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
   }
 
   test("crash after the version land, before the schema marker: restart replays the batch and converges (steady-state AND DDL)") {
-    import graft.streaming.Failpoints
+    import graft.tools.Failpoints
     // the flagship CDC path's own two-land gap: TargetTable has
     // committed data_<vId> and repointed _current, but the
     // schema_version marker / audit SQL / metrics never ran. The
@@ -472,7 +472,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
   test("crash before the version swap: readers keep the current version, the retry lands over the orphan tmp") {
     import graft.cdc.Envelope
     import graft.merge.ChangeApply
-    import graft.streaming.Failpoints
+    import graft.tools.Failpoints
     val root = Files.createTempDirectory("graft-tmpcrash").toString
     val t = new TargetTable(spark, root, Seq("k"), 4)
     t.writeVersion(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "v0")
@@ -778,6 +778,50 @@ class StreamingPipelineSpec extends AnyFunSuite {
     q.stop()
     assert(e.getMessage.contains("delete+insert"),
       s"wrong failure: ${e.getMessage.take(300)}")
+  }
+
+  test("PK-less table: an Update MASKED by a later same-image event still fails LOUDLY") {
+    // the guard must probe the PRE-dedup frame: with full-row merge
+    // keys, a later Delete of the exact image the Update wrote would
+    // collapse onto the Update's dedup key and hide it from `latest` —
+    // the batch must still die before any write, because the Update's
+    // PRE-image is already unstrandable
+    val root = Files.createTempDirectory("graft-nopk-mask").toString
+    val defNoPk = TableDefinition(
+      schema = "tpch", table = "logs", tableVersion = 100L,
+      columns = Seq(
+        TableCol("1", "k", "bigint"),
+        TableCol("2", "v", "varchar")))
+    val inc = s"$root/increment"
+    val key = PathCodec.DmlPathKey("tpch", "logs", 100L, 0L, "2024-01-01")
+    Files.createDirectories(Paths.get(PathCodec.dmlPath(inc, key, 1L)).getParent)
+    Files.writeString(
+      Paths.get(PathCodec.schemaPath(inc, "tpch", "logs", 100L)),
+      TableDefJson.write(defNoPk))
+    // U writes image (1, renamed); D at a later ts deletes that SAME
+    // image — dedup-by-full-image keeps only the D
+    Files.writeString(
+      Paths.get(PathCodec.dmlPath(inc, key, 1L)),
+      """"U","logs","tpch","11",1,"renamed"
+        |"D","logs","tpch","12",1,"renamed"
+        |""".stripMargin)
+    Files.createDirectories(Paths.get(s"$root/snapshot"))
+    val cfg = PipelineConfig(
+      incrementRoot = inc, schemaName = "tpch", tableName = "logs",
+      targetRoot = s"$root/target", checkpointDir = s"$root/ckpt",
+      seed = defNoPk.copy(tableVersion = 0L), startTso = 10L)
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val q = ReplicationJob.replicateTable(spark, snap, s"$root/snapshot", cfg).get
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("delete+insert"),
+      s"masked Update slipped past the guard: ${e.getMessage.take(300)}")
+    // and nothing landed: the snapshot image is intact
+    assert(new TargetTable(spark, cfg.targetRoot).read()
+      .as[(Long, String)].collect().toSet == Set((1L, "a")),
+      "the masked-Update batch must not have written anything")
   }
 
   test("M8 in-stream: watermarked windowed change rates over the CDC source") {
