@@ -226,6 +226,27 @@ class StreamScaleAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("StreamDedup state is exactly the horizon's distinct content hashes, not the row count") {
+    // the watermarked-dedup family's bounded-state contract, counted:
+    // 300 rows carrying 40 distinct normalized texts leave exactly 40
+    // state rows — content-hash-keyed, never row-keyed
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamDedup.dedupedStream(
+        input.toDF().toDF("ingest_ts", "text"), horizon = "1 hour")
+      .writeStream.format("memory").queryName("audit_dedup")
+      .outputMode("append").start()
+    input.addData((0 until 300).map(i =>
+      (new Timestamp(1000L + i), s"document body number ${i % 40}")): _*)
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    val emitted = spark.table("audit_dedup").count()
+    q.stop()
+    info(s"StreamDedup state rows: $stateRows (distinct texts: 40, rows: 300, emitted: $emitted)")
+    assert(stateRows == 40L, s"dedup state must be one row per content hash, got $stateRows")
+    assert(emitted == 40L, s"first-occurrence contract: 40 docs must emit, got $emitted")
+  }
+
   test("canary: an unwatermarked distinct's state grows with the stream — the meter sees it") {
     // the state gate is only as good as its meter: a face that keys
     // state on an unbounded set must show MONOTONE GROWTH in
