@@ -11,18 +11,21 @@ object Bench {
   private[graft] val Controls =
     Seq("q1_pricing", "text_lm_score", "dedup_clusters_incremental")
 
+  /** Median with even-sized middle-pair averaging — shared by the
+    * box-factor calibration and the per-query repeat-run timings. */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   /** Median of control ratios (solo / sweep-of-record) = the box-speed
     * factor; 1.0 when no usable controls. Even-sized lists average the
     * two middle elements — with one control under dispute only 2 ratios
     * remain, and picking the upper-middle would hand the whole
     * calibration to whichever control happened to run slower. */
   private[graft] def boxFactor(controlRatios: Seq[Double]): Double =
-    if (controlRatios.isEmpty) 1.0
-    else {
-      val s = controlRatios.sorted
-      val n = s.size
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
+    if (controlRatios.isEmpty) 1.0 else median(controlRatios)
 
   /** Parse (sfDir, name→seconds) out of a bench artifact — the same
     * one-query-per-line JSON this object writes. */
@@ -106,6 +109,14 @@ object Bench {
     // lesson). Unset = the driver's full sweep.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Repeat-run medians: single-sweep timings carry multi-x noise on
+    // sub-second queries (the round-6/8 phantom-regression lessons), so
+    // the scaling-curve sweeps run each query SPARK_GRAFT_RUNS times and
+    // record the median — that is what lets the scaling gate's floor sit
+    // at 0.5 s instead of 1 s without false reds. Default 1 (a plain
+    // sweep); the artifact records the count so readers know which
+    // discipline produced it.
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt.max(1)
     // A typo'd name must fail LOUDLY, not time zero queries — the same
     // unknown-filter guard check.py applies to its --only flag.
     only.foreach { names =>
@@ -125,20 +136,24 @@ object Bench {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-        // drop intra-query caches so one query's retained blocks can't
-        // GC-pressure the next (measured multi-second timing swings)
-        spark.catalog.clearCache()
-        // force the ContextCleaner's hand: broadcasts and shuffle state
-        // are weak-ref-cleaned, and with a large pretouched heap GC may
-        // not run for many queries — accumulated state then bleeds
-        // multi-second noise into later timings (measured ±30% run-to-
-        // run totals). An explicit GC per query costs ~50 ms and pins
-        // each query's timing to a clean block manager.
-        System.gc()
+        val reps = (1 to runsPerQuery).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          // drop intra-query caches so one query's retained blocks can't
+          // GC-pressure the next (measured multi-second timing swings)
+          spark.catalog.clearCache()
+          // force the ContextCleaner's hand: broadcasts and shuffle state
+          // are weak-ref-cleaned, and with a large pretouched heap GC may
+          // not run for many queries — accumulated state then bleeds
+          // multi-second noise into later timings (measured ±30% run-to-
+          // run totals). An explicit GC per query costs ~50 ms and pins
+          // each query's timing to a clean block manager.
+          System.gc()
+          t
+        }
+        timings(name) = median(reps)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -184,7 +199,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.values.sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${errors.size},"count":${timings.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsPerQuery,"queries":$qs,"errors":$errs,"failed":${errors.size},"count":${timings.size},"sf":"$sfDir"}"""
     // The driver archives only a ~4 KB stdout TAIL: with 176 queries the
     // one-line JSON blows past that and most timings become unrecoverable
     // (the round-6 phantom-regression scare cost a judge session to clear
@@ -195,12 +210,20 @@ object Bench {
     // the FINAL line compact — totals + the 10 slowest + counts — so it
     // always survives the tail window and still parses as the driver's
     // one-JSON-line contract.
+    // The sweep-of-record maps (latest_timings.json + the per-SF
+    // scaling-curve legs) are COMMITTED artifacts: a driver/judge bench
+    // run overwriting them leaves the working tree dirty at judge time
+    // (it did, three rounds running). Default runs therefore land under
+    // bench/runs/<millis>[_solo].json (gitignored); only an explicit
+    // SPARK_GRAFT_RECORD=1 run touches the record maps.
+    val record = sys.env.get("SPARK_GRAFT_RECORD").contains("1")
+    var artifact = "bench/latest_timings.json"
     try {
       val dir = java.nio.file.Paths.get("bench")
       java.nio.file.Files.createDirectories(dir)
       val lines = new StringBuilder
       lines ++= "{\n"
-      lines ++= s""" "metric":"total","value":$total,"unit":"sec","failed":${errors.size},"count":${timings.size},"sf":"$sfDir",\n"""
+      lines ++= s""" "metric":"total","value":$total,"unit":"sec","failed":${errors.size},"count":${timings.size},"runs":$runsPerQuery,"sf":"$sfDir",\n"""
       lines ++= " \"queries\":{\n"
       lines ++= timings.map { case (k, v) => s"""  "$k":$v""" }.mkString(",\n")
       lines ++= "\n },\n \"errors\":{\n"
@@ -215,18 +238,28 @@ object Bench {
       // stays the sf0.1 sweep of record the solo normalizer reads.
       val base = java.nio.file.Paths.get(sfDir).getFileName.toString
       val bytes = lines.toString.getBytes("UTF-8")
-      if (only.isDefined)
+      if (!record) {
+        val runsDir = dir.resolve("runs")
+        java.nio.file.Files.createDirectories(runsDir)
+        val name = s"${System.currentTimeMillis()}${if (only.isDefined) "_solo" else ""}.json"
+        java.nio.file.Files.write(runsDir.resolve(name), bytes)
+        artifact = s"bench/runs/$name"
+      } else if (only.isDefined) {
         java.nio.file.Files.write(dir.resolve("solo_timings.json"), bytes)
-      else {
+        artifact = "bench/solo_timings.json"
+      } else {
         // per-SF map (timings_sf0.001.json / _sf0.01 / _sf0.1): the three
         // committed maps are the input to the scaling-curve report — how
         // each query's time GROWS across the 100x SF span is the directly
         // measurable form of the "survives 100x" claim that shuffle-byte
         // ceilings only approximate
-        if (base.matches("sf[0-9.]+"))
+        if (base.matches("sf[0-9.]+")) {
           java.nio.file.Files.write(dir.resolve(s"timings_$base.json"), bytes)
+          artifact = s"bench/timings_$base.json"
+        }
         if (base == "sf0.1" || !base.matches("sf[0-9.]+")) {
           java.nio.file.Files.write(dir.resolve("latest_timings.json"), bytes)
+          artifact = "bench/latest_timings.json"
           // per-round copy when the driver exports a round tag
           sys.env.get("SPARK_GRAFT_ROUND").foreach { r =>
             java.nio.file.Files.copy(dir.resolve("latest_timings.json"),
@@ -242,16 +275,11 @@ object Bench {
     soloReport.foreach { r => println(s"""{"metric":"solo_normalized",$r}""") }
     val top = timings.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // the pointer must name the file THIS run actually wrote: a full
-    // sweep at a non-record SF lands only in its per-SF map, and a
-    // stale latest_timings.json pointer would hand the tail-recovery
-    // workflow another SF's numbers
-    val benchBase = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val artifact =
-      if (only.isDefined) "bench/solo_timings.json"
-      else if (benchBase.matches("sf[0-9.]+") && benchBase != "sf0.1")
-        s"bench/timings_$benchBase.json"
-      else "bench/latest_timings.json"
+    // the pointer names the file THIS run actually wrote (set in the
+    // write block above): a default run's bench/runs/<ts>.json, a solo
+    // re-measure's solo map, or a record run's per-SF/record map — a
+    // stale pointer would hand the tail-recovery workflow another run's
+    // numbers
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"errors":$errs,"failed":${errors.size},"count":${timings.size},"sf":"$sfDir","full_timings":"$artifact"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

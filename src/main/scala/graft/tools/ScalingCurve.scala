@@ -42,6 +42,14 @@ object ScalingCurve {
   /** Queries faster than this at sf0.1 are overhead/noise-dominated —
     * their exponents are not plan signal. */
   val GateFloorSec = 1.0
+  /** The same jitter discipline applied to the DENOMINATOR: exp_last is
+    * only plan signal when t(sf0.01) clears the floor scaled down by
+    * the decade (a 0.05 s jitter under a 2 s sf0.1 time reads as a
+    * spurious exp > 1.3 — the exact mode the gate floor exists to
+    * exclude). Below it, gating falls back to the two-decade
+    * exp_overall, whose denominator noise is halved by the longer
+    * baseline. */
+  val MidFloorSec: Double = GateFloorSec / 10.0
 
   /** Plan-level justifications for red-listed queries — additions here
     * require the justification to name the superlinear term in the
@@ -55,13 +63,30 @@ object ScalingCurve {
 
   final case class Row(name: String, t: Seq[Option[Double]],
       expLast: Double, expOverall: Double) {
-    /** Red = gate-eligible (slow enough at sf0.1 to be plan signal) AND
-      * either superlinear or MISSING its sf0.01 leg — a query that
-      * errors at sf0.01 but completes at sf0.1 must not silently escape
-      * the gate through a NaN exponent (the per-query form of the
-      * whole-artifact hard-assert in ScalingCurveSpec). */
-    def red: Boolean =
-      t.last.exists(_ >= GateFloorSec) && (expLast.isNaN || expLast > ExpCeiling)
+    /** The exponent the red-list grades on: exp_last when the sf0.01
+      * denominator clears [[MidFloorSec]]; the two-decade exp_overall
+      * when the middle leg is present but noise-floor-dominated; NaN
+      * when the middle leg is MISSING outright (the query ERRORED at
+      * sf0.01 — Bench excludes failures — which is alarming regardless
+      * of growth). */
+    def gateExp: Double =
+      if (t(1).exists(_ >= MidFloorSec)) expLast
+      else if (t(1).isDefined) expOverall
+      else Double.NaN
+
+    /** Red = needs a plan-level justification. Three ways in:
+      *  - gate-eligible (t(sf0.1) ≥ [[GateFloorSec]]) and [[gateExp]]
+      *    superlinear;
+      *  - gate-eligible and gateExp NaN (errored at a smaller SF — a
+      *    NaN exponent must not let a broken query escape the gate);
+      *  - MISSING the sf0.1 leg while present at any smaller SF: the
+      *    worst failure mode (breaks at the LARGEST scale) is exactly
+      *    the one a present-t(sf0.1) precondition could never see. */
+    def red: Boolean = t.last match {
+      case Some(v) if v >= GateFloorSec => gateExp.isNaN || gateExp > ExpCeiling
+      case Some(_) => false
+      case None => t.init.exists(_.isDefined)
+    }
   }
 
   /** Build the per-query curve rows from the three sweep maps (ordered
@@ -110,12 +135,12 @@ object ScalingCurve {
       }.mkString(",")
       val just = Justified.get(r.name)
         .map(j => s""","justified":"$j"""").getOrElse("")
-      s"""  {"q":"${r.name}",$ts,"exp_last":${num(r.expLast)},"exp_overall":${num(r.expOverall)},"red":${r.red}$just}"""
+      s"""  {"q":"${r.name}",$ts,"exp_last":${num(r.expLast)},"exp_overall":${num(r.expOverall)},"gate_exp":${num(r.gateExp)},"red":${r.red}$just}"""
     }
     val red = rows.filter(_.red)
     val out = new StringBuilder
     out ++= "{\n"
-    out ++= s""" "exp_ceiling":$ExpCeiling,"gate_floor_sec":$GateFloorSec,"queries":${rows.size},"red":${red.size},\n"""
+    out ++= s""" "exp_ceiling":$ExpCeiling,"gate_floor_sec":$GateFloorSec,"mid_floor_sec":$MidFloorSec,"queries":${rows.size},"red":${red.size},\n"""
     out ++= " \"rows\":[\n" + lines.mkString(",\n") + "\n ]\n}\n"
     Files.createDirectories(Paths.get("bench"))
     Files.writeString(Paths.get("bench/scaling_report.json"), out.toString)
@@ -128,8 +153,8 @@ object ScalingCurve {
       println(f"${r.name}%-32s ${p(r.t(0))} ${p(r.t(1))} ${p(r.t(2))} ${num(r.expLast)}%8s ${num(r.expOverall)}%7s")
     }
     if (red.nonEmpty) {
-      println(s"RED (exp_last > $ExpCeiling at t >= $GateFloorSec s): " +
-        red.map(r => s"${r.name}=${num(r.expLast)}").mkString(", "))
+      println(s"RED (gate_exp > $ExpCeiling at t >= $GateFloorSec s, or a missing leg): " +
+        red.map(r => s"${r.name}=${num(r.gateExp)}").mkString(", "))
       val unjustified = red.filterNot(r => Justified.contains(r.name))
       if (unjustified.nonEmpty) {
         System.err.println("UNJUSTIFIED superlinear queries: " +

@@ -31,10 +31,11 @@ class ScalingCurveSpec extends AnyFunSuite {
     assert(!byName("noisy").red, "sub-floor queries must never red-list")
     assert(!byName("flat").red)
     assert(byName("flat").expLast < 0.1, "flat time must read exp ~0")
-    // a query absent at sf0.1 is not gate-eligible: NaN, never red
+    // a query absent at sf0.1 but present at sf0.01 ERRORED at the top
+    // SF — red (the symmetric rule has its own test below)
     val partial = ScalingCurve.buildRows(Seq(
       Map[String, Double](), Map("q" -> 1.0), Map[String, Double]()))
-    assert(partial.head.expLast.isNaN && !partial.head.red)
+    assert(partial.head.expLast.isNaN && partial.head.red)
     // but a gate-eligible query MISSING its sf0.01 leg (it errored
     // there, so Bench excluded it) must red-list — a NaN exponent must
     // not let a superlinear-or-broken query escape the gate
@@ -42,6 +43,39 @@ class ScalingCurveSpec extends AnyFunSuite {
       Map("g" -> 0.1), Map[String, Double](), Map("g" -> 5.0)))
     assert(gap.head.expLast.isNaN && gap.head.red,
       "a gate-eligible row with a missing middle leg must require justification")
+  }
+
+  test("a query MISSING its sf0.1 leg while present at a smaller SF red-lists") {
+    // the worst failure mode — breaks at the LARGEST SF — is exactly the
+    // one a present-t(sf0.1) precondition could never see: Bench excludes
+    // the error, the row reads as 'not gate-eligible', and the gate is
+    // silently blind to it
+    val rows = ScalingCurve.buildRows(Seq(
+      Map("dies" -> 0.2, "tiny" -> 0.01, "ok" -> 0.05),
+      Map("dies" -> 0.8, "ok" -> 0.3),
+      Map("ok" -> 2.0)))
+    val byName = rows.map(r => r.name -> r).toMap
+    assert(byName("dies").red, "missing sf0.1 leg must red-list, not escape the gate")
+    // even a noise-floor query must not vanish silently at the top SF
+    assert(byName("tiny").red, "any query that errors at sf0.1 needs a justification")
+    assert(!byName("ok").red)
+  }
+
+  test("a sub-floor sf0.01 denominator gates on exp_overall, not jittery exp_last") {
+    // 0.05 s of sf0.01 jitter under a 2 s sf0.1 time reads exp_last 1.6 —
+    // pure noise; the two-decade fit (0.2 -> 2.0 = exp 0.5/decade) is the
+    // real growth, and forcing a bogus Justified entry for jitter would
+    // erode the discipline the map exists for
+    val rows = ScalingCurve.buildRows(Seq(
+      Map("jit" -> 0.2, "blow" -> 0.02),
+      Map("jit" -> 0.05, "blow" -> 0.05),
+      Map("jit" -> 2.0, "blow" -> 40.0)))
+    val byName = rows.map(r => r.name -> r).toMap
+    assert(byName("jit").expLast > ScalingCurve.ExpCeiling, "fixture: the noisy exp_last must exceed the ceiling")
+    assert(!byName("jit").red, "a noisy sub-floor denominator must fall back to exp_overall")
+    // but the fallback still catches a REAL blowup: 0.02 -> 40 s over two
+    // decades is exp_overall 1.65 — superlinear however you fit it
+    assert(byName("blow").red, "exp_overall above the ceiling must still red-list")
   }
 
   test("committed sweeps: every red-listed query carries a plan-level justification") {
