@@ -68,37 +68,11 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
-    // materialize the dedup labels corpus_canonical_cached reads — the
-    // production shape has the dedup job write them long before curation
-    // runs, so label production is setup here, not operator cost
-    try queries.CurationQueries.prepareCanonicalLabels(spark, sfDir)
-    catch { case _: Throwable => () }
-    // likewise the persisted IVF inverted-list table vec_ivf_topk_cached
-    // reads — index build is a one-time cost, not query cost
-    try queries.VectorQueries.prepareIvfIndex(spark, sfDir)
-    catch { case _: Throwable => () }
-    // the persisted bounded-degree neighbor graph vec_graph_topk_cached
-    // walks — index build is a one-time cost, not query cost
-    try queries.VectorQueries.prepareGraphIndex(spark, sfDir)
-    catch { case _: Throwable => () }
-    // and the z-ordered events layout layout_zorder_read queries — the
-    // layout rewrite is a one-time maintenance job, the query is the read
-    try queries.LayoutQueries.prepareEventsLayout(spark, sfDir)
-    catch { case _: Throwable => () }
-    // the per-bucket event_id Bloom index layout_bloom_lookup probes —
-    // index build is maintenance cost, the query is the pruned lookup
-    try queries.LayoutQueries.prepareBloomIndex(spark, sfDir)
-    catch { case _: Throwable => () }
-    try queries.LayoutQueries.prepareEventsLayout3(spark, sfDir)
-    catch { case _: Throwable => () }
-    // the persisted lexical serving index retrieval_lexical_topk_cached
-    // reads — built nightly with the inverted index, queried continuously
-    try queries.RetrievalQueries.prepareLexIndex(spark, sfDir)
-    catch { case _: Throwable => () }
-    // the persisted media-tower inverted lists mm_crossmodal_ivf_topk_cached
-    // probes — index build is a one-time cost, not query cost
-    try queries.MediaQueries.prepareCrossmodalIvfIndex(spark, sfDir)
-    catch { case _: Throwable => () }
+    // materialize every persisted index/layout the cached queries read
+    // (dedup labels, IVF lists, neighbor graph, z-order layouts, Bloom
+    // index, lexical + crossmodal serving indexes) — index build is
+    // one-time maintenance cost, not query cost
+    Tables.prepareAll(spark, sfDir)
     // A failed query must never masquerade as a fast one: failures are
     // excluded from the timing map and reported by name in "errors".
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
