@@ -167,9 +167,12 @@ final class IncrementalPipeline(
       // later exact-same-image event in the same tick would mask the
       // Update from the deduped frame and the corruption would land
       // without an error. The PRE-dedup frame is cached first for
-      // PK-less tables, so the guard's action materializes the same
-      // cache the dedup then reads — exact detection, still one CSV
-      // parse per trigger (the caching rationale below).
+      // PK-less tables so the guard and the dedup read one cache —
+      // detection is exact either way; the isEmpty probe is a limit-1
+      // job, so it only pins the partitions it scanned and the dedup
+      // may still parse the rest of the CSV once more (a guard-hit is
+      // the failure path, so the extra parse is never steady-state
+      // cost).
       val changes =
         if (defAt.pkColumns.isEmpty) rawChanges.cache() else rawChanges
       if (defAt.pkColumns.isEmpty &&

@@ -60,10 +60,21 @@ object StreamAudioDedup {
     * fingerprint matches the landed corpus are DROPPED, everything
     * else (fresh audio AND non-audio rows, which this lane does not
     * judge) passes through. Directly callable for stream ≡ batch
-    * assertions. */
+    * assertions.
+    *
+    * The drop is on FINGERPRINT PRESENCE alone, deliberately ignoring
+    * [[matchedStream]]'s different-doc filter: a re-upload carrying the
+    * canonical doc's own id (same bytes, same doc_id) is still a
+    * duplicate payload, and the sharded layout is append-only — landing
+    * it would put a second row under a landed doc_id. Same-id
+    * re-uploads are therefore dedup drops here; true UPDATES belong to
+    * a keyed merge target ([[graft.snapshot.TargetTable]]), not an
+    * append-only corpus. */
   def curateBatch(batch: DataFrame, index: DataFrame): DataFrame =
     batch.join(
-      matchedStream(batch, index).select(col("doc_id")),
+      MediaQueries.audioFingerprints(batch.select(col("doc_id"), col("content")), Seq("doc_id"))
+        .join(index.select(col("afp")), Seq("afp"))
+        .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
   /** Start the continuous ingest: `docs` (a STREAMING

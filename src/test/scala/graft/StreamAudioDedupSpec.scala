@@ -102,6 +102,24 @@ class StreamAudioDedupSpec extends AnyFunSuite {
       "a redelivered epoch double-landed rows")
   }
 
+  test("a same-id re-upload of landed content is a dedup drop, not a second append") {
+    // doc 900's exact bytes arrive again UNDER ITS OWN ID: the
+    // different-doc match filter can't see it (id == dup_of), but the
+    // layout is append-only, so landing it would duplicate doc_id 900.
+    // curateBatch drops on fingerprint presence alone.
+    val idx = StreamAudioDedup.fingerprintIndex(corpus)
+    val rearrival = Seq((900L, wav("landed-song-a"))).toDF("doc_id", "content")
+    val admitted = StreamAudioDedup.curateBatch(rearrival, idx)
+      .select("doc_id").as[Long].collect()
+    assert(admitted.isEmpty,
+      s"same-id re-upload must not re-land into the append-only layout: ${admitted.toSeq}")
+    // and the match REPORT stays different-doc only: a self-match row
+    // would read as '900 duplicates 900' to the report consumer
+    val selfMatch = StreamAudioDedup.matchedStream(rearrival, idx)
+      .select("doc_id").as[Long].collect()
+    assert(selfMatch.isEmpty, "matchedStream must not report a doc as its own duplicate")
+  }
+
   test("fingerprint index keeps EVERY fingerprint: the first re-arrival of a unique payload is caught") {
     // mm_audio_dedup only reports already-duplicated groups; the probe
     // index must also hold singleton fingerprints or the first
