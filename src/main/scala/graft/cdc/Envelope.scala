@@ -88,6 +88,70 @@ object Envelope {
       lit(" commit_ts="), coalesce(col("_c3"), lit("null"))))))
   }
 
+  /** Column carrying the quarantine verdict on the permissive path:
+    * null = clean, else the reason label. */
+  val ReasonCol = "_quarantine_reason"
+  private val CorruptCol = "_corrupt_record"
+
+  val ReasonStructural = "structural"
+  val ReasonBadFlag = "bad_flag"
+  val ReasonBadCommitTs = "bad_commit_ts"
+
+  /** The PERMISSIVE twin of [[parseLines]] — the quarantine lane. Every
+    * line parses to the positional `_c{i}` shape plus [[ReasonCol]]:
+    * null for clean rows, else which invariant the line broke
+    * ([[ReasonStructural]] for rows the CSV parser itself rejected,
+    * [[ReasonBadFlag]] / [[ReasonBadCommitTs]] for rows whose envelope
+    * is invalid — the same conditions the FAILFAST path's guard raises
+    * on). Callers split on the reason: clean rows continue to
+    * [[project]], dirty rows land in the quarantine table with their
+    * raw line — the trigger COMPLETES instead of dying on one corrupt
+    * file (the dead-letter lane every production CDC pipeline needs).
+    *
+    * Non-`value` columns on `lines` (e.g. the source path) pass
+    * through untouched. Pure per-row projection — one parse, no
+    * shuffle, same cost shape as the FAILFAST path. */
+  def parseLinesSplit(lines: DataFrame, nDataCols: Int): DataFrame = {
+    val schema = rawSchemaFor(nDataCols).add(StructField(CorruptCol, StringType, nullable = true))
+    val passthrough = lines.columns.filter(_ != "value").map(col).toSeq
+    classify(lines
+      .withColumn("_r", from_csv(col("value"), schema,
+        csvOptions + ("columnNameOfCorruptRecord" -> CorruptCol)))
+      .select(passthrough ++ Seq(col("value"), col("_r.*")): _*))
+  }
+
+  /** The permissive twin of [[parseFiles]] (the quoted-newline repair
+    * read), same output shape as [[parseLinesSplit]]: `_src_path`,
+    * `value` (the raw record text for structurally corrupt rows, null
+    * for parsed ones — multiLine reads have no per-line original),
+    * `_c{i}`, [[ReasonCol]]. */
+  def parseFilesSplit(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      nDataCols: Int): DataFrame = {
+    val schema = rawSchemaFor(nDataCols).add(StructField(CorruptCol, StringType, nullable = true))
+    classify(spark.read
+      .options(csvOptions + ("multiLine" -> "true") +
+        ("columnNameOfCorruptRecord" -> CorruptCol))
+      .schema(schema)
+      .csv(paths: _*)
+      .select(col("_metadata.file_path").as("_src_path") +:
+        col(CorruptCol).as("value") +:
+        (0 until 4 + nDataCols).map(i => col(s"_c$i")) :+
+        col(CorruptCol): _*))
+  }
+
+  /** Shared verdict projection: the CSV parser's structural rejection
+    * first, then the same envelope invariants the FAILFAST path's guard
+    * raises on. try_cast, not cast — under ANSI a plain cast of a
+    * garbage commit-ts would throw, which is exactly the trigger-death
+    * this lane exists to prevent. */
+  private def classify(parsed: DataFrame): DataFrame =
+    parsed
+      .withColumn(ReasonCol,
+        when(col(CorruptCol).isNotNull, lit(ReasonStructural))
+          .when(!col("_c0").isin(Insert, Update, Delete) || col("_c0").isNull, lit(ReasonBadFlag))
+          .when(expr("try_cast(_c3 AS BIGINT)").isNull, lit(ReasonBadCommitTs)))
+      .drop(CorruptCol)
+
   /** True for a physical line carrying an ODD number of unescaped
     * quotes — the bracketing halves of a quoted field whose value
     * contains a newline, split in two by the line-oriented source. Exact

@@ -497,4 +497,41 @@ object CdcQueries {
       |    THEN 'ok' ELSE 'diff' END AS status
       |FROM ssum s FULL OUTER JOIN dsum d ON s.bucket = d.bucket
       |ORDER BY bucket""".stripMargin
+
+  /** Quarantine-lane accounting (the dead-letter invariant,
+    * `rows_landed + rows_quarantined = rows_seen`, hash-gated): orders
+    * rows are RENDERED as raw envelope CSV lines, a deterministic
+    * subset corrupted (`key % 97` → mangled flag, `key % 101` →
+    * unparseable commit-ts), and the lines pushed through the REAL
+    * permissive parse ([[Envelope.parseLinesSplit]] — the exact path
+    * the streaming pipeline's quarantineDir lane runs). The output is
+    * one count per disposition; the oracle predicts the same counts
+    * from the corruption predicates alone, so a hash match certifies
+    * the parser classified EXACTLY the corrupted subset — no good row
+    * quarantined, no corrupt row landed.
+    *
+    * Scale: render and parse are per-row projections (zero shuffle);
+    * the accounting is one hash-agg to ≤ 3 rows. */
+  def quarantineAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = col("o_orderkey")
+    val line = concat_ws(",",
+      when(key % 97 === 0, lit("X")).otherwise(lit(Envelope.Insert)),
+      lit("orders"), lit("test"),
+      when(key % 101 === 0 && key % 97 =!= 0, lit("not-a-tso")).otherwise(lit("1")),
+      key.cast("string"), col("o_custkey").cast("string"),
+      col("o_orderstatus"), col("o_totalprice").cast("string"),
+      col("o_orderdate").cast("string"), col("o_orderpriority"))
+    val lines = Tables.load(spark, sfDir, "orders").select(line.as("value"))
+    Envelope.parseLinesSplit(lines, nDataCols = 6)
+      .groupBy(coalesce(col(Envelope.ReasonCol), lit("landed")).as("disposition"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("disposition"))
+  }
+
+  val quarantineAccountingSql: String =
+    """SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'bad_flag'
+      |            WHEN o_orderkey % 101 = 0 THEN 'bad_commit_ts'
+      |            ELSE 'landed' END AS disposition,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY 1 ORDER BY disposition""".stripMargin
 }

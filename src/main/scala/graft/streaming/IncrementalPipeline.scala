@@ -66,7 +66,15 @@ final case class PipelineConfig(
     // view updates from the batch's touched rows only (ViewMaintain,
     // O(touched keys)), bootstrapped from one table scan on first tick
     // and recomputed only when DDL rewrites the table anyway.
-    maintainView: Option[(String, String)] = None) {
+    maintainView: Option[(String, String)] = None,
+    // Dead-letter lane: when set, rows failing the envelope parse
+    // (structurally corrupt, bad flag, unparseable commit-ts) land
+    // under `{quarantineDir}/{vId}/` with (file, reason, raw) and the
+    // trigger COMPLETES; unset keeps the FAILFAST contract (one corrupt
+    // row kills the trigger loudly). rows_landed + rows_quarantined =
+    // rows_seen — the accounting the cdc_quarantine_accounting oracle
+    // row hash-gates.
+    quarantineDir: Option[String] = None) {
 
   /** The target is bucketed on the seed PK so merges rewrite only
     * touched buckets. PK columns are fixed for a table's lifetime (the
@@ -148,14 +156,47 @@ final class IncrementalPipeline(
         s"schema.json for table version $version not visible yet under " +
           s"${cfg.incrementRoot}/${cfg.schemaName}/${cfg.tableName}; failing batch for retry"))
       val (dirty, clean) = paths.partition(dirtyFiles.contains)
-      val cleanLines = Envelope.parseLines(
-        batch.filter(col("_src_path").isin(clean: _*)), defAt.columns.size)
-      val raw =
-        if (dirty.isEmpty) cleanLines
-        else {
-          val repaired = Envelope.parseFiles(spark, dirty, defAt.columns.size)
-          if (clean.isEmpty) repaired else cleanLines.unionByName(repaired)
-        }
+      val vId = s"b${batchId}_v$version"
+      val raw = cfg.quarantineDir match {
+        case None =>
+          // FAILFAST contract: one corrupt row kills the trigger loudly
+          val cleanLines = Envelope.parseLines(
+            batch.filter(col("_src_path").isin(clean: _*)), defAt.columns.size)
+          if (dirty.isEmpty) cleanLines
+          else {
+            val repaired = Envelope.parseFiles(spark, dirty, defAt.columns.size)
+            if (clean.isEmpty) repaired else cleanLines.unionByName(repaired)
+          }
+        case Some(_) =>
+          // dead-letter lane: permissive parse, corrupt rows land in the
+          // quarantine table (idempotently per version id), the good
+          // rows continue — the trigger completes
+          val cleanSplit = Envelope.parseLinesSplit(
+            batch.filter(col("_src_path").isin(clean: _*)), defAt.columns.size)
+          val split =
+            if (dirty.isEmpty) cleanSplit
+            else {
+              val repaired = Envelope.parseFilesSplit(spark, dirty, defAt.columns.size)
+              if (clean.isEmpty) repaired else cleanSplit.unionByName(repaired)
+            }
+          // consumed twice (quarantine land + good rows) — one parse
+          val cached = split.cache()
+          try {
+            val bad = cached.filter(col(Envelope.ReasonCol).isNotNull)
+              .select(col("_src_path").as("file"),
+                col(Envelope.ReasonCol).as("reason"),
+                col("value").as("raw"))
+            val quarantined = landQuarantine(bad, vId)
+            if (quarantined > 0)
+              metrics.add(metrics.Names.RowsQuarantined, cfg.tableName, quarantined)
+            cached.filter(col(Envelope.ReasonCol).isNull)
+              .drop(Envelope.ReasonCol)
+              .localCheckpoint() // pin: the cache is unpersisted below
+          } finally {
+            cached.unpersist()
+            ()
+          }
+      }
       val rows = Envelope.project(raw, defAt.columns, cfg.binaryDialect)
       val rawChanges = Envelope
         .tableFilter(rows, cfg.schemaName, cfg.tableName)
@@ -188,7 +229,6 @@ final class IncrementalPipeline(
       // not once per consumer (`ChangeApply.applyChanges` caches for the
       // same reason). Unpersisted after the version commit.
       val latest = ChangeApply.dedupLatestPerKey(changes, defAt.mergeKeys).cache()
-      val vId = s"b${batchId}_v$version"
       try {
         if (defAt.tableVersion != curDef.tableVersion) {
           // M5: DDL pending — a schema change rewrites every bucket once
@@ -292,6 +332,48 @@ final class IncrementalPipeline(
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.write(dir.resolve(s"$vId.sql"),
       stmts.result().mkString("\n\n").getBytes("UTF-8"))
+  }
+
+  /** Land the quarantined rows for one version id, idempotently: the
+    * directory name IS the idempotence marker (same tmp→atomic-move
+    * protocol as the data lands), so a replayed batch never
+    * double-counts its dead letters. Empty batches write nothing —
+    * absence reads as zero. Returns the rows landed (0 on replay or
+    * all-clean). */
+  private def landQuarantine(bad: org.apache.spark.sql.DataFrame, vId: String): Long = {
+    val qRoot = java.nio.file.Paths.get(cfg.quarantineDir.get)
+    val dest = qRoot.resolve(vId)
+    if (java.nio.file.Files.exists(dest)) return 0L // replayed version
+    // cheap probe on the cached parse — the common all-clean tick pays
+    // one limit-1 job, never a write
+    if (bad.isEmpty) return 0L
+    java.nio.file.Files.createDirectories(qRoot)
+    val tmp = qRoot.resolve(s".tmp_$vId")
+    bad.write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    java.nio.file.Files.move(tmp, dest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    n
+  }
+
+  /** Every quarantined row across all landed versions —
+    * (file, reason, raw, version). */
+  def readQuarantine(): org.apache.spark.sql.DataFrame = {
+    val qRoot = java.nio.file.Paths.get(cfg.quarantineDir.getOrElse(
+      sys.error("pipeline has no quarantineDir configured")))
+    val dirs =
+      if (!java.nio.file.Files.isDirectory(qRoot)) Seq.empty
+      else scala.util.Using.resource(java.nio.file.Files.list(qRoot)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            !p.getFileName.toString.startsWith("."))
+      }
+    require(dirs.nonEmpty, s"no quarantined versions under $qRoot")
+    dirs.map { d =>
+      spark.read.parquet(d.toString)
+        .withColumn("version", lit(d.getFileName.toString))
+    }.reduce(_ unionByName _)
   }
 
   private def walkCdcBytes(): Long = {

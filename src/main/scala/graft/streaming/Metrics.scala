@@ -24,6 +24,7 @@ final class ReplicationMetrics {
     val TableVersion = "table_versions"
     val ErrorCount = "error_count"
     val RowsLoaded = "rows_loaded"
+    val RowsQuarantined = "rows_quarantined"
     val BatchesProcessed = "batches_processed"
   }
 

@@ -46,6 +46,32 @@ class EnvelopeParseSpec extends AnyFunSuite {
     assert(gotB64.toSeq == payload.toSeq)
   }
 
+  test("parseLinesSplit classifies each corruption and passes clean rows through") {
+    val lines = Seq(
+      ("f1", """"I","t","s","11",1,"good""""), // clean
+      ("f1", """"X","t","s","12",2,"bad flag""""), // flag not I/U/D
+      ("f2", """"U","t","s","nope",3,"bad ts""""), // unparseable commit-ts
+      ("f2", """"I","t","s","13",4,"extra","width","overflow""""), // too many tokens
+      ("f2", """"D","t","s","14",5,\N""") // clean with explicit NULL
+    ).toDF("_src_path", "value")
+    val split = Envelope.parseLinesSplit(lines, cols.size)
+    val verdicts = split
+      .select(col("value"), col(Envelope.ReasonCol))
+      .as[(String, Option[String])].collect().toMap
+    assert(verdicts(""""I","t","s","11",1,"good"""").isEmpty)
+    assert(verdicts(""""D","t","s","14",5,\N""").isEmpty)
+    assert(verdicts(""""X","t","s","12",2,"bad flag"""").contains(Envelope.ReasonBadFlag))
+    assert(verdicts(""""U","t","s","nope",3,"bad ts"""").contains(Envelope.ReasonBadCommitTs))
+    assert(verdicts(""""I","t","s","13",4,"extra","width","overflow"""")
+      .contains(Envelope.ReasonStructural), s"wide row not structural: $verdicts")
+    // the passthrough column survives, and clean rows project normally
+    val good = Envelope.project(
+      split.filter(col(Envelope.ReasonCol).isNull), cols)
+    assert(good.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+    assert(split.filter(col(Envelope.ReasonCol).isNotNull)
+      .select("_src_path").as[String].collect().sorted.toSeq == Seq("f1", "f2", "f2"))
+  }
+
   test("quoteUnbalanced flags split halves, not escaped quotes or clean lines") {
     val rows = Seq(
       (""""I","t","s","11",1,"plain"""", false), // balanced

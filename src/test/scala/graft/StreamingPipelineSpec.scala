@@ -885,6 +885,86 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("checksum"))
   }
 
+  test("quarantine lane: corrupt CDC rows land as dead letters and the trigger COMPLETES; without it the FAILFAST contract holds") {
+    def writeCorruptFixtures(root: String): Unit = {
+      val inc = s"$root/increment"
+      val key = PathCodec.DmlPathKey("tpch", "orders", 100L, 0L, "2024-01-01")
+      Files.createDirectories(Paths.get(PathCodec.dmlPath(inc, key, 1L)).getParent)
+      Files.writeString(
+        Paths.get(PathCodec.schemaPath(inc, "tpch", "orders", 100L)),
+        TableDefJson.write(defV100))
+      // 5 lines: 2 good, 1 bad flag, 1 unparseable commit-ts, 1 wrong
+      // width (an unquoted embedded comma's classic symptom)
+      Files.writeString(
+        Paths.get(PathCodec.dmlPath(inc, key, 1L)),
+        """"I","orders","tpch","11",4,"O",40.5
+          |"Z","orders","tpch","12",5,"BADFLAG",1.0
+          |"U","orders","tpch","not-a-tso",1,"BADTS",2.0
+          |"I","orders","tpch","13",6,"F",60.0,"extra","width"
+          |"U","orders","tpch","14",3,"F",31.0
+          |""".stripMargin)
+    }
+
+    // lane ON: the trigger completes, good rows merge, dead letters land
+    val root = Files.createTempDirectory("graft-quarantine").toString
+    writeCorruptFixtures(root)
+    Files.createDirectories(Paths.get(s"$root/snapshot"))
+    val cfg = PipelineConfig(
+      incrementRoot = s"$root/increment",
+      schemaName = "tpch", tableName = "orders",
+      targetRoot = s"$root/target",
+      checkpointDir = s"$root/ckpt",
+      seed = defV100.copy(tableVersion = 0L),
+      startTso = 10L,
+      quarantineDir = Some(s"$root/quarantine"))
+    val q = ReplicationJob.replicateTable(spark, snapshotDf, s"$root/snapshot", cfg).get
+    q.processAllAvailable()
+    q.stop()
+
+    val target = new TargetTable(spark, cfg.targetRoot)
+    val got = target.read().as[(Long, String, Double)].collect().toSet
+    // snapshot {1,2,3}; good stream rows: insert 4, update 3; every
+    // corrupt row quarantined — none landed, none killed the trigger
+    assert(got == Set((1L, "O", 10.0), (2L, "O", 20.0), (3L, "F", 31.0), (4L, "O", 40.5)),
+      s"quarantine run landed the wrong image: $got")
+
+    val dead = new IncrementalPipeline(spark, cfg).readQuarantine()
+      .select("reason", "raw").as[(String, String)].collect().toSeq
+    assert(dead.map(_._1).sorted ==
+      Seq("bad_commit_ts", "bad_flag", "structural"),
+      s"dead letters misclassified: $dead")
+    // accounting invariant: rows_landed + rows_quarantined = rows_seen
+    // (5 lines; 2 good envelope rows continued, 3 quarantined)
+    assert(dead.size == 3)
+    // the raw line is preserved for operator triage
+    assert(dead.exists(_._2.contains("BADFLAG")), s"raw line lost: $dead")
+
+    // replay idempotence: re-landing the same version id must not
+    // double-count dead letters
+    val before = new IncrementalPipeline(spark, cfg).readQuarantine().count()
+    val q2 = new IncrementalPipeline(spark, cfg).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(new IncrementalPipeline(spark, cfg).readQuarantine().count() == before,
+      "a restarted stream duplicated quarantine rows")
+
+    // lane OFF: the same fixture kills the trigger loudly (the
+    // documented FAILFAST contract — no silent merging of garbage)
+    val root2 = Files.createTempDirectory("graft-failfast").toString
+    writeCorruptFixtures(root2)
+    Files.createDirectories(Paths.get(s"$root2/snapshot"))
+    val cfgStrict = cfg.copy(
+      incrementRoot = s"$root2/increment",
+      targetRoot = s"$root2/target",
+      checkpointDir = s"$root2/ckpt",
+      quarantineDir = None)
+    val qs = ReplicationJob.replicateTable(spark, snapshotDf, s"$root2/snapshot", cfgStrict).get
+    val e = intercept[Exception] { qs.processAllAvailable() }
+    qs.stop()
+    assert(e.toString.toLowerCase.contains("malformed") || e.getCause != null,
+      s"FAILFAST run must die on the corrupt file: $e")
+  }
+
   test("DDL passthrough classification matches the reference's dispatch") {
     import graft.catalog.SchemaEvolution
     import graft.catalog.SchemaEvolution._
