@@ -30,12 +30,74 @@ final class TargetTable(
     spark: SparkSession,
     root: String,
     bucketKeys: Seq[String] = Nil,
-    numBuckets: Int = 0) {
+    numBuckets: Int = 0,
+    leaseTtlMs: Long = TargetTable.LeaseTtlMs) {
 
   val BucketCol = "_bucket"
   private val bucketed = bucketKeys.nonEmpty && numBuckets > 0
   private val rootPath = Paths.get(root)
   private def pointer = rootPath.resolve("_current")
+
+  // --- single-writer lease ---------------------------------------------
+  // The commit protocol (tmp → atomic move → repoint) is crash-safe for
+  // ONE writer; two writers landing the same table concurrently (a
+  // stream plus a manual merge, or two misconfigured streams) would
+  // interleave tmp dirs, history lines and pointer swaps. Every
+  // mutating entry point therefore takes an exclusive lease: an atomic
+  // create of `_lease` naming the owner. A second live writer FAILS
+  // LOUDLY at acquisition instead of racing; a lease left by a dead
+  // process (crash while holding — the release in `finally` never ran)
+  // expires by mtime age and is stolen, so a crashed driver cannot
+  // block its own replacement. Cost: two file ops per commit.
+
+  private val ownerId = java.util.UUID.randomUUID().toString
+
+  private def leasePath = rootPath.resolve("_lease")
+
+  private def tryClaim(): Boolean = {
+    val tmp = rootPath.resolve(s"_lease.${ownerId.take(8)}.tmp")
+    Files.writeString(tmp, s"$ownerId ${System.currentTimeMillis()}")
+    try { Files.move(tmp, leasePath); true } // no REPLACE: loses to a live holder
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+
+  private def acquireLease(): Unit = {
+    Files.createDirectories(rootPath)
+    if (tryClaim()) return
+    val stale =
+      try System.currentTimeMillis() -
+        Files.getLastModifiedTime(leasePath).toMillis > leaseTtlMs
+      catch { case _: java.nio.file.NoSuchFileException => true } // holder just released
+    if (stale) {
+      // dead holder: steal once; a rival stealer winning the re-claim
+      // leaves us on the loud-failure path below, which is correct
+      Files.deleteIfExists(leasePath)
+      if (tryClaim()) return
+    }
+    val holder =
+      try Files.readString(leasePath).trim.split(" ").headOption.getOrElse("unknown")
+      catch { case _: Exception => "unknown" }
+    sys.error(s"target table $root is held by another writer (lease owner " +
+      s"$holder): concurrent writers would race the tmp→swap commit; " +
+      s"stop the other writer or wait out the ${leaseTtlMs / 1000} s lease TTL")
+  }
+
+  private def releaseLease(): Unit =
+    try {
+      if (Files.exists(leasePath) && Files.readString(leasePath).startsWith(ownerId)) {
+        Files.deleteIfExists(leasePath)
+        ()
+      }
+    } catch { case _: Exception => () }
+
+  /** Run one mutating commit under the exclusive writer lease. */
+  private def withLease[A](f: => A): A = {
+    acquireLease()
+    try f finally releaseLease()
+  }
 
   def exists: Boolean = Files.exists(pointer)
 
@@ -50,7 +112,7 @@ final class TargetTable(
   /** Re-commit an already-materialized version (exactly-once replay after
     * a crash between commit and checkpoint-offset write): repoints
     * `_current`; returns false like the merge paths' replay branch. */
-  def recommit(v: String): Boolean = {
+  def recommit(v: String): Boolean = withLease {
     require(hasVersion(v), s"version $v not materialized under $root")
     repoint(s"data_$v")
     false
@@ -109,26 +171,26 @@ final class TargetTable(
   /** Write a full new table image under version id `v` and atomically
     * repoint `_current`. Re-running the same version id is a no-op
     * (idempotence marker M2-style). Returns true if written. */
-  def writeVersion(df: DataFrame, v: String): Boolean = {
-    Files.createDirectories(rootPath)
+  def writeVersion(df: DataFrame, v: String): Boolean = withLease {
     checkBucketSpec()
     val dest = rootPath.resolve(s"data_$v")
     if (Files.exists(dest)) {
       repoint(s"data_$v")
-      return false
+      false
+    } else {
+      val tmp = rootPath.resolve(s".tmp_$v")
+      val writer =
+        if (bucketed) df.withColumn(BucketCol, bucketExpr).write.partitionBy(BucketCol)
+        else df.write
+      writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // crash point: version fully written under .tmp_, nothing
+      // published — readers must keep serving the current version and a
+      // retry must land cleanly over the orphan (Overwrite on the tmp)
+      graft.tools.Failpoints.hit("target.before-move")
+      Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+      repoint(s"data_$v")
+      true
     }
-    val tmp = rootPath.resolve(s".tmp_$v")
-    val writer =
-      if (bucketed) df.withColumn(BucketCol, bucketExpr).write.partitionBy(BucketCol)
-      else df.write
-    writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // crash point: version fully written under .tmp_, nothing
-    // published — readers must keep serving the current version and a
-    // retry must land cleanly over the orphan (Overwrite on the tmp)
-    graft.tools.Failpoints.hit("target.before-move")
-    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-    repoint(s"data_$v")
-    true
   }
 
   /** Partition-scoped merge commit: `merged` is the new content of the
@@ -136,34 +198,36 @@ final class TargetTable(
     * current version by hard link (byte-identical, no rewrite). */
   def mergeVersion(merged: DataFrame, touched: Seq[Int], v: String): Boolean = {
     if (!bucketed) return writeVersion(merged, v)
-    Files.createDirectories(rootPath)
-    checkBucketSpec()
-    val dest = rootPath.resolve(s"data_$v")
-    if (Files.exists(dest)) {
-      repoint(s"data_$v")
-      return false
-    }
-    val prev = currentDir
-    val tmp = rootPath.resolve(s".tmp_$v")
-    merged.withColumn(BucketCol, bucketExpr).write
-      .partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val touchedSet = touched.map(k => s"$BucketCol=$k").toSet
-    listDir(prev)
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$BucketCol="))
-      .filterNot(p => touchedSet.contains(p.getFileName.toString))
-      .foreach { bucketDir =>
-        val destBucket = tmp.resolve(bucketDir.getFileName.toString)
-        Files.createDirectories(destBucket)
-        listDir(bucketDir).filter(Files.isRegularFile(_)).foreach { f =>
-          linkOrCopy(f, destBucket.resolve(f.getFileName.toString))
-        }
+    withLease {
+      checkBucketSpec()
+      val dest = rootPath.resolve(s"data_$v")
+      if (Files.exists(dest)) {
+        repoint(s"data_$v")
+        false
+      } else {
+        val prev = currentDir
+        val tmp = rootPath.resolve(s".tmp_$v")
+        merged.withColumn(BucketCol, bucketExpr).write
+          .partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val touchedSet = touched.map(k => s"$BucketCol=$k").toSet
+        listDir(prev)
+          .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$BucketCol="))
+          .filterNot(p => touchedSet.contains(p.getFileName.toString))
+          .foreach { bucketDir =>
+            val destBucket = tmp.resolve(bucketDir.getFileName.toString)
+            Files.createDirectories(destBucket)
+            listDir(bucketDir).filter(Files.isRegularFile(_)).foreach { f =>
+              linkOrCopy(f, destBucket.resolve(f.getFileName.toString))
+            }
+          }
+        // crash point: merged buckets written + carryover links laid, not
+        // yet swapped — the same invariant as writeVersion's gap
+        graft.tools.Failpoints.hit("target.before-move")
+        Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+        repoint(s"data_$v")
+        true
       }
-    // crash point: merged buckets written + carryover links laid, not
-    // yet swapped — the same invariant as writeVersion's gap
-    graft.tools.Failpoints.hit("target.before-move")
-    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-    repoint(s"data_$v")
-    true
+    }
   }
 
   /** Data files per bucket in the current version — the compaction
@@ -283,4 +347,11 @@ final class TargetTable(
     if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+}
+
+object TargetTable {
+  /** How long a writer lease blocks rival writers before its holder is
+    * presumed dead and the lease stolen (mtime age). Long next to any
+    * trigger interval, short next to an operator's response time. */
+  val LeaseTtlMs: Long = 10L * 60 * 1000
 }
