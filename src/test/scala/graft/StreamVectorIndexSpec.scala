@@ -104,4 +104,92 @@ class StreamVectorIndexSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(after.sameElements(before), "compaction changed probe results")
   }
+
+  test("drift-triggered retrain: old generation serves until the atomic swap; crash between land and swap replays clean") {
+    val vecs = corpus().select(col("vec_id"), col("embedding"))
+    val root = tmpDir()
+    val cents0 = VectorQueries.sampledCentroids(vecs).cache()
+    StreamVectorIndex.initIndex(vecs, cents0, root)
+    assert(StreamVectorIndex.currentGen(root).contains(0L))
+    assert(StreamVectorIndex.driftScore(root) == 0.0, "no arrivals, no drift")
+
+    // IN-distribution arrivals (exact copies under fresh ids): the
+    // per-list proportions match the baseline exactly, so chi-squared is
+    // ~0 and retrain must no-op
+    val inDist = vecs.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    assert(StreamVectorIndex.commitBatchCurrent(inDist, spark, root, epochId = 1L))
+    val lowDrift = StreamVectorIndex.driftScore(root)
+    assert(lowDrift < 1.0, s"in-distribution arrivals read as drift: $lowDrift")
+    assert(StreamVectorIndex.retrainIfDrifted(spark, root, threshold = 10.0,
+      seedStride = 25).isEmpty, "retrain must not fire below the threshold")
+
+    // OUT-of-distribution arrivals: negated embeddings — a cluster the
+    // old quantizer has no resolution for (every one crams into the
+    // least-dissimilar cell or two)
+    val drifted = vecs.select((col("vec_id") + 200000L).as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    assert(StreamVectorIndex.commitBatchCurrent(drifted, spark, root, epochId = 2L))
+    val highDrift = StreamVectorIndex.driftScore(root)
+    assert(highDrift > 10.0, s"drifted arrivals must exceed the threshold: $highDrift")
+    val totalRows = StreamVectorIndex.readCurrentIndex(spark, root).count()
+
+    // crash between the new generation's land and the pointer swap: the
+    // OLD generation keeps serving, untorn
+    graft.tools.Failpoints.arm("vecindex.before-swap")
+    intercept[graft.tools.Failpoints.InjectedCrash] {
+      StreamVectorIndex.retrainIfDrifted(spark, root, 10.0, seedStride = 25,
+        eps = 1e-3)
+    }
+    assert(StreamVectorIndex.currentGen(root).contains(0L),
+      "a crash before the swap must leave the old generation serving")
+    assert(StreamVectorIndex.readCurrentIndex(spark, root).count() == totalRows,
+      "the serving index tore under the crashed retrain")
+
+    // replay converges: deterministic retrain over the same committed
+    // corpus, idempotent lands, swap completes
+    val swapped = StreamVectorIndex.retrainIfDrifted(spark, root, 10.0,
+      seedStride = 25, eps = 1e-3)
+    assert(swapped.contains(1L) && StreamVectorIndex.currentGen(root).contains(1L))
+    assert(StreamVectorIndex.readCurrentIndex(spark, root).count() == totalRows,
+      "the new generation must hold every committed row")
+    assert(StreamVectorIndex.driftScore(root) == 0.0,
+      "the new generation's baseline is its own build — drift resets")
+
+    // quality: recall on the new index >= recall on the stale one
+    // (measured by the existing recall machinery over the same probes
+    // and the same brute-force truth), and the balance pathology that
+    // MOTIVATES the retrain is actually fixed — the stale quantizer
+    // crams the drifted cluster into a few giant lists
+    val all = StreamVectorIndex.readCurrentIndex(spark, root)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val probes = all.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+    val topk = udaf(new graft.functions.TopKAgg(5))
+    val brute = probes.join(all)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("id"),
+        call_function("cosine_sim", col("pemb"), col("embedding")).as("sim"))
+      .groupBy(col("probe_id")).agg(topk(col("sim"), col("id")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"))
+      .localCheckpoint()
+    def meanRecall(gen: Long): Double = {
+      val dir = StreamVectorIndex.genDir(root, gen)
+      val cents = spark.read.parquet(s"$dir/_centroids")
+      val approx = VectorQueries.probeListsFrom(
+        probes, cents, StreamVectorIndex.readIndex(spark, dir), 5)
+      VectorQueries.recallOf(brute, approx)
+        .agg(avg(col("recall_e6"))).collect().head.getDouble(0)
+    }
+    val staleRecall = meanRecall(0L)
+    val newRecall = meanRecall(1L)
+    assert(newRecall >= staleRecall,
+      s"retrain degraded recall: stale $staleRecall vs new $newRecall")
+    def maxListFraction(gen: Long): Double = {
+      val m = StreamVectorIndex.manifest(StreamVectorIndex.genDir(root, gen))
+      m.values.max.toDouble / m.values.sum
+    }
+    assert(maxListFraction(1L) < maxListFraction(0L),
+      s"retrain must fix the list imbalance: stale ${maxListFraction(0L)} vs new ${maxListFraction(1L)}")
+  }
 }
