@@ -229,6 +229,32 @@ final class IncrementalPipeline(
       // not once per consumer (`ChangeApply.applyChanges` caches for the
       // same reason). Unpersisted after the version commit.
       val latest = ChangeApply.dedupLatestPerKey(changes, defAt.mergeKeys).cache()
+      // Out-of-order-delivery guard: the merge applies each key's
+      // latest IN-BATCH image unconditionally, so a file delivered
+      // AFTER files carrying newer commit-ts (a listing anomaly on an
+      // eventually-consistent store, or a mis-ordered backfill) would
+      // silently stomp newer images with older ones. A commit-ts
+      // high-water mark on the target makes that loud: any NEW batch
+      // carrying events at-or-under the applied watermark fails the
+      // trigger (replays are exempt — their version id is already
+      // materialized, and the idempotent no-op path handles them).
+      // One tiny agg over the cached frame per trigger.
+      val tsBounds = latest.agg(
+        min(col(Envelope.CommitTsCol)), max(col(Envelope.CommitTsCol))).head()
+      val (minTs, maxTs) =
+        if (tsBounds.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+        else (tsBounds.getLong(0), tsBounds.getLong(1))
+      // strict `<`: a transaction's rows may legitimately split across
+      // a file boundary, putting equal commit-ts in consecutive batches
+      // (same ts = same image, idempotent to reapply)
+      val hwm = target.readMarker("cdc_hwm").map(_.toLong).getOrElse(Long.MinValue)
+      if (!target.hasVersion(vId) && minTs < hwm) {
+        latest.unpersist()
+        sys.error(s"CDC events delivered out of order for ${cfg.schemaName}." +
+          s"${cfg.tableName}: batch $vId carries commit_ts $minTs under the " +
+          s"applied watermark $hwm — applying it would overwrite newer row " +
+          "images; fix the file ordering (or re-snapshot) instead of corrupting the target")
+      }
       try {
         if (defAt.tableVersion != curDef.tableVersion) {
           // M5: DDL pending — a schema change rewrites every bucket once
@@ -280,6 +306,7 @@ final class IncrementalPipeline(
       Failpoints.hit("cdc.after-version-land")
       emitWarehouseSql(vId, curDef, defAt, reg, paths)
       target.writeMarker("schema_version", defAt.tableVersion.toString)
+      if (maxTs > hwm) target.writeMarker("cdc_hwm", maxTs.toString)
       metrics.set(metrics.Names.TableVersion, cfg.tableName, defAt.tableVersion)
       metrics.add(metrics.Names.IncrementLoadedBytes, cfg.tableName, paths.map(fileSize).sum)
       curDef = defAt

@@ -965,6 +965,52 @@ class StreamingPipelineSpec extends AnyFunSuite {
       s"FAILFAST run must die on the corrupt file: $e")
   }
 
+  test("out-of-order CDC delivery fails loudly instead of stomping newer images") {
+    // the merge applies each key's latest IN-BATCH image unconditionally,
+    // so a file arriving after files with newer commit-ts (listing
+    // anomaly on an eventually-consistent store, mis-ordered backfill)
+    // would silently overwrite new data with old — the soak surfaced
+    // exactly this with same-mtime fixtures. The commit-ts high-water
+    // mark makes it a loud trigger failure.
+    val root = Files.createTempDirectory("graft-ooo").toString
+    val inc = s"$root/increment"
+    val key = PathCodec.DmlPathKey("tpch", "orders", 100L, 0L, "2024-01-01")
+    Files.createDirectories(Paths.get(PathCodec.dmlPath(inc, key, 1L)).getParent)
+    Files.writeString(Paths.get(PathCodec.schemaPath(inc, "tpch", "orders", 100L)),
+      TableDefJson.write(defV100))
+    val cfg = PipelineConfig(
+      incrementRoot = inc, schemaName = "tpch", tableName = "orders",
+      targetRoot = s"$root/target", checkpointDir = s"$root/ckpt",
+      seed = defV100.copy(tableVersion = 0L), startTso = 10L)
+    Files.createDirectories(Paths.get(s"$root/snapshot"))
+
+    // file 1 carries commit-ts 50; it lands and sets the watermark
+    Files.writeString(Paths.get(PathCodec.dmlPath(inc, key, 1L)),
+      "\"I\",\"orders\",\"tpch\",\"50\",7,\"NEW\",70.0\n")
+    val q1 = ReplicationJob.replicateTable(spark, snapshotDf, s"$root/snapshot", cfg).get
+    q1.processAllAvailable()
+    q1.stop()
+    val target = new TargetTable(spark, cfg.targetRoot)
+    assert(target.readMarker("cdc_hwm").contains("50"))
+
+    // file 2 arrives LATE carrying commit-ts 20 — an older image of the
+    // same key that would silently roll price 70 back to 20
+    Files.writeString(Paths.get(PathCodec.dmlPath(inc, key, 2L)),
+      "\"U\",\"orders\",\"tpch\",\"20\",7,\"OLD\",20.0\n")
+    val q2 = new IncrementalPipeline(spark, cfg).start()
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null || t.getCause == t) Option(t.getMessage).getOrElse("")
+      else rootMsg(t.getCause)
+    assert(rootMsg(e).contains("out of order"),
+      s"late delivery must fail with the ordering message: ${rootMsg(e)}")
+    // the target kept the NEWER image
+    assert(target.read().filter(col("o_orderkey") === 7)
+      .select("o_price").as[Double].collect().toSeq == Seq(70.0),
+      "the stale image must not have landed")
+  }
+
   test("DDL passthrough classification matches the reference's dispatch") {
     import graft.catalog.SchemaEvolution
     import graft.catalog.SchemaEvolution._
