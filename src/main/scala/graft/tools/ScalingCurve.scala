@@ -40,8 +40,15 @@ object ScalingCurve {
     * time ratio for a 10× input ratio. */
   val ExpCeiling = 1.3
   /** Queries faster than this at sf0.1 are overhead/noise-dominated —
-    * their exponents are not plan signal. */
-  val GateFloorSec = 1.0
+    * their exponents are not plan signal. 0.5 s is readable ONLY
+    * because the committed sweeps are 3-run medians
+    * (`SPARK_GRAFT_RUNS=3`); single-run sweeps carry multi-× noise at
+    * this range and needed the old 1 s floor. */
+  val GateFloorSec = 0.5
+  /** Exponent-GRADED floor: with median sweeps, growth exponents are
+    * meaningful evidence (reported, trended) well below the red-list
+    * gate — down to where JVM/plan overhead itself dominates. */
+  val GradeFloorSec = 0.05
   /** The same jitter discipline applied to the DENOMINATOR: exp_last is
     * only plan signal when t(sf0.01) clears the floor scaled down by
     * the decade (a 0.05 s jitter under a 2 s sf0.1 time reads as a
@@ -87,6 +94,13 @@ object ScalingCurve {
       case Some(_) => false
       case None => t.init.exists(_.isDefined)
     }
+
+    /** Exponent-graded = this row's growth exponent is readable
+      * evidence (slow enough at sf0.1 to clear the overhead floor,
+      * both last-decade legs measured) — the report's coverage figure,
+      * wider than the red-list gate. */
+    def graded: Boolean =
+      t.last.exists(_ >= GradeFloorSec) && !expLast.isNaN
   }
 
   /** Build the per-query curve rows from the three sweep maps (ordered
@@ -119,6 +133,15 @@ object ScalingCurve {
     Some(m)
   }
 
+  /** Repeat-run count recorded in a per-SF artifact (1 for pre-median
+    * sweeps that predate the field). */
+  def loadRuns(sf: String): Int = {
+    val p = Paths.get(s"bench/timings_$sf.json")
+    if (!Files.isRegularFile(p)) return 1
+    """"runs":(\d+)""".r.findFirstMatchIn(Files.readString(p))
+      .map(_.group(1).toInt).getOrElse(1)
+  }
+
   private def num(d: Double): String =
     if (d.isNaN) "null" else f"$d%.4f".replace(',', '.')
 
@@ -138,9 +161,11 @@ object ScalingCurve {
       s"""  {"q":"${r.name}",$ts,"exp_last":${num(r.expLast)},"exp_overall":${num(r.expOverall)},"gate_exp":${num(r.gateExp)},"red":${r.red}$just}"""
     }
     val red = rows.filter(_.red)
+    val graded = rows.count(_.graded)
+    val runs = Sfs.map(loadRuns)
     val out = new StringBuilder
     out ++= "{\n"
-    out ++= s""" "exp_ceiling":$ExpCeiling,"gate_floor_sec":$GateFloorSec,"mid_floor_sec":$MidFloorSec,"queries":${rows.size},"red":${red.size},\n"""
+    out ++= s""" "exp_ceiling":$ExpCeiling,"gate_floor_sec":$GateFloorSec,"mid_floor_sec":$MidFloorSec,"grade_floor_sec":$GradeFloorSec,"runs_per_sf":[${runs.mkString(",")}],"queries":${rows.size},"graded":$graded,"red":${red.size},\n"""
     out ++= " \"rows\":[\n" + lines.mkString(",\n") + "\n ]\n}\n"
     Files.createDirectories(Paths.get("bench"))
     Files.writeString(Paths.get("bench/scaling_report.json"), out.toString)
@@ -162,6 +187,6 @@ object ScalingCurve {
         sys.exit(1)
       }
     }
-    println(s"""{"metric":"scaling_red","value":${red.size},"queries":${rows.size},"report":"bench/scaling_report.json"}""")
+    println(s"""{"metric":"scaling_red","value":${red.size},"queries":${rows.size},"graded":$graded,"report":"bench/scaling_report.json"}""")
   }
 }

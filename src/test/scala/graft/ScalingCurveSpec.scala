@@ -68,7 +68,7 @@ class ScalingCurveSpec extends AnyFunSuite {
     // erode the discipline the map exists for
     val rows = ScalingCurve.buildRows(Seq(
       Map("jit" -> 0.2, "blow" -> 0.02),
-      Map("jit" -> 0.05, "blow" -> 0.05),
+      Map("jit" -> ScalingCurve.MidFloorSec * 0.6, "blow" -> ScalingCurve.MidFloorSec * 0.6),
       Map("jit" -> 2.0, "blow" -> 40.0)))
     val byName = rows.map(r => r.name -> r).toMap
     assert(byName("jit").expLast > ScalingCurve.ExpCeiling, "fixture: the noisy exp_last must exceed the ceiling")
@@ -100,5 +100,22 @@ class ScalingCurveSpec extends AnyFunSuite {
     assert(unjustified.isEmpty,
       "superlinear growth without a plan-level justification: " +
         unjustified.map(r => f"${r.name} exp_last=${r.expLast}%.2f").mkString(", "))
+  }
+
+  test("median sweeps grade the mid-weight majority, not just the slow tail") {
+    // with 3-run medians the growth exponents are readable evidence far
+    // below the red-list gate; a regression to single-run sweeps (or a
+    // collapse in how many queries clear the overhead floor) would
+    // silently shrink the 100x evidence back to the slow tail
+    val maps = ScalingCurve.Sfs.map(ScalingCurve.loadMap)
+    assume(maps.forall(_.isDefined))
+    val runs = ScalingCurve.Sfs.map(ScalingCurve.loadRuns)
+    assert(runs.forall(_ >= 3),
+      s"per-SF sweeps of record must be >=3-run medians (SPARK_GRAFT_RUNS=3), got $runs")
+    val rows = ScalingCurve.buildRows(maps.map(_.get))
+    val graded = rows.count(_.graded)
+    info(s"exponent-graded: $graded of ${rows.size}")
+    assert(graded >= 170,
+      s"only $graded of ${rows.size} queries are exponent-graded — sweep discipline regressed")
   }
 }
