@@ -90,6 +90,60 @@ class PlanLintSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-side collect inventory: every site pinned with a bounded-size justification") {
+    // the one scale-killer a physical-plan walk cannot see: a
+    // `.collect()` whose row count is data-proportional lives in
+    // query-CONSTRUCTION code, not in the plan. This pins every such
+    // site in src/main to a per-file count + justification naming the
+    // BOUNDED term — a new collect fails CI until it is argued here,
+    // mechanizing what was previously a manual per-round audit.
+    val pattern = """\.collect\(\)|\.collectAsList\(\)|\.toLocalIterator""".r
+    val justified: Map[String, (Int, String)] = Map(
+      "queries/VectorQueries.scala" -> (4 ->
+        "quantizer model state: kmeans centroid frames (≤ |centroids|), PQ training pools capped at PqPoolTarget"),
+      "snapshot/DataLayoutN.scala" -> (3 ->
+        "layout boundary stats and file lists — O(buckets|files), metadata not data"),
+      "snapshot/DataLayout.scala" -> (2 ->
+        "z-order boundary stats — O(buckets)"),
+      "snapshot/ShardedExport.scala" -> (2 ->
+        "per-shard row counts for the commit manifest — ≤ numShards rows"),
+      "streaming/StreamShardedExport.scala" -> (2 ->
+        "per-shard counts of the tmp write for marker publication — ≤ numShards rows"),
+      "streaming/IncrementalPipeline.scala" -> (2 ->
+        "distinct CDC file paths per trigger — ≤ files/trigger at the 64 MiB file cap, never row data"),
+      "streaming/StreamVectorIndex.scala" -> (1 ->
+        "dense list index of the frozen quantizer — |centroids| longs"),
+      "streaming/StreamLexicalIndex.scala" -> (1 ->
+        "shard/term-bucket map — model-sized"),
+      "streaming/StreamGraphIndex.scala" -> (1 ->
+        "touched coarse cells per epoch — ≤ |cells|"),
+      "snapshot/TargetTable.scala" -> (1 ->
+        "touched bucket ids per merge — ≤ numBuckets ints, never row data"),
+      "snapshot/BloomIndex.scala" -> (1 ->
+        "per-bucket bloom bitsets — O(buckets) model state"),
+      "queries/BpeQueries.scala" -> (1 ->
+        "learned merge table — vocab-sized model state"),
+      "merge/TableDiff.scala" -> (1 ->
+        "per-bucket (rows, hashsum) summaries — N_buckets rows by construction"))
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val found = scala.util.Using.resource(java.nio.file.Files.walk(root)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .map { p =>
+          root.relativize(p).toString ->
+            pattern.findAllIn(java.nio.file.Files.readString(p)).size
+        }
+        .filter(_._2 > 0).toMap
+    }
+    val unjustified = found.filterNot { case (f, n) => justified.get(f).exists(_._1 == n) }
+    assert(unjustified.isEmpty,
+      "collect sites without a current justification (new site, or count drifted — " +
+        s"re-argue the bounded term in PlanLintSpec): $unjustified")
+    val stale = justified.keys.filterNot(found.contains)
+    assert(stale.isEmpty, s"stale collect justifications (sites removed): $stale")
+  }
+
   test("every registered query's executed plan lints clean at sf0.01") {
     Tables.prepareAll(spark, sf)
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
