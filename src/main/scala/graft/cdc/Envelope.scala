@@ -122,20 +122,23 @@ object Envelope {
 
   /** The permissive twin of [[parseFiles]] (the quoted-newline repair
     * read), same output shape as [[parseLinesSplit]]: `_src_path`,
-    * `value` (the raw record text for structurally corrupt rows, null
-    * for parsed ones — multiLine reads have no per-line original),
-    * `_c{i}`, [[ReasonCol]]. */
+    * `value`, `_c{i}`, [[ReasonCol]]. MultiLine reads have no per-line
+    * original, so `value` is the parser's raw record text for
+    * structurally corrupt rows and the re-rendered parsed fields for
+    * rows that parsed but fail the envelope — either way the
+    * quarantine record carries triage-able content. */
   def parseFilesSplit(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       nDataCols: Int): DataFrame = {
     val schema = rawSchemaFor(nDataCols).add(StructField(CorruptCol, StringType, nullable = true))
+    val cs = (0 until 4 + nDataCols).map(i => col(s"_c$i"))
     classify(spark.read
       .options(csvOptions + ("multiLine" -> "true") +
         ("columnNameOfCorruptRecord" -> CorruptCol))
       .schema(schema)
       .csv(paths: _*)
       .select(col("_metadata.file_path").as("_src_path") +:
-        col(CorruptCol).as("value") +:
-        (0 until 4 + nDataCols).map(i => col(s"_c$i")) :+
+        coalesce(col(CorruptCol), to_csv(struct(cs: _*))).as("value") +:
+        cs :+
         col(CorruptCol): _*))
   }
 

@@ -72,6 +72,35 @@ class EnvelopeParseSpec extends AnyFunSuite {
       .select("_src_path").as[String].collect().sorted.toSeq == Seq("f1", "f2", "f2"))
   }
 
+  test("parseFilesSplit: the multiLine repair read classifies corruption and keeps quoted-newline records whole") {
+    // a file that routes to the repair path (quoted field embedding a
+    // newline) can ALSO carry corrupt rows — the permissive twin must
+    // both repair the split record and quarantine the bad ones
+    val dir = java.nio.file.Files.createTempDirectory("env-files-split")
+    val f = dir.resolve("CDC0001.csv")
+    java.nio.file.Files.writeString(f,
+      "\"I\",\"t\",\"s\",\"11\",1,\"first\nsecond line of the same record\"\n" +
+        "\"X\",\"t\",\"s\",\"12\",2,\"bad flag\"\n" +
+        "\"U\",\"t\",\"s\",\"13\",3,\"fine\"\n")
+    val split = graft.cdc.Envelope.parseFilesSplit(spark, Seq(f.toString), cols.size)
+    val rows = split
+      .select(col("_c4"), col(Envelope.ReasonCol))
+      .as[(String, Option[String])].collect().toMap
+    assert(rows.size == 3, s"three records expected, got $rows")
+    assert(rows("1").isEmpty, "the repaired quoted-newline record is clean")
+    assert(rows("2").contains(Envelope.ReasonBadFlag))
+    assert(rows("3").isEmpty)
+    // the embedded newline survived the repair intact
+    val v = split.filter(col("_c4") === "1").select("_c5").as[String].collect().head
+    assert(v == "first\nsecond line of the same record", s"newline record torn: $v")
+    // and the good rows project through the normal typed path
+    val good = Envelope.project(split.filter(col(Envelope.ReasonCol).isNull), cols)
+    assert(good.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // source attribution for the quarantine record
+    assert(split.filter(col(Envelope.ReasonCol).isNotNull)
+      .select("_src_path").as[String].collect().head.endsWith("CDC0001.csv"))
+  }
+
   test("quoteUnbalanced flags split halves, not escaped quotes or clean lines") {
     val rows = Seq(
       (""""I","t","s","11",1,"plain"""", false), // balanced

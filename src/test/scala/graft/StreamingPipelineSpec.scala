@@ -903,6 +903,13 @@ class StreamingPipelineSpec extends AnyFunSuite {
           |"I","orders","tpch","13",6,"F",60.0,"extra","width"
           |"U","orders","tpch","14",3,"F",31.0
           |""".stripMargin)
+      // a DIRTY file (quoted-newline record routes it to the multiLine
+      // repair read) that ALSO carries a corrupt row — the quarantine
+      // lane must work through BOTH parse paths in one trigger
+      Files.writeString(
+        Paths.get(PathCodec.dmlPath(inc, key, 2L)),
+        "\"I\",\"orders\",\"tpch\",\"15\",8,\"multi\nline\",80.0\n" +
+          "\"Z\",\"orders\",\"tpch\",\"16\",9,\"BADFLAG2\",1.0\n")
     }
 
     // lane ON: the trigger completes, good rows merge, dead letters land
@@ -923,21 +930,26 @@ class StreamingPipelineSpec extends AnyFunSuite {
 
     val target = new TargetTable(spark, cfg.targetRoot)
     val got = target.read().as[(Long, String, Double)].collect().toSet
-    // snapshot {1,2,3}; good stream rows: insert 4, update 3; every
+    // snapshot {1,2,3}; good stream rows: insert 4, update 3, plus the
+    // repaired quoted-newline insert 8 from the DIRTY file; every
     // corrupt row quarantined — none landed, none killed the trigger
-    assert(got == Set((1L, "O", 10.0), (2L, "O", 20.0), (3L, "F", 31.0), (4L, "O", 40.5)),
+    assert(got == Set((1L, "O", 10.0), (2L, "O", 20.0), (3L, "F", 31.0),
+      (4L, "O", 40.5), (8L, "multi\nline", 80.0)),
       s"quarantine run landed the wrong image: $got")
 
     val dead = new IncrementalPipeline(spark, cfg).readQuarantine()
       .select("reason", "raw").as[(String, String)].collect().toSeq
     assert(dead.map(_._1).sorted ==
-      Seq("bad_commit_ts", "bad_flag", "structural"),
+      Seq("bad_commit_ts", "bad_flag", "bad_flag", "structural"),
       s"dead letters misclassified: $dead")
     // accounting invariant: rows_landed + rows_quarantined = rows_seen
-    // (5 lines; 2 good envelope rows continued, 3 quarantined)
-    assert(dead.size == 3)
-    // the raw line is preserved for operator triage
+    // (7 records across both parse paths; 3 good envelope rows
+    // continued, 4 quarantined)
+    assert(dead.size == 4)
+    // the raw line is preserved for operator triage — on BOTH paths
     assert(dead.exists(_._2.contains("BADFLAG")), s"raw line lost: $dead")
+    assert(dead.exists(_._2.contains("BADFLAG2")),
+      s"multiLine-path raw record lost: $dead")
 
     // replay idempotence: re-landing the same version id must not
     // double-count dead letters
