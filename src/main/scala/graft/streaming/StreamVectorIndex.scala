@@ -120,7 +120,7 @@ object StreamVectorIndex {
     else None
   }
 
-  private def writeGenPointer(root: String, gen: Long): Unit = {
+  private[graft] def writeGenPointer(root: String, gen: Long): Unit = {
     val dir = java.nio.file.Paths.get(root)
     java.nio.file.Files.createDirectories(dir)
     val tmp = dir.resolve("_current_gen.tmp")
@@ -204,6 +204,31 @@ object StreamVectorIndex {
       if (o1 + o2 == 0) 0.0
       else { val d = o1 * n2 - o2 * n1; d * d / ((o1 + o2) * n1 * n2) }
     }.sum
+  }
+
+  /** Drop retired generations, keeping the serving one plus `keep`
+    * predecessors (in-flight readers may still hold the previous
+    * generation — the TargetTable gc rule). Generations ABOVE the
+    * serving pointer are never touched: a landed-but-unswapped next
+    * generation belongs to a crashed retrain whose replay completes
+    * the swap. Idempotent; returns the generations deleted. */
+  def gcGenerations(root: String, keep: Int = 1): Seq[Long] = {
+    val cur = currentGen(root).getOrElse(return Nil)
+    val rootPath = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(rootPath)) return Nil
+    val gens = scala.util.Using.resource(java.nio.file.Files.list(rootPath)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toList
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .flatMap(p => "gen=(\\d+)".r.findFirstMatchIn(p.getFileName.toString)
+          .map(_.group(1).toLong))
+    }
+    val doomed = gens.filter(_ < cur - keep).sorted
+    doomed.foreach { g =>
+      graft.snapshot.ShardedExport.deleteRecursively(
+        java.nio.file.Paths.get(genDir(root, g)))
+    }
+    doomed
   }
 
   /** Retrain on the full committed corpus and atomically swap serving

@@ -192,4 +192,26 @@ class StreamVectorIndexSpec extends AnyFunSuite {
     assert(maxListFraction(1L) < maxListFraction(0L),
       s"retrain must fix the list imbalance: stale ${maxListFraction(0L)} vs new ${maxListFraction(1L)}")
   }
+
+  test("generation gc keeps serving + history, never a landed-but-unswapped successor") {
+    val vecs = corpus().select(col("vec_id"), col("embedding")).limit(100).localCheckpoint()
+    val cents = VectorQueries.sampledCentroids(vecs).cache()
+    val root = tmpDir()
+    // four landed generations; serving pointer at 2 — gen 3 is a
+    // crashed retrain's land awaiting its replayed swap
+    (0L to 3L).foreach(g => StreamVectorIndex.buildGeneration(vecs, cents, root, g))
+    StreamVectorIndex.writeGenPointer(root, 2L)
+    val deleted = StreamVectorIndex.gcGenerations(root, keep = 1)
+    assert(deleted == Seq(0L), s"only gen 0 is out of the retention window: $deleted")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(StreamVectorIndex.genDir(root, 0L))))
+    // serving, its predecessor, and the unswapped successor all survive
+    Seq(1L, 2L, 3L).foreach { g =>
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(StreamVectorIndex.genDir(root, g))), s"gen $g must survive")
+    }
+    // serving still reads after the sweep; idempotent rerun deletes nothing
+    assert(StreamVectorIndex.readCurrentIndex(spark, root).count() == 100)
+    assert(StreamVectorIndex.gcGenerations(root, keep = 1).isEmpty)
+  }
 }
