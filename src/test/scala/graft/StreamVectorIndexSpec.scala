@@ -193,6 +193,52 @@ class StreamVectorIndexSpec extends AnyFunSuite {
       s"retrain must fix the list imbalance: stale ${maxListFraction(0L)} vs new ${maxListFraction(1L)}")
   }
 
+  test("the generation lifecycle LOOPS: post-swap commits land in the new generation, a second drift cycle retrains again, gc trims history") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val root = tmpDir()
+    StreamVectorIndex.initIndex(vecs, VectorQueries.sampledCentroids(vecs), root)
+
+    // cycle 1: negated arrivals drift gen 0 → retrain → gen 1 serves
+    val negated = vecs.select((col("vec_id") + 200000L).as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    assert(StreamVectorIndex.commitBatchCurrent(negated, spark, root, epochId = 1L))
+    val d1 = StreamVectorIndex.driftScore(root)
+    info(f"cycle-1 drift $d1%.2f")
+    assert(d1 > 5.0, s"cycle-1 drift must exceed the threshold: $d1")
+    assert(StreamVectorIndex.retrainIfDrifted(spark, root, 5.0,
+      seedStride = 25, eps = 1e-3).contains(1L))
+    val gen1Rows = StreamVectorIndex.readCurrentIndex(spark, root).count()
+    assert(gen1Rows == 2 * vecs.count(), "gen 1 must hold the full committed corpus")
+
+    // post-swap arrivals land in the NEW generation, assigned with ITS
+    // quantizer — the serving loop continues across the swap
+    val copies = vecs.select((col("vec_id") + 300000L).as("vec_id"), col("embedding"))
+    assert(StreamVectorIndex.commitBatchCurrent(copies, spark, root, epochId = 2L))
+    assert(StreamVectorIndex.readCurrentIndex(spark, root).count() == gen1Rows + vecs.count(),
+      "post-swap arrivals must land in the serving generation")
+    // ...and gen 0 did NOT grow (the old generation is retired, not fed)
+    assert(StreamVectorIndex.readIndex(spark,
+      StreamVectorIndex.genDir(root, 0L)).count() == 2 * vecs.count())
+
+    // cycle 2: a THIRD distribution (dimension-reversed) drifts gen 1 —
+    // the loop is a loop, not a one-shot: retrain fires again, gen 2
+    // serves, and gc now retires gen 0 (outside serving + 1 history)
+    val reversed = vecs.select((col("vec_id") + 400000L).as("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    assert(StreamVectorIndex.commitBatchCurrent(reversed, spark, root, epochId = 3L))
+    val d2 = StreamVectorIndex.driftScore(root)
+    info(f"cycle-2 drift $d2%.2f")
+    assert(d2 > 5.0, s"second-cycle drift must register: $d2")
+    assert(StreamVectorIndex.retrainIfDrifted(spark, root, 5.0,
+      seedStride = 25, eps = 1e-3).contains(2L))
+    assert(StreamVectorIndex.currentGen(root).contains(2L))
+    assert(StreamVectorIndex.readCurrentIndex(spark, root).count() == 4 * vecs.count())
+    assert(StreamVectorIndex.gcGenerations(root, keep = 1) == Seq(0L))
+    assert(StreamVectorIndex.readCurrentIndex(spark, root).count() == 4 * vecs.count(),
+      "gc must not touch the serving generation's rows")
+  }
+
   test("generation gc keeps serving + history, never a landed-but-unswapped successor") {
     val vecs = corpus().select(col("vec_id"), col("embedding")).limit(100).localCheckpoint()
     val cents = VectorQueries.sampledCentroids(vecs).cache()
