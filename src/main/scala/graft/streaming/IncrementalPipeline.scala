@@ -362,14 +362,16 @@ final class IncrementalPipeline(
   }
 
   /** Land the quarantined rows for one version id, idempotently: the
-    * directory name IS the idempotence marker (same tmp→atomic-move
-    * protocol as the data lands), so a replayed batch never
-    * double-counts its dead letters. Empty batches write nothing —
-    * absence reads as zero. Returns the rows landed (0 on replay or
-    * all-clean). */
+    * `version=<vId>` directory name IS both the idempotence marker
+    * (same tmp→atomic-move protocol as the data lands, so a replayed
+    * batch never double-counts its dead letters) and a REAL partition
+    * column — the whole quarantine table stays one partitioned parquet
+    * read however many versions accumulate. Empty batches write
+    * nothing — absence reads as zero. Returns the rows landed (0 on
+    * replay or all-clean). */
   private def landQuarantine(bad: org.apache.spark.sql.DataFrame, vId: String): Long = {
     val qRoot = java.nio.file.Paths.get(cfg.quarantineDir.get)
-    val dest = qRoot.resolve(vId)
+    val dest = qRoot.resolve(s"version=$vId")
     if (java.nio.file.Files.exists(dest)) return 0L // replayed version
     // cheap probe on the cached parse — the common all-clean tick pays
     // one limit-1 job, never a write
@@ -384,23 +386,15 @@ final class IncrementalPipeline(
   }
 
   /** Every quarantined row across all landed versions —
-    * (file, reason, raw, version). */
+    * (file, reason, raw, version) — as ONE partition-discovered read:
+    * no per-version union, no plan growth with the version count, and
+    * a version-scoped triage query partition-prunes to its directory. */
   def readQuarantine(): org.apache.spark.sql.DataFrame = {
-    val qRoot = java.nio.file.Paths.get(cfg.quarantineDir.getOrElse(
-      sys.error("pipeline has no quarantineDir configured")))
-    val dirs =
-      if (!java.nio.file.Files.isDirectory(qRoot)) Seq.empty
-      else scala.util.Using.resource(java.nio.file.Files.list(qRoot)) { s =>
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toList
-          .filter(p => java.nio.file.Files.isDirectory(p) &&
-            !p.getFileName.toString.startsWith("."))
-      }
-    require(dirs.nonEmpty, s"no quarantined versions under $qRoot")
-    dirs.map { d =>
-      spark.read.parquet(d.toString)
-        .withColumn("version", lit(d.getFileName.toString))
-    }.reduce(_ unionByName _)
+    val qRoot = cfg.quarantineDir.getOrElse(
+      sys.error("pipeline has no quarantineDir configured"))
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(qRoot)),
+      s"no quarantined versions under $qRoot")
+    spark.read.parquet(qRoot)
   }
 
   private def walkCdcBytes(): Long = {
