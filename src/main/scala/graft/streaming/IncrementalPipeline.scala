@@ -69,8 +69,8 @@ final case class PipelineConfig(
     maintainView: Option[(String, String)] = None,
     // Dead-letter lane: when set, rows failing the envelope parse
     // (structurally corrupt, bad flag, unparseable commit-ts) land
-    // under `{quarantineDir}/{vId}/` with (file, reason, raw) and the
-    // trigger COMPLETES; unset keeps the FAILFAST contract (one corrupt
+    // under `{quarantineDir}/version={vId}/` with (file, reason, raw)
+    // and the trigger COMPLETES; unset keeps the FAILFAST contract (one corrupt
     // row kills the trigger loudly). rows_landed + rows_quarantined =
     // rows_seen — the accounting the cdc_quarantine_accounting oracle
     // row hash-gates.
