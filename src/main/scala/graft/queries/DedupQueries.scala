@@ -195,26 +195,31 @@ object DedupQueries {
         conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h"))
   }
 
-  /** MinHash signatures: one hash-agg; the k mins partial-aggregate
-    * map-side (all of a doc's shingles originate from one input row, so
-    * they share a partition), and the exchange carries ~1 row per doc. */
-  private def signatures(sh: DataFrame): DataFrame = {
+  /** Per-doc signature AND distinct shingle-hash set in ONE aggregation:
+    * `(doc_id, mh0..mhK-1, hs)`. Every minhash consumer needs both the
+    * band keys (from the signature) and the exact shingle sets (for the
+    * Jaccard verify), and computing them as two separate `groupBy(doc_id)`
+    * aggs costs a second full pass over the exploded shingle stream plus
+    * a second exchange (guide §2.4: two operations keyed the same way
+    * share one exchange). The k mins and the collect_set partial-aggregate
+    * map-side together — all of a doc's shingles originate from one input
+    * row — so the single exchange carries ~1 row per doc. Checkpointing
+    * THIS frame (instead of the exploded `(doc_id, h)` rows) also shrinks
+    * the materialized intermediate from one row per shingle to one row
+    * per doc. */
+  private[graft] def sigSets(docs: DataFrame): DataFrame = {
     val mins = HashParams.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % Prime).as(s"mh$i")
     }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    shingleHashes(docs)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail :+ collect_set(col("h")).as("hs"): _*)
   }
 
-  /** (doc_id, band, bkey) — all band keys in ONE pass over the signature
-    * (explode of an array of structs — no per-band union recomputing the
-    * signature). */
-  private[graft] def bandKeys(sh: DataFrame): DataFrame =
-    bandKeysOfSig(signatures(sh))
-
   /** Band keys over an ALREADY-computed signature frame — the seam that
-    * lets the estimator-error report reuse one materialized signature
-    * for both banding and per-pair agreement. */
-  private def bandKeysOfSig(sig: DataFrame): DataFrame = {
+    * lets every consumer reuse one materialized sigSets frame for
+    * banding, per-pair agreement, and the Jaccard verify. */
+  private[graft] def bandKeysOfSig(sig: DataFrame): DataFrame = {
     val bandArr = array((0 until MinhashK / BandRows).map { bandIdx =>
       val cols = (0 until BandRows).map(r => col(s"mh${bandIdx * BandRows + r}"))
       struct(lit(bandIdx).as("band"), concat_ws("_", cols: _*).as("bkey"))
@@ -226,16 +231,16 @@ object DedupQueries {
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val sh = shingleHashes(docs).localCheckpoint(true)
-    val bands = bandKeys(sh)
-      // read 3x (oversized agg + self-join sides); unmaterialized the
-      // signature hash-agg over every shingle reruns each time.
-      // localCheckpoint (not cache): graph_triangles routes through this
-      // builder too, and cached blocks would outlive every sweep.
-      .localCheckpoint(true)
+    // ONE aggregation produces the signature + shingle sets (sigSets);
+    // the checkpoint holds ~1 row/doc and every downstream read (band
+    // keys ×3, both verify sides) is a cheap in-memory projection.
+    // localCheckpoint (not cache): graph_triangles routes through this
+    // builder too, and cached blocks would outlive every sweep.
+    val perDoc = sigSets(docs).localCheckpoint(true)
+    val bands = bandKeysOfSig(perDoc)
     val candidates = cappedCandidatePairs(bands)
     // verify candidates with exact shingle-set Jaccard
-    val sa = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    val sa = perDoc.select(col("doc_id"), col("hs"))
     val verified = candidates
       .join(sa.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
       .join(sa.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
@@ -336,8 +341,10 @@ object DedupQueries {
   // exact_e6 by integer division, 0.1-wide buckets by div 1e5).
   def dedupMinhashError(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val sh = shingleHashes(docs).localCheckpoint(true)
-    val sig = signatures(sh).localCheckpoint(true)
+    // signature + shingle sets from ONE aggregation (sigSets) — the
+    // previous two-checkpoint shape (exploded shingles, then a second
+    // signature agg over them) paid an extra pass and an extra exchange
+    val sig = sigSets(docs).localCheckpoint(true)
     val cand = cappedCandidatePairs(bandKeysOfSig(sig))
     val sigA = sig.select(col("doc_id").as("doc_a") +:
       (0 until MinhashK).map(i => col(s"mh$i").as(s"a$i")): _*)
@@ -346,7 +353,7 @@ object DedupQueries {
     val matches = (0 until MinhashK)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val hsets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    val hsets = sig.select(col("doc_id"), col("hs"))
     val pairs = cand
       .join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), matches.as("matches"))
@@ -404,9 +411,10 @@ object DedupQueries {
   def dedupThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents")
-    val sh = shingleHashes(docs).localCheckpoint(true)
-    val cand = cappedCandidatePairs(bandKeys(sh))
-    val hsets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    // one sigSets agg, one per-doc checkpoint (same shape as minhashLsh)
+    val perDoc = sigSets(docs).localCheckpoint(true)
+    val cand = cappedCandidatePairs(bandKeysOfSig(perDoc))
+    val hsets = perDoc.select(col("doc_id"), col("hs"))
     val pairs = cand
       .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
       .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))

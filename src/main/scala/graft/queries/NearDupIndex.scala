@@ -32,23 +32,24 @@ final case class NearDupIndex(bands: DataFrame, hsets: DataFrame) {
 }
 
 object NearDupIndex {
-  import DedupQueries.{bandKeys, shingleHashes, MinhashBucketCap}
+  import DedupQueries.{bandKeysOfSig, sigSets, MinhashBucketCap}
 
   /** Build the index from a corpus frame carrying (`doc_id`, `text`).
     * Band buckets larger than the skew cap are dropped at BUILD time —
     * the cap belongs to the corpus side (where the mass sits), so every
     * later increment inherits it for free. */
   def build(corpus: DataFrame): NearDupIndex = {
-    // read 2x: band keys + shingle sets. localCheckpoint (not cache) —
-    // fuzzy decontamination builds a fresh index per call, and cached
-    // blocks would accumulate across Verify/Bench sweeps.
-    val sh = shingleHashes(corpus).localCheckpoint(true)
-    val bands = bandKeys(sh)
+    // ONE aggregation (sigSets) yields band keys + shingle sets; the
+    // checkpoint holds ~1 row/doc instead of one row per shingle.
+    // localCheckpoint (not cache) — fuzzy decontamination builds a fresh
+    // index per call, and cached blocks would accumulate across sweeps.
+    val perDoc = sigSets(corpus).localCheckpoint(true)
+    val bands = bandKeysOfSig(perDoc)
     val oversized = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
       .select(col("band"), col("bkey"))
     val capped = bands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
-    val hsets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    val hsets = perDoc.select(col("doc_id"), col("hs"))
     NearDupIndex(capped, hsets)
   }
 
@@ -67,14 +68,15 @@ object NearDupIndex {
     * verify joins touch just the candidate docs' shingle sets. */
   def matchBatch(index: NearDupIndex, newDocs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(newDocs).localCheckpoint(true) // read 2x: band keys + shingle sets
-    val batchBands = bandKeys(sh)
+    // one sigSets agg + per-doc checkpoint (read 2x: band keys + sets)
+    val perDoc = sigSets(newDocs).localCheckpoint(true)
+    val batchBands = bandKeysOfSig(perDoc)
     val candidates = index.bands
       .join(broadcast(batchBands.select(col("band"), col("bkey"), col("doc_id").as("new_id"))),
         Seq("band", "bkey"))
       .select(col("new_id"), col("doc_id").as("dup_of"))
       .distinct()
-    val newHsets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    val newHsets = perDoc.select(col("doc_id"), col("hs"))
     candidates
       .join(newHsets.select(col("doc_id").as("new_id"), col("hs").as("ha")), Seq("new_id"))
       .join(index.hsets.select(col("doc_id").as("dup_of"), col("hs").as("hb")), Seq("dup_of"))

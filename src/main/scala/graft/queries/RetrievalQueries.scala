@@ -598,19 +598,26 @@ object RetrievalQueries {
       .select(col("b_id"), topkAvg(col("nn")).as("avg_b"))
   }
 
-  def retrievalBitextMine(spark: SparkSession, sfDir: String): DataFrame = {
-    VectorFunctions.register(spark)
+  /** Both language sides embedded and checkpointed — each frame feeds
+    * the forward and backward passes; eager localCheckpoint = ONE corpus
+    * scan per language (in production the embeddings are a precomputed
+    * table anyway — the checkpoint stands in for reading it). Shared by
+    * the exact face, the IVF face, and the recall row (which runs BOTH
+    * faces and would otherwise re-embed each side twice). */
+  private def bitextFrames(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val docs = Tables.load(spark, sfDir, "documents")
-    // each language frame feeds both the forward and backward passes;
-    // eager localCheckpoint = ONE corpus scan per language (in
-    // production the embeddings are a precomputed table anyway — the
-    // checkpoint stands in for reading it)
     val en = docs.filter(col("lang") === "en")
       .select(col("doc_id").as("a_id"), bitextEmb(col("text")).as("ea"))
       .localCheckpoint(true)
     val de = docs.filter(col("lang") === "de")
       .select(col("doc_id").as("b_id"), bitextEmb(col("text")).as("eb"))
       .localCheckpoint(true)
+    (en, de)
+  }
+
+  def retrievalBitextMine(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val (en, de) = bitextFrames(spark, sfDir)
     mineCore(en, de, en.filter(col("a_id") % MineAStride === 0))
   }
 
@@ -688,13 +695,14 @@ object RetrievalQueries {
 
   def retrievalBitextMineIvf(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
-    val docs = Tables.load(spark, sfDir, "documents")
-    val en = docs.filter(col("lang") === "en")
-      .select(col("doc_id").as("a_id"), bitextEmb(col("text")).as("ea"))
-      .localCheckpoint(true)
-    val de = docs.filter(col("lang") === "de")
-      .select(col("doc_id").as("b_id"), bitextEmb(col("text")).as("eb"))
-      .localCheckpoint(true)
+    val (en, de) = bitextFrames(spark, sfDir)
+    mineIvfCore(en, de)
+  }
+
+  /** The IVF mining face over already-embedded language frames — split
+    * out so the recall row can run both faces on ONE pair of embedded
+    * checkpoints. */
+  private def mineIvfCore(en: DataFrame, de: DataFrame): DataFrame = {
     val probes = en.filter(col("a_id") % MineAStride === 0)
     // the growing side's one-time index: sampled coarse quantizer +
     // one assignment scan (persistable exactly like prepareIvfIndex)
@@ -768,10 +776,15 @@ object RetrievalQueries {
   // run, accepted (a,b) pairs intersect through one keyed join, and
   // the single integer row is hash-gated cross-engine every round.
   def retrievalBitextIvfRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = retrievalBitextMine(spark, sfDir)
+    VectorFunctions.register(spark)
+    // embed each language side ONCE and run both faces on the shared
+    // checkpoints — calling the two public queries would re-scan the
+    // corpus and recompute both embedding projections a second time
+    val (en, de) = bitextFrames(spark, sfDir)
+    val exact = mineCore(en, de, en.filter(col("a_id") % MineAStride === 0))
       .filter(col("accept") === 1).select(col("a_id"), col("b_id"))
       .localCheckpoint(true) // read by the intersect and its own count
-    val ivf = retrievalBitextMineIvf(spark, sfDir)
+    val ivf = mineIvfCore(en, de)
       .filter(col("accept") === 1).select(col("a_id"), col("b_id"))
       .localCheckpoint(true)
     val common = exact.join(ivf, Seq("a_id", "b_id"))

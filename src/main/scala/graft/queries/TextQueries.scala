@@ -913,14 +913,22 @@ object TextQueries {
     val pairs = lmPairs(docs)
     val perDoc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c")).persist()
+    // the LM table is corpus-sublinear and feeds THREE consumers (ctx,
+    // vocab, the scoring join) — persist it so each reads the small
+    // cached frame instead of re-aggregating the per-doc stream
     val lm = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
+      .persist()
     val ctx = lm.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     val vocab = lm.agg(countDistinct(col("w2")).as("v"))
     val bits = -col("c") *
       log2((col("cb") + lit(LmAlpha)) / (col("cu") + lit(LmAlpha) * col("v")))
+    // attach ctx to the (sublinear) LM table FIRST, then join the
+    // per-doc stream once on (w1, w2) — the previous two-step join
+    // shuffled the per-doc stream twice, once per key (guide §2.4);
+    // every lm row has a ctx row by construction, so the inner joins
+    // produce identical rows in either order
     perDoc
-      .join(lm, Seq("w1", "w2"))
-      .join(ctx, Seq("w1"))
+      .join(lm.join(ctx, Seq("w1")), Seq("w1", "w2"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
