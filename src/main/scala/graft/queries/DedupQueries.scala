@@ -85,8 +85,9 @@ object DedupQueries {
       // ~1 row/doc with its shingle set; reused by sh + both verify
       // sides. localCheckpoint (not cache) so repeated Verify/Bench
       // sweeps don't accumulate storage memory — blocks are
-      // context-cleaned when the frame is GC'd.
-      .localCheckpoint(true)
+      // context-cleaned when the frame is GC'd. Lazy: the query's one
+      // action materializes it at first use.
+      .localCheckpoint(false)
     val sh = docs.select(col("doc_id"), explode(col("t")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // per-doc rarity-ordered prefix: ONE hash-agg (collect_list) + a
@@ -97,7 +98,10 @@ object DedupQueries {
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ts"))
       .select(col("doc_id"),
         explode(transform(slice(col("ts"), lit(1), p), s => s.getField("sh"))).as("psh"))
-      .localCheckpoint(true) // self-joined below: without this the dfreq pipeline runs twice
+      // self-joined below: without this the dfreq pipeline runs twice.
+      // Lazy: the oversized-bucket broadcast subquery materializes it
+      // before the self-join consumers run.
+      .localCheckpoint(false)
     // skew guard, same cap as the minhash/simhash band joins: a
     // degenerate corpus (thousands of docs sharing their RAREST shingle,
     // e.g. mass-duplicates) would make one prefix bucket quadratic.
@@ -236,7 +240,7 @@ object DedupQueries {
     // keys ×3, both verify sides) is a cheap in-memory projection.
     // localCheckpoint (not cache): graph_triangles routes through this
     // builder too, and cached blocks would outlive every sweep.
-    val perDoc = sigSets(docs).localCheckpoint(true)
+    val perDoc = sigSets(docs).localCheckpoint(false)
     val bands = bandKeysOfSig(perDoc)
     val candidates = cappedCandidatePairs(bands)
     // verify candidates with exact shingle-set Jaccard
@@ -344,7 +348,7 @@ object DedupQueries {
     // signature + shingle sets from ONE aggregation (sigSets) — the
     // previous two-checkpoint shape (exploded shingles, then a second
     // signature agg over them) paid an extra pass and an extra exchange
-    val sig = sigSets(docs).localCheckpoint(true)
+    val sig = sigSets(docs).localCheckpoint(false)
     val cand = cappedCandidatePairs(bandKeysOfSig(sig))
     val sigA = sig.select(col("doc_id").as("doc_a") +:
       (0 until MinhashK).map(i => col(s"mh$i").as(s"a$i")): _*)
@@ -412,7 +416,7 @@ object DedupQueries {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents")
     // one sigSets agg, one per-doc checkpoint (same shape as minhashLsh)
-    val perDoc = sigSets(docs).localCheckpoint(true)
+    val perDoc = sigSets(docs).localCheckpoint(false)
     val cand = cappedCandidatePairs(bandKeysOfSig(perDoc))
     val hsets = perDoc.select(col("doc_id"), col("hs"))
     val pairs = cand
@@ -545,7 +549,7 @@ object DedupQueries {
     val sim = (0 until 32).map { bit =>
       when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(0L)
     }.reduce(_ + _)
-    val sigs = voted.select(col("doc_id"), sim.as("simhash")).localCheckpoint(true)
+    val sigs = voted.select(col("doc_id"), sim.as("simhash")).localCheckpoint(false)
     // candidates: equal 16-bit half (1 bit of hamming slack per half) —
     // banded LSH over the signature, both halves emitted in one pass and
     // skew-guarded like the MinHash band join
@@ -643,7 +647,7 @@ object DedupQueries {
   // integers (jaccard through floor ×1e6 of the bit-identical double;
   // avg/density by pure integer division).
   def dedupClusterCoherence(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir).localCheckpoint(true)
+    val pairs = minhashLsh(spark, sfDir).localCheckpoint(false)
     val labels = clusterLabels(bothDirections(pairs.select(col("doc_a"), col("doc_b"))))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
@@ -717,28 +721,37 @@ object DedupQueries {
     // skipping the no-op identity round.
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    // LAZY localCheckpoint + labelSum: the sum action materializes the
+    // checkpoint blocks, so seed (and each round below) costs ONE job
+    // instead of an eager-checkpoint job plus a sum job.
     var labels = edges
       .select(col("doc_a").as("id"), col("doc_a").as("label"))
       .union(edges.select(col("doc_a").as("id"), col("doc_b").as("label")))
       .groupBy(col("id")).agg(min(col("label")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var prevSum = labelSum(labels)
     var rounds = 1
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val pushed = edges.join(labels.withColumnRenamed("id", "doc_a"), Seq("doc_a"))
-        .select(col("doc_b").as("id"), col("label"))
-      // pointer jumping: label(label(id)) — labels are node ids of the
-      // same component, so chasing one hop through the LABEL table
-      // doubles the propagation distance per round
-      val jumped = labels
-        .join(labels.select(col("id").as("label"), col("label").as("ll")), Seq("label"))
-        .select(col("id"), col("ll").as("label"))
+      // ONE join per round instead of two: the neighbor push and the
+      // pointer jump both have the shape "look up key in the label
+      // table, emit (out, label(key))" — push with (key=doc_a,
+      // out=doc_b), jump with (key=label(id), out=id), i.e.
+      // label(label(id)), which doubles propagation distance per round.
+      // Unioning the two lookup frames BEFORE the join halves the
+      // per-round join/exchange bill (both reads of `labels` come from
+      // its checkpoint, so the union costs no recompute).
+      val lookups = edges.select(col("doc_a").as("key"), col("doc_b").as("out"))
+        .union(labels.select(col("label").as("key"), col("id").as("out")))
+      val propagated = lookups
+        .join(labels.select(col("id").as("key"), col("label")), Seq("key"))
+        .select(col("out").as("id"), col("label"))
       // per-round localCheckpoint: without it round N's plan nests all
-      // N-1 previous rounds and the driver re-plans a growing tree
-      val next = labels.union(pushed).union(jumped)
+      // N-1 previous rounds and the driver re-plans a growing tree.
+      // Lazy: the labelSum action right below materializes it.
+      val next = labels.union(propagated)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       labels.unpersist()

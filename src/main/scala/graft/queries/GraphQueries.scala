@@ -47,7 +47,9 @@ object GraphQueries {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+      // lazy: the EAGER `edges` checkpoint right below materializes it
+      // (e is read twice inside that one plan), saving a separate job
+      .localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edges = e.join(deg, Seq("src")).localCheckpoint()
     val nF = deg.agg(count(lit(1)).as("n"))
@@ -96,7 +98,9 @@ object GraphQueries {
     var delta = Double.MaxValue
     var it = 0
     while (delta >= eps && it < maxIters) {
-      val next = prStep(edges, pr, nF).localCheckpoint()
+      // lazy: the Σ|Δ| action below materializes the checkpoint — one
+      // job per round instead of two
+      val next = prStep(edges, pr, nF).localCheckpoint(false)
       delta = next.join(pr.withColumnRenamed("pr", "pr_old"), Seq("doc_id"))
         .agg(sum(abs(col("pr") - col("pr_old")).cast(dec)).as("d"))
         .head.getDecimal(0).doubleValue()
@@ -138,7 +142,8 @@ object GraphQueries {
         struct(col("doc_a").as("src"), col("doc_b").as("dst"), col("jaccard").as("w")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst"), col("jaccard").as("w")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-      .localCheckpoint()
+      // lazy: materialized by the eager `edges` checkpoint below
+      .localCheckpoint(false)
     val wsum = e.groupBy(col("src"))
       .agg(sum(col("w").cast(dec)).as("wsum"))
     val edges = e.join(wsum, Seq("src"))
@@ -232,10 +237,13 @@ object GraphQueries {
     val und = pairs
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
-      .distinct().localCheckpoint()
+      // all three checkpoints below are LAZY: the query has exactly one
+      // action, which materializes them in dependency order — eager
+      // checkpoints would add one driver-blocking job each for nothing
+      .distinct().localCheckpoint(false)
     val deg = und.select(explode(array(col("lo"), col("hi"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val loFirst = col("dlo") < col("dhi") ||
       (col("dlo") === col("dhi") && col("lo") < col("hi"))
     val oriented = und
@@ -245,7 +253,7 @@ object GraphQueries {
         when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
         when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
         when(loFirst, col("dhi")).otherwise(col("dlo")).as("ddst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val o1 = oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
     val o2 = oriented.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
     val wedges = o1.join(o2,
@@ -287,7 +295,8 @@ object GraphQueries {
     DedupQueries.simhash(spark, sfDir)
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
-      .distinct().localCheckpoint(true)
+      // lazy: first consumer materializes it; later consumers hit cache
+      .distinct().localCheckpoint(false)
 
   /** One peel round: (surviving-degree frame, filtered edge frame). */
   private def peelOnce(e: DataFrame, k: Int): (DataFrame, DataFrame) = {
@@ -304,7 +313,11 @@ object GraphQueries {
     var e = undirectedSimhashEdges(spark, sfDir)
     val rounds = (1 to KcoreRounds).map { r =>
       val (keep, e2) = peelOnce(e, KcoreK)
-      e = e2.localCheckpoint(true)
+      // lazy: the plan is truncated to a LogicalRDD either way; the one
+      // final action materializes each round's blocks in dependency
+      // order, so no per-round eager job is needed (the round count is
+      // FIXED here — the converged face keeps its per-round action)
+      e = e2.localCheckpoint(false)
       keep.agg(count(lit(1)).as("vertices"))
         .crossJoin(e.agg(count(lit(1)).as("edges")))
         .select(lit(r).as("round"), col("vertices"), col("edges"))
@@ -352,7 +365,8 @@ object GraphQueries {
     var it = 0
     while (!stable && it < maxIters) {
       val (_, e2) = peelOnce(e, k)
-      val next = e2.localCheckpoint(true)
+      // lazy: the count below materializes the checkpoint in one job
+      val next = e2.localCheckpoint(false)
       val n2 = next.count()
       stable = n2 == nEdges
       e = next; nEdges = n2
@@ -393,7 +407,8 @@ object GraphQueries {
         struct(col("lo").as("src"), col("hi").as("dst")),
         struct(col("hi").as("src"), col("lo").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint(true)
+      // lazy: materialized by the eager `edges` checkpoint below
+      .localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edges = e.join(deg, Seq("src")).localCheckpoint(true)
     val nF = deg.agg(count(lit(1)).as("n"))

@@ -43,7 +43,7 @@ object NearDupIndex {
     // checkpoint holds ~1 row/doc instead of one row per shingle.
     // localCheckpoint (not cache) — fuzzy decontamination builds a fresh
     // index per call, and cached blocks would accumulate across sweeps.
-    val perDoc = sigSets(corpus).localCheckpoint(true)
+    val perDoc = sigSets(corpus).localCheckpoint(false)
     val bands = bandKeysOfSig(perDoc)
     val oversized = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
@@ -69,7 +69,7 @@ object NearDupIndex {
   def matchBatch(index: NearDupIndex, newDocs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     // one sigSets agg + per-doc checkpoint (read 2x: band keys + sets)
-    val perDoc = sigSets(newDocs).localCheckpoint(true)
+    val perDoc = sigSets(newDocs).localCheckpoint(false)
     val batchBands = bandKeysOfSig(perDoc)
     val candidates = index.bands
       .join(broadcast(batchBands.select(col("band"), col("bkey"), col("doc_id").as("new_id"))),
