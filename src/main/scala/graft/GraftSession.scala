@@ -18,6 +18,14 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-plan the output partitioning of cached plans: without
+      // this, every .cache()/.persist() subtree materializes with the
+      // raw shuffle-partition count (no AQE coalescing), so cached
+      // frames carry maximum-width partitioning into every consumer
+      // stage — measured 525 -> ~30 tasks on the classifier family at
+      // sf0.1, and at cluster scale it sizes cached partitions to the
+      // data instead of to spark.sql.shuffle.partitions
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.columnarReaderBatchSize", "4096")

@@ -1128,7 +1128,14 @@ object Analytics {
       .join(broadcast(nation.join(region, col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val psEu = li.groupBy(col("l_partkey"), col("l_suppkey"))
+    // pre-filter the big side BEFORE the aggregation (guide §3.2): the
+    // part predicate is selective, and per-part minima are per-key, so
+    // dropping non-matching partkeys up front cannot change any kept
+    // row — the planner broadcasts the semi-join side while it is
+    // small and falls back to a shuffle semi-join at scale
+    val psEu = li
+      .join(part.select(col("p_partkey").as("l_partkey")), Seq("l_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice")).as("cost"))
       .join(eu, col("l_suppkey") === col("s_suppkey"))
       .cache() // read twice: per-part min + argmin probe — one lineitem scan, not two

@@ -1069,7 +1069,9 @@ object DedupQueries {
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(EmbDims - 1)),
           i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("float")).as("emb"))
-      .localCheckpoint(true) // read by the LSH pass + both sides of the verify join
+      // read by the LSH pass + both sides of the verify join; lazy —
+      // the LSH oversized-bucket broadcast subquery materializes it
+      .localCheckpoint(false)
     val cand = VectorQueries.lshCandidates(dense, "doc_id", "emb")
     val sims = cand
       .join(dense.select(col("doc_id").as("id_a"), col("emb").as("ea")), Seq("id_a"))

@@ -711,7 +711,9 @@ object RetrievalQueries {
     val assigned = VectorQueries.assignNearest(
       de.select(col("b_id").as("vec_id"), col("eb").as("embedding")), cents)
     val fwdPairs = forwardPairsIvf(probes, cents, assigned)
-      .localCheckpoint(true) // read by the margin join AND the backward candidates
+      // read by the margin join AND the backward candidates; lazy — the
+      // backward leg's broadcast subquery materializes it first
+      .localCheckpoint(false)
     marginFrame(fwdPairs, backwardAvg(en, de, fwdPairs))
   }
 
@@ -783,10 +785,12 @@ object RetrievalQueries {
     val (en, de) = bitextFrames(spark, sfDir)
     val exact = mineCore(en, de, en.filter(col("a_id") % MineAStride === 0))
       .filter(col("accept") === 1).select(col("a_id"), col("b_id"))
-      .localCheckpoint(true) // read by the intersect and its own count
+      // lazy: the broadcast `common`/count subqueries run first and
+      // materialize both faces before the main plan streams them
+      .localCheckpoint(false) // read by the intersect and its own count
     val ivf = mineIvfCore(en, de)
       .filter(col("accept") === 1).select(col("a_id"), col("b_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val common = exact.join(ivf, Seq("a_id", "b_id"))
       .agg(count(lit(1)).as("n_common"))
     exact.agg(count(lit(1)).as("n_exact"))

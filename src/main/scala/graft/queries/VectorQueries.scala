@@ -1829,9 +1829,14 @@ object VectorQueries {
   private[graft] def graphBeamSearch(vecs: DataFrame, adj: DataFrame): DataFrame = {
     val probes = beamProbes(vecs)
     val emb = vecs.select(col("vec_id"), col("embedding"))
-    var visited = beamScore(beamEntry(vecs, probes), emb, probes).localCheckpoint(true)
+    // lazy checkpoints: each still truncates the plan to a LogicalRDD
+    // (bounding plan growth per hop); the single final action
+    // materializes hop h before hop h+1's stages consume it, so no
+    // per-hop eager job is spent (fixed-hop face only — the converged
+    // face keeps eager checkpoints around its per-round driver actions)
+    var visited = beamScore(beamEntry(vecs, probes), emb, probes).localCheckpoint(false)
     for (_ <- 1 to GraphHops)
-      visited = visited.union(beamExpand(visited, adj, emb, probes)).localCheckpoint(true)
+      visited = visited.union(beamExpand(visited, adj, emb, probes)).localCheckpoint(false)
     beamTopk(visited)
   }
 
