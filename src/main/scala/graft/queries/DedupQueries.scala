@@ -558,7 +558,9 @@ object DedupQueries {
         struct(lit(0).as("half"), col("simhash").bitwiseAND(65535).as("hk")),
         struct(lit(1).as("half"), shiftright(col("simhash"), 16).as("hk")))).as("hh"))
       .select(col("doc_id"), col("hh.half").as("half"), col("hh.hk").as("hk"))
-      .localCheckpoint(true) // read 3x (oversized agg + self-join sides)
+      // read 3x (oversized agg + self-join sides); lazy — the oversized
+      // broadcast subquery materializes it before the self-join
+      .localCheckpoint(false)
     val oversized = halves.groupBy(col("half"), col("hk"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > MinhashBucketCap)
       .select(col("half"), col("hk"))
