@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the bench's
+// one-line JSON from the process stdout. Under sbt's default LoggedOutput
+// every forked-JVM stdout line is re-logged behind an "[info] " prefix and
+// the run ends with sbt's own "[success] Total time..." line — the driver's
+// JSON parse failed on exactly that for two rounds (BENCH_r08/r09 both
+// carry parsed:null). StdoutOutput passes the forked JVM's stdout through
+// verbatim (Spark logs go to stderr and are unaffected), and showSuccess
+// drops the trailing "[success]" line, so the bench's compact JSON is the
+// true LAST stdout line of the whole sbt invocation.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
