@@ -284,10 +284,20 @@ object CurationQueries {
   def corpusCanonicalQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val labels = DedupQueries.dedupClusters(spark, sfDir)
-    val q = docs.select(col("doc_id"),
-      floor(TextQueries.qualityExpr(col("text")) * lit(1000000.0))
-        .cast("long").as("quality_e6"))
-    val m = labels.join(q, Seq("doc_id"))
+    // Join FIRST, score SECOND: the quality expression is the expensive
+    // part, and only cluster members (≪ corpus at any sane dup rate) need
+    // it — scoring before the join pays the full battery on every doc.
+    // The explicit repartition floors the scoring stage's parallelism at
+    // the session's core count (defaultParallelism — env/cluster-derived,
+    // not a local constant): without it AQE coalesces the bounded member
+    // slice to ~1 partition and the per-row expression serializes (the
+    // round-9 measurement that reverted the join-first shape).
+    val m = labels
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("cluster_id"), col("doc_id"),
+        floor(TextQueries.qualityExpr(col("text")) * lit(1000000.0))
+          .cast("long").as("quality_e6"))
     val best = m.groupBy(col("cluster_id"))
       .agg(max(col("quality_e6")).as("best_quality_e6"),
         count(lit(1)).as("n_members"))
@@ -1020,6 +1030,13 @@ object CurationQueries {
       .select(Seq(col("doc_id"), col("source"), col("fp"), col("quality"), col("is_en"),
         size(toks(col("text"))).cast("long").as("n_tok")) ++
         TextQueries.gopherSignals(col("text")): _*)
+      // base feeds BOTH the canonical min-id agg and the flags join below;
+      // un-materialized, the whole scan + quality/langid/gopher signal
+      // battery runs twice (Catalyst does not dedup common subtrees).
+      // EAGER checkpoint (narrow per-doc rows, no text): the two consumers
+      // sit in concurrent stages of one action, where a lazy checkpoint
+      // risks double-compute.
+      .localCheckpoint(true)
     val canon = base.groupBy(col("fp")).agg(min(col("doc_id")).as("canon_id"))
     val contam = textDecontaminate(spark, sfDir)
       .select(col("doc_id"), lit(true).as("contam"))

@@ -90,14 +90,34 @@ object DedupQueries {
       .localCheckpoint(false)
     val sh = docs.select(col("doc_id"), explode(col("t")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // per-doc rarity-ordered prefix: ONE hash-agg (collect_list) + a
-    // per-row array sort — no window sort of the whole shingle stream
-    val p = (size(col("ts")) - ceil(size(col("ts")) * JaccardT) + 1).cast("int")
-    val prefixes = sh.join(dfreq, Seq("sh"))
+    // Only REPEATED shingles (df >= 2) can ever produce a candidate pair:
+    // shingle sets are per-doc distinct, so df = how many docs contain the
+    // shingle, and a df=1 prefix shingle forms a bucket of size 1 — zero
+    // pairs from the self-join below. Everything unique (the overwhelming
+    // majority of 3-gram shingles) therefore never needs its df attached:
+    // instead of joining the FULL exploded stream to dfreq and re-grouping
+    // it by doc (two corpus-sized exchanges), join only the df>=2 slice —
+    // a vocabulary-of-duplicates-sized table the planner broadcasts (and
+    // at scale Bloom-prunes, guide §3.2), so the exploded stream never
+    // crosses an exchange at all (guide §2.3/§2.4).
+    //
+    // Prefix membership is still decided by each doc's FULL (df, sh)
+    // ascending order. All df=1 shingles sort before all df>=2 ones, so
+    // for a doc with n shingles of which the repeated subset R is sorted
+    // ascending, repeated element i (1-based) holds global rank
+    // (n - |R|) + i, and it lands in the length-p prefix iff
+    // i <= p - n + |R| — computable per row from n and R alone.
+    val dfreq2 = dfreq.filter(col("df") >= 2)
+    val rep = sh.join(dfreq2, Seq("sh"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ts"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("rs"))
+      .join(docs.select(col("doc_id"), size(col("t")).as("n")), Seq("doc_id"))
+    val p = (col("n") - ceil(col("n") * JaccardT) + 1).cast("int")
+    val keepCnt = (p - col("n") + size(col("rs"))).cast("int")
+    val prefixes = rep
+      .filter(keepCnt > 0)
       .select(col("doc_id"),
-        explode(transform(slice(col("ts"), lit(1), p), s => s.getField("sh"))).as("psh"))
+        explode(transform(slice(col("rs"), lit(1), keepCnt), s => s.getField("sh"))).as("psh"))
       // self-joined below: without this the dfreq pipeline runs twice.
       // Lazy: the oversized-bucket broadcast subquery materializes it
       // before the self-join consumers run.

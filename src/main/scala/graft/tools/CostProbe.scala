@@ -16,7 +16,9 @@ import graft.{GraftSession, SparkEntry, Tables}
 object CostProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args(1).split(",").toSeq else Nil
+    // no name list = the full deck (the round-over-round structural sweep)
+    val names = if (args.length > 1) args(1).split(",").toSeq
+                else SparkEntry.queries.keys.toSeq
     val spark = GraftSession.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-costprobe")
     Tables.all.foreach(t =>
@@ -48,9 +50,23 @@ object CostProbe {
       SparkEntry.queries(name)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // localCheckpoint blocks are NOT CacheManager entries: left to the
+      // ContextCleaner they survive until the frames are GC'd, so probing
+      // many queries in one JVM accumulates storage memory and the
+      // pressure skews later queries' counters. Unpersist them explicitly.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
       // drain listener events before reading the counters (the bus is
-      // async; a short settle keeps the counters exact and reproducible)
-      Thread.sleep(300)
+      // async): poll until two consecutive reads agree instead of hoping
+      // a fixed sleep was long enough on a loaded box
+      var settled = false
+      var rounds = 0
+      while (!settled && rounds < 50) {
+        val snap = (jobs.get, stages.get, tasks.get, shufRead.get, shufWrite.get)
+        Thread.sleep(100)
+        settled = snap == ((jobs.get, stages.get, tasks.get, shufRead.get, shufWrite.get))
+        rounds += 1
+      }
       println(f"COST $name%-32s jobs=${jobs.get}%-4d stages=${stages.get}%-4d " +
         f"tasks=${tasks.get}%-6d shufR=${shufRead.get}%-10d shufW=${shufWrite.get}%-10d t=$sec%.2f")
     }

@@ -218,6 +218,31 @@ class DedupRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix rank cutoff: repeated-shingle-heavy corpora match brute force") {
+    // The blocked join only materializes prefix membership for REPEATED
+    // shingles (df >= 2); a repeated shingle at sorted position i of a
+    // doc's repeated subset R is in the prefix iff i <= p - n + |R|.
+    // A 4-word vocabulary makes nearly every shingle repeated, so the
+    // cutoff arithmetic is exercised at every boundary (including docs
+    // of exactly 3 tokens, where n = 1 and p = 1).
+    Seq(3L, 17L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("aa", "bb", "cc", "dd")
+      val docs = (0 until 80).map { i =>
+        val n = 3 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val dir = Files.createTempDirectory(s"graft-rank-$seed").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val got = DedupQueries.ngramJaccard(spark, dir)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val want = bruteForce(docs)
+      assert(got == want,
+        s"seed=$seed missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty, s"seed=$seed corpus must contain true near-dup pairs")
+    }
+  }
+
   test("property: incremental label maintenance equals full recompute on random graphs") {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { trial =>
